@@ -1,0 +1,218 @@
+"""The five driver benchmark scenes (BASELINE.json:6-12), as builders.
+
+Each builder returns ``(scene, spec, cfg)``:
+  scene — the ground-truth Scene pytree,
+  spec  — ParamSpec marking which parameters the inverse render optimizes
+          (with box bounds, replacing the reference's VariableSet bounds),
+  cfg   — RenderConfig (resolution + shading options).
+
+`perturb` produces the perturbed starting scene for inverse rendering
+(the reference demos perturb the shared variables then descend;
+SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pipeline import RenderConfig
+from .scene import (
+    Camera,
+    Lights,
+    Materials,
+    ParamSpec,
+    Scene,
+    ground_plane,
+    merge_spheres,
+    sphere,
+)
+
+
+def _mat(color, **kw) -> Materials:
+    return Materials.make(color, **kw)
+
+
+def config1_single_sphere(size: int = 64):
+    """Config 1: single sphere, Lambertian, 64^2; optimize center+radius."""
+    s = sphere((0.0, 0.0, 0.0), 1.0, _mat((0.9, 0.2, 0.2), ka=0.15, kd=0.9, ks=0.0))
+    scene = Scene.make(
+        spheres=s,
+        lights=Lights(
+            position=jnp.array([[3.0, 4.0, 5.0]], jnp.float32),
+            color=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        ),
+        camera=Camera.make((0.0, 0.0, 4.0), (0.0, 0.0, 0.0), fov_deg=50.0),
+    )
+    spec = (
+        ParamSpec.none(scene)
+        .train("spheres.center", lower=-3.0, upper=3.0)
+        .train("spheres.radius", lower=0.2, upper=2.5)
+    )
+    cfg = RenderConfig(height=size, width=size, shadows=False)
+    return scene, spec, cfg
+
+
+def config2_four_spheres(size: int = 128):
+    """Config 2: 4 spheres + ground plane, Phong specular, 128^2;
+    optimize centers/radii/albedos."""
+    parts = [
+        sphere((-1.1, 0.0, 0.0), 0.55, _mat((0.9, 0.2, 0.2), ks=0.5, shininess=40.0)),
+        sphere((1.1, 0.1, 0.3), 0.6, _mat((0.2, 0.8, 0.3), ks=0.5, shininess=40.0)),
+        sphere((0.0, 0.9, -0.6), 0.5, _mat((0.25, 0.35, 0.9), ks=0.6, shininess=60.0)),
+        sphere((0.1, -0.5, 1.0), 0.35, _mat((0.9, 0.8, 0.2), ks=0.4, shininess=25.0)),
+    ]
+    plane = ground_plane(-1.1, 12.0, _mat((0.6, 0.6, 0.6), ka=0.15, kd=0.85))
+    scene = Scene.make(
+        spheres=merge_spheres(parts),
+        rects=plane,
+        lights=Lights(
+            position=jnp.array([[4.0, 6.0, 4.0]], jnp.float32),
+            color=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        ),
+        camera=Camera.make((0.0, 1.0, 5.0), (0.0, 0.0, 0.0), fov_deg=55.0),
+    )
+    spec = (
+        ParamSpec.none(scene)
+        .train("spheres.center", lower=-3.0, upper=3.0)
+        .train("spheres.radius", lower=0.15, upper=2.0)
+        .train("spheres.material.color", lower=0.0, upper=1.0)
+    )
+    cfg = RenderConfig(height=size, width=size, shadows=True)
+    return scene, spec, cfg
+
+
+def config3_multi_light(size: int = 256):
+    """Config 3: multi-light scene with shadow rays, 256^2; optimize light
+    position + materials."""
+    parts = [
+        sphere((-0.9, -0.1, 0.0), 0.6, _mat((0.85, 0.3, 0.25), ks=0.4, shininess=35.0)),
+        sphere((0.9, 0.0, -0.4), 0.7, _mat((0.25, 0.45, 0.85), ks=0.4, shininess=35.0)),
+        sphere((0.0, 0.8, 0.6), 0.4, _mat((0.3, 0.8, 0.35), ks=0.5, shininess=50.0)),
+    ]
+    plane = ground_plane(-0.8, 14.0, _mat((0.55, 0.55, 0.58), ka=0.15, kd=0.85))
+    scene = Scene.make(
+        spheres=merge_spheres(parts),
+        rects=plane,
+        lights=Lights(
+            position=jnp.array([[4.0, 5.0, 3.0], [-4.0, 4.0, 1.5]], jnp.float32),
+            color=jnp.array([[0.8, 0.75, 0.7], [0.35, 0.4, 0.5]], jnp.float32),
+        ),
+        camera=Camera.make((0.0, 1.2, 5.0), (0.0, 0.0, 0.0), fov_deg=55.0),
+    )
+    spec = (
+        ParamSpec.none(scene)
+        .train("lights.position", lower=-8.0, upper=8.0)
+        .train("spheres.material.color", lower=0.0, upper=1.0)
+        .train("spheres.material.ks", lower=0.0, upper=1.0)
+        .train("spheres.material.kd", lower=0.0, upper=1.0)
+    )
+    cfg = RenderConfig(height=size, width=size, shadows=True)
+    return scene, spec, cfg
+
+
+def config4_checker_camera(size: int = 512):
+    """Config 4: textured/checker materials + camera-pose optimization, 512^2."""
+    parts = [
+        sphere(
+            (-0.9, 0.0, 0.0),
+            0.65,
+            _mat((0.9, 0.25, 0.2), color2=(0.95, 0.9, 0.85), checker=1.0,
+                 checker_scale=4.0, ks=0.4, shininess=40.0),
+        ),
+        sphere((0.95, 0.1, -0.3), 0.6, _mat((0.2, 0.5, 0.9), ks=0.5, shininess=60.0)),
+    ]
+    plane = ground_plane(
+        -0.75,
+        14.0,
+        _mat((0.85, 0.85, 0.85), color2=(0.15, 0.15, 0.18), checker=1.0,
+             checker_scale=18.0, ka=0.15, kd=0.85),
+    )
+    scene = Scene.make(
+        spheres=merge_spheres(parts),
+        rects=plane,
+        lights=Lights(
+            position=jnp.array([[4.0, 6.0, 4.0]], jnp.float32),
+            color=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        ),
+        camera=Camera.make((0.3, 1.3, 4.6), (0.0, 0.0, 0.0), fov_deg=55.0),
+    )
+    spec = (
+        ParamSpec.none(scene)
+        .train("camera.eye", lower=-10.0, upper=10.0)
+        .train("camera.look_at", lower=-5.0, upper=5.0)
+        .train("spheres.material.color", lower=0.0, upper=1.0)
+        .train("spheres.material.color2", lower=0.0, upper=1.0)
+    )
+    cfg = RenderConfig(height=size, width=size, shadows=True)
+    return scene, spec, cfg
+
+
+def config5_many_spheres(size: int = 1024, n_spheres: int = 64, seed: int = 0):
+    """Config 5: 64-sphere scene, 1024^2, rays sharded across the mesh;
+    full joint inverse render (centers+radii+albedos+light)."""
+    rng = np.random.default_rng(seed)
+    # Deterministic jittered grid of spheres in an 8x8 arrangement.
+    g = int(np.ceil(np.sqrt(n_spheres)))
+    centers, radii, colors = [], [], []
+    for k in range(n_spheres):
+        gx, gz = k % g, k // g
+        x = (gx - (g - 1) / 2) * 1.1 + rng.uniform(-0.2, 0.2)
+        z = (gz - (g - 1) / 2) * 1.1 + rng.uniform(-0.2, 0.2)
+        y = rng.uniform(-0.1, 0.45)
+        centers.append((x, y, z))
+        radii.append(rng.uniform(0.28, 0.5))
+        colors.append(rng.uniform(0.15, 0.95, size=3))
+    parts = [
+        sphere(c, r, _mat(col, ks=0.35, shininess=40.0))
+        for c, r, col in zip(centers, radii, colors)
+    ]
+    plane = ground_plane(-0.6, 30.0, _mat((0.6, 0.6, 0.62), ka=0.15, kd=0.85))
+    scene = Scene.make(
+        spheres=merge_spheres(parts),
+        rects=plane,
+        lights=Lights(
+            position=jnp.array([[6.0, 12.0, 6.0]], jnp.float32),
+            color=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        ),
+        camera=Camera.make((0.0, 7.0, 9.5), (0.0, 0.0, 0.0), fov_deg=60.0),
+    )
+    spec = (
+        ParamSpec.none(scene)
+        .train("spheres.center", lower=-8.0, upper=8.0)
+        .train("spheres.radius", lower=0.15, upper=1.0)
+        .train("spheres.material.color", lower=0.0, upper=1.0)
+        .train("lights.position", lower=-16.0, upper=16.0)
+    )
+    cfg = RenderConfig(height=size, width=size, shadows=True)
+    return scene, spec, cfg
+
+
+CONFIGS = {
+    1: config1_single_sphere,
+    2: config2_four_spheres,
+    3: config3_multi_light,
+    4: config4_checker_camera,
+    5: config5_many_spheres,
+}
+
+
+def perturb(scene: Scene, spec: ParamSpec, scale: float = 0.25, seed: int = 0) -> Scene:
+    """Additive-noise perturbation of the trainable leaves (the starting
+    point of the inverse render). Noise magnitude is `scale` x leaf std-dev
+    (or `scale` absolute for near-constant leaves), clipped to bounds."""
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    tr = jax.tree_util.tree_leaves(spec.trainable)
+    lo = jax.tree_util.tree_leaves(spec.lower)
+    hi = jax.tree_util.tree_leaves(spec.upper)
+    rng = np.random.default_rng(seed)
+    out = []
+    for leaf, t, l, h in zip(leaves, tr, lo, hi):
+        if not bool(t):
+            out.append(leaf)
+            continue
+        mag = max(float(jnp.std(leaf)), 1.0) * scale
+        noise = rng.normal(0.0, mag, size=leaf.shape).astype(np.float32)
+        out.append(jnp.clip(leaf + noise, l, h))
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -1,0 +1,332 @@
+"""The differentiable raytracing pipeline, SoA, tile-oriented.
+
+This module is the single source of truth for the render math. Both the
+pure-jnp renderer (`ops.render`) and the fused Pallas TPU kernels
+(`ops.kernels.fused`) call `render_tile` — the jnp path with the tile equal
+to the whole image, the Pallas path with (bh, bw) VMEM-resident tiles. That
+one-source design is what makes the "Pallas kernels match the jnp path
+exactly" fidelity requirement (SURVEY.md §4.2) hold by construction.
+
+Capability parity with the reference (lebek/reversible-raytracer; mount was
+empty — SURVEY.md §0 — so parity targets come from BASELINE.json:5):
+  - pinhole camera ray generation            (SURVEY.md C3)
+  - ray-sphere + ray-rect intersection       (C4, C5)
+  - nearest-hit resolution via where-select  (C6; Theano `T.switch` ≙ jnp.where,
+    so subgradient conventions at hit boundaries match)
+  - Lambertian + Phong shading               (C7)
+  - shadow rays (binary visibility)          (C8)
+  - checker materials, optimizable camera    (driver configs 4-5)
+
+Everything here is pure jnp on tuples-of-arrays: it traces inside jit,
+shard_map, Pallas kernel bodies, and under jax.vjp (which is how the fused
+backward kernel replays the forward — SURVEY.md §7 "recompute-in-backward").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+from . import vecmath as vm
+from .vecmath import Vec3
+
+# Sentinel for "no hit". Big but finite: keeps t arithmetic NaN-free.
+BIG = 1e10
+# Minimum ray parameter for a valid hit (avoids self-intersection re-hits).
+T_EPS = 1e-3
+# Offset of shadow-ray origins along the surface normal.
+SHADOW_EPS = 1e-3
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) render options. Not part of the scene pytree."""
+
+    height: int
+    width: int
+    shadows: bool = True
+    clip: bool = True  # clip final color to [0, 1] (reference-faithful output)
+
+    @property
+    def shape(self):
+        return (self.height, self.width)
+
+
+# ---------------------------------------------------------------------------
+# Camera
+# ---------------------------------------------------------------------------
+
+
+def camera_basis(cam) -> tuple[Vec3, Vec3, Vec3]:
+    """Orthonormal (right, up, forward) from eye/look_at/up.
+
+    Differentiable w.r.t. the pose (config 4 optimizes eye/look_at)."""
+    eye = vm.splat(cam.eye)
+    look = vm.splat(cam.look_at)
+    up_hint = vm.splat(cam.up)
+    fwd = vm.vnormalize(vm.vsub(look, eye))
+    right = vm.vnormalize(vm.vcross(fwd, up_hint))
+    up = vm.vcross(right, fwd)
+    return right, up, fwd
+
+
+def camera_rays(cam, ii, jj, H: int, W: int) -> tuple[Vec3, Vec3]:
+    """Per-pixel ray (origin, unit direction) for pixel rows ``ii`` / cols
+    ``jj`` (float arrays of any broadcastable shape).
+
+    The Pallas kernel calls this with tile-local iota + tile offset, so ray
+    generation is *fused into the kernel*: rays never touch HBM (the
+    reference materialized the full H*W*3 ray tensors; SURVEY.md §3.2).
+    """
+    right, up, fwd = camera_basis(cam)
+    tanf = jnp.tan(jnp.deg2rad(cam.fov_deg) * 0.5)
+    aspect = W / H
+    # Pixel centers -> NDC in [-1, 1], y up.
+    sx = ((jj + 0.5) * (2.0 / W) - 1.0) * tanf * aspect
+    sy = (1.0 - (ii + 0.5) * (2.0 / H)) * tanf
+    d = vm.vnormalize(
+        vm.vadd(fwd, vm.vadd(vm.vscale(right, sx), vm.vscale(up, sy)))
+    )
+    o = vm.splat(cam.eye)
+    return o, d
+
+
+# ---------------------------------------------------------------------------
+# Intersection
+# ---------------------------------------------------------------------------
+
+
+def intersect_sphere(o: Vec3, d: Vec3, center, radius):
+    """Nearest positive ray-sphere intersection t, BIG on miss.
+
+    Quadratic with unit ``d``: t^2 + 2 b t + c = 0, b = oc.d, c = |oc|^2-r^2.
+    Near root ``-b - sqrt(disc)``. The discriminant sqrt is guarded so
+    tangent rays don't emit NaN in reverse mode (SURVEY.md §7 hard parts).
+    """
+    oc = vm.vsub(o, vm.splat(center))
+    b = vm.vdot(oc, d)
+    c = vm.vdot(oc, oc) - radius * radius
+    disc = b * b - c
+    hit = disc > 0.0
+    t = -b - vm.safe_sqrt(disc)
+    valid = hit & (t > T_EPS)
+    return jnp.where(valid, t, BIG)
+
+
+def intersect_rect(o: Vec3, d: Vec3, origin, edge_u, edge_v):
+    """Ray-parallelogram intersection.
+
+    Returns (t, a, b, n) where (a, b) are the in-face coordinates in [0, 1]
+    (doubling as texture coordinates) and n the *unnormalized* face normal
+    edge_u x edge_v. t = BIG outside the patch or behind the origin.
+    """
+    p0 = vm.splat(origin)
+    eu = vm.splat(edge_u)
+    ev = vm.splat(edge_v)
+    n = vm.vcross(eu, ev)
+    denom = vm.vdot(d, n)
+    grazing = jnp.abs(denom) > 1e-9
+    denom_safe = jnp.where(grazing, denom, 1.0)
+    t = vm.vdot(vm.vsub(p0, o), n) / denom_safe
+    p = vm.vadd(o, vm.vscale(d, t))
+    rel = vm.vsub(p, p0)
+    inv_u2 = 1.0 / vm.vdot(eu, eu)
+    inv_v2 = 1.0 / vm.vdot(ev, ev)
+    a = vm.vdot(rel, eu) * inv_u2
+    b = vm.vdot(rel, ev) * inv_v2
+    valid = (
+        grazing
+        & (t > T_EPS)
+        & (a >= 0.0)
+        & (a <= 1.0)
+        & (b >= 0.0)
+        & (b <= 1.0)
+    )
+    return jnp.where(valid, t, BIG), a, b, n
+
+
+# ---------------------------------------------------------------------------
+# Materials
+# ---------------------------------------------------------------------------
+
+
+def _checker_select(mat, k, parity) -> Vec3:
+    """Blend color/color2 by checker parity; solid color when checker==0.
+
+    ``parity`` is 0/1 per pixel. The select is a step function (zero
+    gradient to positions, full gradient to the two colors) — the same
+    subgradient convention as a Theano switch-based checker.
+    """
+    c1 = vm.splat(mat.color[k])
+    c2 = vm.splat(mat.color2[k])
+    use2 = mat.checker[k] * parity  # 0 or 1 per pixel
+    return vm.vwhere(use2 > 0.5, c2, c1)
+
+
+def rect_color(mat, k, a, b) -> Vec3:
+    s = mat.checker_scale[k]
+    parity = jnp.mod(jnp.floor(a * s) + jnp.floor(b * s), 2.0)
+    return _checker_select(mat, k, parity)
+
+
+def sphere_color(mat, k, p_local: Vec3) -> Vec3:
+    """3-D solid checker in the sphere's local frame (transcendental-free —
+    no atan2 needed in the kernel; VPU-friendly floor/mod only)."""
+    s = mat.checker_scale[k]
+    parity = jnp.mod(
+        jnp.floor(p_local[0] * s)
+        + jnp.floor(p_local[1] * s)
+        + jnp.floor(p_local[2] * s),
+        2.0,
+    )
+    return _checker_select(mat, k, parity)
+
+
+# ---------------------------------------------------------------------------
+# Nearest hit across all objects (the reference's T.switch chain, C6)
+# ---------------------------------------------------------------------------
+
+
+def trace_nearest(scene: Scene, o: Vec3, d: Vec3, shape):
+    """Closest hit over all spheres and rects.
+
+    Returns dict of SoA pixel arrays: t, hit mask, unit normal n, base color,
+    and scalar material fields (ka, kd, ks, shininess) selected per pixel.
+
+    The object loop is a *Python* loop over a static object count: it
+    unrolls at trace time into a chain of `jnp.where` selects — exactly the
+    nested switch chain of the reference, so the nearest-hit subgradient
+    convention (ties broken toward the earlier object; zero gradient through
+    the selector) matches Theano's (SURVEY.md C6).
+    """
+    f32 = jnp.float32
+    t_best = jnp.full(shape, BIG, f32)
+    zero = jnp.zeros(shape, f32)
+    best = {
+        "nx": zero, "ny": zero, "nz": zero,
+        "cr": zero, "cg": zero, "cb": zero,
+        "ka": zero, "kd": zero, "ks": zero, "shin": jnp.ones(shape, f32),
+    }
+
+    def update(t_new, closer, n_unit, col, mat, k):
+        nonlocal t_best, best
+        t_best = jnp.where(closer, t_new, t_best)
+        new = {
+            "nx": n_unit[0], "ny": n_unit[1], "nz": n_unit[2],
+            "cr": col[0], "cg": col[1], "cb": col[2],
+            "ka": mat.ka[k], "kd": mat.kd[k], "ks": mat.ks[k],
+            "shin": mat.shininess[k],
+        }
+        best = {key: jnp.where(closer, new[key], best[key]) for key in best}
+
+    sp = scene.spheres
+    for k in range(sp.count):
+        t = intersect_sphere(o, d, sp.center[k], sp.radius[k])
+        closer = t < t_best
+        p = vm.vadd(o, vm.vscale(d, t))
+        p_local = vm.vsub(p, vm.splat(sp.center[k]))
+        # Outward unit normal; radius>0 enforced by bounds.
+        inv_r = 1.0 / sp.radius[k]
+        n_unit = vm.vscale(p_local, inv_r)
+        col = sphere_color(sp.material, k, p_local)
+        update(t, closer, n_unit, col, sp.material, k)
+
+    rc = scene.rects
+    for k in range(rc.count):
+        t, a, b, n = intersect_rect(o, d, rc.origin[k], rc.edge_u[k], rc.edge_v[k])
+        closer = t < t_best
+        n_unit = vm.vnormalize(n)
+        # Two-sided shading: flip the normal toward the incoming ray.
+        facing = jnp.where(vm.vdot(n_unit, d) < 0.0, 1.0, -1.0)
+        n_unit = vm.vscale(n_unit, facing)
+        col = rect_color(rc.material, k, a, b)
+        update(t, closer, n_unit, col, rc.material, k)
+
+    hit = t_best < BIG * 0.5
+    return t_best, hit, best
+
+
+def occluded(scene: Scene, o: Vec3, ldir: Vec3, dist):
+    """Binary any-hit test toward a light (shadow ray, SURVEY.md C8).
+
+    Pure step function: visibility contributes no gradient, matching the
+    reference's hard-shadow semantics."""
+    occ = jnp.zeros_like(dist, dtype=bool)
+    sp = scene.spheres
+    for k in range(sp.count):
+        t = intersect_sphere(o, ldir, sp.center[k], sp.radius[k])
+        occ = occ | (t < dist)
+    rc = scene.rects
+    for k in range(rc.count):
+        t, _, _, _ = intersect_rect(o, ldir, rc.origin[k], rc.edge_u[k], rc.edge_v[k])
+        occ = occ | (t < dist)
+    return occ
+
+
+# ---------------------------------------------------------------------------
+# Shading (Lambertian + Phong + shadows, C7/C8)
+# ---------------------------------------------------------------------------
+
+
+def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape):
+    t, hit, at = trace_nearest(scene, o, d, shape)
+    n = (at["nx"], at["ny"], at["nz"])
+    base = (at["cr"], at["cg"], at["cb"])
+    p = vm.vadd(o, vm.vscale(d, t))
+
+    ambient = vm.splat(scene.ambient)
+    col = vm.vscale(vm.vmul(base, ambient), at["ka"])
+    view = vm.vneg(d)  # unit, since d is unit
+
+    lights = scene.lights
+    shadow_o = vm.vadd(p, vm.vscale(n, SHADOW_EPS))
+    for li in range(lights.count):
+        lpos = vm.splat(lights.position[li])
+        lcol = vm.splat(lights.color[li])
+        lvec = vm.vsub(lpos, shadow_o)
+        dist2 = vm.vdot(lvec, lvec)
+        dist = vm.safe_sqrt(dist2)
+        ldir = vm.vscale(lvec, 1.0 / jnp.where(dist > 1e-9, dist, 1.0))
+
+        if cfg.shadows:
+            vis = jnp.where(occluded(scene, shadow_o, ldir, dist), 0.0, 1.0)
+        else:
+            vis = 1.0
+
+        ndotl = jnp.maximum(vm.vdot(n, ldir), 0.0)
+        # Phong reflection of the light direction about the normal.
+        refl = vm.vsub(vm.vscale(n, 2.0 * ndotl), ldir)
+        rdotv = jnp.maximum(vm.vdot(refl, view), 0.0)
+        spec = at["ks"] * vm.safe_pow(rdotv, at["shin"])
+
+        contrib_r = vis * (at["kd"] * ndotl * base[0] + spec) * lcol[0]
+        contrib_g = vis * (at["kd"] * ndotl * base[1] + spec) * lcol[1]
+        contrib_b = vis * (at["kd"] * ndotl * base[2] + spec) * lcol[2]
+        col = vm.vadd(col, (contrib_r, contrib_g, contrib_b))
+
+    bg = vm.splat(scene.background)
+    col = vm.vwhere(hit, col, vm.vbroadcast(bg, shape))
+    if cfg.clip:
+        col = tuple(jnp.clip(c, 0.0, 1.0) for c in col)
+    return col
+
+
+# ---------------------------------------------------------------------------
+# The tile entry point (shared by jnp renderer and Pallas kernels)
+# ---------------------------------------------------------------------------
+
+
+def render_tile(scene: Scene, cfg: RenderConfig, row0, col0, bh: int, bw: int):
+    """Render a (bh, bw) tile whose top-left pixel is (row0, col0).
+
+    Returns SoA (r, g, b), each (bh, bw) float32. ``row0``/``col0`` may be
+    traced scalars (shard offsets / Pallas program ids).
+    """
+    ii = row0 + jax.lax.broadcasted_iota(jnp.float32, (bh, bw), 0)
+    jj = col0 + jax.lax.broadcasted_iota(jnp.float32, (bh, bw), 1)
+    o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width)
+    o = vm.vbroadcast(o, (bh, bw))
+    return shade(scene, o, d, cfg, (bh, bw))

@@ -1,0 +1,63 @@
+"""Full-image renderers and losses (the reference's `scene.build()` +
+compiled callable, SURVEY.md L4/C10, re-expressed as pure jit-able fns).
+
+Two interchangeable implementations of the same math:
+
+- ``render_jnp``   — pure jnp over the whole image; XLA fuses the unrolled
+  pipeline. This is the differential-testing twin and the CPU/fake-mesh path.
+- ``render_pallas``— fused Pallas TPU kernel pair (ops.kernels.fused) with a
+  hand-planned backward (recompute-in-backward); the production TPU path.
+
+``render`` dispatches: Pallas on TPU backends, jnp elsewhere — so the same
+user code runs on the local v5e chip, on a CPU fake mesh, and in multi-host
+pods without change.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+from .pipeline import RenderConfig, render_tile
+
+
+def render_jnp(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = None):
+    """Render rows [row0, row0+height) of the cfg.height x cfg.width image.
+
+    Returns (height, width, 3) float32. ``row0``/``height`` support the
+    shard_map row-band decomposition (parallel.shard): each device renders
+    its own band of the global image.
+    """
+    h = cfg.height if height is None else height
+    r, g, b = render_tile(scene, cfg, row0, 0, h, cfg.width)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
+    """Render the full image with the best available implementation."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "jnp":
+        return render_jnp(scene, cfg)
+    if impl == "pallas":
+        from .kernels.fused import render_pallas
+
+        return render_pallas(scene, cfg)
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+def mse_loss(image, target):
+    """Mean squared error over pixels (the reference used a sum; mean keeps
+    the loss scale resolution-independent — learning rates transfer across
+    the 64^2..1024^2 driver configs). Gradients differ only by the constant
+    1/(H*W*3), absorbed by the learning rate."""
+    diff = image - target
+    return jnp.mean(diff * diff)
+
+
+def sum_squared_loss(image, target):
+    """Reference-faithful sum-of-squares loss (Theano `T.sum((a-b)**2)`,
+    SURVEY.md §3.3)."""
+    diff = image - target
+    return jnp.sum(diff * diff)

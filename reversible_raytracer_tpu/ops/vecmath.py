@@ -1,0 +1,113 @@
+"""Structure-of-arrays 3-vector math.
+
+TPU-native design note: the reference (lebek/reversible-raytracer, a Theano
+program — see SURVEY.md §1 L1/C1; the mount at /root/reference was empty, so
+citations are capability-level) stores rays as (H, W, 3) tensors and reduces
+over the trailing size-3 axis. On TPU the trailing axis is the 128-lane VPU
+dimension, so a size-3 trailing axis wastes 125/128 lanes. We instead keep
+each vector *component* as its own (H, W)-shaped array ("structure of
+arrays"), so every elementwise op is a full-width (8, 128)-tiled VPU op.
+
+A Vec3 is simply a tuple ``(x, y, z)`` of equally-shaped (or broadcastable)
+jnp/np arrays. All helpers are backend-agnostic: they work on jax tracers
+(inside jit, shard_map, or a Pallas kernel body) and on numpy arrays alike.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Vec3 = tuple  # (x, y, z) of arrays
+
+
+def v3(x, y, z) -> Vec3:
+    return (x, y, z)
+
+
+def splat(v) -> Vec3:
+    """Turn a length-3 array (e.g. a scene-parameter row) into a Vec3 of
+    scalars, which then broadcast against (H, W) pixel arrays for free."""
+    return (v[0], v[1], v[2])
+
+
+def vadd(a: Vec3, b: Vec3) -> Vec3:
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def vsub(a: Vec3, b: Vec3) -> Vec3:
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def vscale(a: Vec3, s) -> Vec3:
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def vmul(a: Vec3, b: Vec3) -> Vec3:
+    """Hadamard product (used for color * color)."""
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def vneg(a: Vec3) -> Vec3:
+    return (-a[0], -a[1], -a[2])
+
+
+def vdot(a: Vec3, b: Vec3):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def vcross(a: Vec3, b: Vec3) -> Vec3:
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def vnorm(a: Vec3):
+    return jnp.sqrt(vdot(a, a))
+
+
+def vnormalize(a: Vec3, eps: float = 1e-12) -> Vec3:
+    """Safe normalize: guards the rsqrt so reverse-mode AD at a (never-taken)
+    zero vector cannot poison gradients with NaN (SURVEY.md §7 'grazing-ray
+    numerics': both branches of a `where` are differentiated)."""
+    n2 = vdot(a, a)
+    inv = jnp.where(n2 > eps, n2, 1.0) ** -0.5
+    return vscale(a, inv)
+
+
+def vwhere(mask, a: Vec3, b: Vec3) -> Vec3:
+    return (
+        jnp.where(mask, a[0], b[0]),
+        jnp.where(mask, a[1], b[1]),
+        jnp.where(mask, a[2], b[2]),
+    )
+
+
+def vbroadcast(a: Vec3, shape) -> Vec3:
+    return (
+        jnp.broadcast_to(a[0], shape),
+        jnp.broadcast_to(a[1], shape),
+        jnp.broadcast_to(a[2], shape),
+    )
+
+
+def safe_sqrt(x, guard=1.0):
+    """sqrt with NaN-free reverse-mode at/below zero.
+
+    ``sqrt(where(x > 0, x, guard))`` — the classic JAX pattern: the plain
+    ``where(x > 0, sqrt(x), 0)`` still produces NaN cotangents because both
+    branches are evaluated under AD.
+    """
+    return jnp.sqrt(jnp.where(x > 0.0, x, guard))
+
+
+def safe_pow(x, p):
+    """x ** p for x possibly <= 0, with zero value and zero gradient there.
+
+    Matches the subgradient convention of clamping (``max(r.v, 0) ** alpha``
+    in Phong shading): at x <= 0 both the value and the incoming gradient are
+    zero, exactly as Theano's switch-based formulation yields.
+    """
+    safe_x = jnp.where(x > 0.0, x, 1.0)
+    return jnp.where(x > 0.0, safe_x**p, 0.0)

@@ -1,0 +1,223 @@
+"""Float64 pure-numpy oracle renderer.
+
+Role (SURVEY.md P5, §4): the BASELINE fidelity requirement is "images and
+pixel gradients match the Theano reference allclose" (BASELINE.json:5).
+Theano cannot be installed here (no network egress), so this module is the
+equivalence oracle: a deliberately *independent* implementation — numpy,
+float64, array-of-structs (H, W, 3) layout, no code shared with the jnp/SoA
+pipeline — of exactly the reference semantics:
+
+- nearest-hit select via masked argmin (≙ Theano nested `T.switch`),
+- `max(., 0)` clamps in shading,
+- hard step-function shadows,
+- near-root-only sphere intersection with t > eps.
+
+Tests assert `allclose(render_jnp(scene), oracle_render(scene))` at f32
+tolerances, and check `jax.grad` against central finite differences of the
+oracle loss (the gradient-fidelity triangulation described in SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BIG = 1e10
+T_EPS = 1e-3
+SHADOW_EPS = 1e-3
+
+
+def _np(x):
+    return np.asarray(x, dtype=np.float64)
+
+
+def _normalize(v, axis=-1):
+    n = np.linalg.norm(v, axis=axis, keepdims=True)
+    return v / np.where(n > 1e-12, n, 1.0)
+
+
+def _camera_rays(cam, H, W):
+    eye = _np(cam.eye)
+    look = _np(cam.look_at)
+    up_hint = _np(cam.up)
+    fwd = _normalize(look - eye, axis=0)
+    right = _normalize(np.cross(fwd, up_hint), axis=0)
+    up = np.cross(right, fwd)
+    tanf = np.tan(np.deg2rad(float(cam.fov_deg)) * 0.5)
+    aspect = W / H
+    jj, ii = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    sx = ((jj + 0.5) * (2.0 / W) - 1.0) * tanf * aspect
+    sy = (1.0 - (ii + 0.5) * (2.0 / H)) * tanf
+    d = fwd[None, None, :] + sx[..., None] * right[None, None, :] + sy[..., None] * up[None, None, :]
+    d = _normalize(d)
+    o = np.broadcast_to(eye, d.shape)
+    return o, d
+
+
+def _intersect_spheres(o, d, centers, radii):
+    """t for every sphere: (N, H, W). BIG where miss."""
+    if len(centers) == 0:
+        return np.zeros((0,) + o.shape[:2])
+    oc = o[None] - centers[:, None, None, :]  # (N, H, W, 3)
+    b = np.einsum("nhwc,hwc->nhw", oc, d)
+    c = np.einsum("nhwc,nhwc->nhw", oc, oc) - (radii**2)[:, None, None]
+    disc = b * b - c
+    hit = disc > 0.0
+    t = -b - np.sqrt(np.where(hit, disc, 0.0))
+    valid = hit & (t > T_EPS)
+    return np.where(valid, t, BIG)
+
+
+def _intersect_rects(o, d, origin, eu, ev):
+    """(t, a, b) for every rect: each (M, H, W)."""
+    M = len(origin)
+    if M == 0:
+        z = np.zeros((0,) + o.shape[:2])
+        return z, z, z
+    n = np.cross(eu, ev)  # (M, 3)
+    denom = np.einsum("hwc,mc->mhw", d, n)
+    grazing = np.abs(denom) > 1e-9
+    denom_safe = np.where(grazing, denom, 1.0)
+    t = np.einsum("mhwc,mc->mhw", origin[:, None, None, :] - o[None], n) / denom_safe
+    p = o[None] + t[..., None] * d[None]
+    rel = p - origin[:, None, None, :]
+    a = np.einsum("mhwc,mc->mhw", rel, eu) / np.einsum("mc,mc->m", eu, eu)[:, None, None]
+    b = np.einsum("mhwc,mc->mhw", rel, ev) / np.einsum("mc,mc->m", ev, ev)[:, None, None]
+    valid = grazing & (t > T_EPS) & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
+    return np.where(valid, t, BIG), a, b
+
+
+def _checker(mat_checker, mat_scale, c1, c2, parity):
+    use2 = (mat_checker * parity) > 0.5
+    return np.where(use2[..., None], c2, c1)
+
+
+def _scene_arrays(scene):
+    sp = scene.spheres
+    rc = scene.rects
+    return {
+        "sc": _np(sp.center),
+        "sr": _np(sp.radius),
+        "smat": {f: _np(getattr(sp.material, f)) for f in
+                 ("color", "color2", "checker", "checker_scale", "ka", "kd", "ks", "shininess")},
+        "ro": _np(rc.origin),
+        "ru": _np(rc.edge_u),
+        "rv": _np(rc.edge_v),
+        "rmat": {f: _np(getattr(rc.material, f)) for f in
+                 ("color", "color2", "checker", "checker_scale", "ka", "kd", "ks", "shininess")},
+        "lp": _np(scene.lights.position),
+        "lc": _np(scene.lights.color),
+        "ambient": _np(scene.ambient),
+        "bg": _np(scene.background),
+    }
+
+
+def _all_hits(arr, o, d):
+    """Concatenated t-maps + per-object shading attrs for spheres then rects."""
+    H, W = o.shape[:2]
+    ts = _intersect_spheres(o, d, arr["sc"], arr["sr"])  # (N, H, W)
+    tr, ra, rb = _intersect_rects(o, d, arr["ro"], arr["ru"], arr["rv"])
+    return ts, tr, ra, rb
+
+
+def _occluded(arr, o, ldir, dist):
+    ts, tr, _, _ = _all_hits(arr, o, ldir)
+    occ = np.zeros(dist.shape, dtype=bool)
+    if ts.shape[0]:
+        occ |= (ts < dist[None]).any(axis=0)
+    if tr.shape[0]:
+        occ |= (tr < dist[None]).any(axis=0)
+    return occ
+
+
+def render(scene, height, width, shadows=True, clip=True):
+    """Render the scene exactly like the jnp/Pallas pipeline claims to.
+
+    Returns float64 (H, W, 3).
+    """
+    arr = _scene_arrays(scene)
+    o, d = _camera_rays(scene.camera, height, width)
+    H, W = height, width
+
+    ts, tr, ra, rb = _all_hits(arr, o, d)
+    t_all = np.concatenate([ts, tr], axis=0)  # (N+M, H, W)
+    n_sph = ts.shape[0]
+    n_obj = t_all.shape[0]
+
+    if n_obj == 0:
+        img = np.broadcast_to(arr["bg"], (H, W, 3)).copy()
+        return np.clip(img, 0.0, 1.0) if clip else img
+
+    # Nearest hit with ties toward the earlier object (matching the unrolled
+    # where-chain: a strictly-closer later object wins, ties keep earlier).
+    k_best = np.argmin(t_all, axis=0)  # numpy argmin takes first min == earlier
+    t_best = np.take_along_axis(t_all, k_best[None], axis=0)[0]
+    hit = t_best < BIG * 0.5
+
+    p = o + t_best[..., None] * d
+
+    # Per-pixel normals, colors, coefficients.
+    normal = np.zeros((H, W, 3))
+    base = np.zeros((H, W, 3))
+    coeff = {f: np.zeros((H, W)) for f in ("ka", "kd", "ks", "shininess")}
+    for k in range(n_obj):
+        sel = k_best == k
+        if not sel.any():
+            continue
+        if k < n_sph:
+            m = arr["smat"]
+            center = arr["sc"][k]
+            plocal = p - center
+            nrm = plocal / arr["sr"][k]
+            parity = np.mod(
+                np.floor(plocal[..., 0] * m["checker_scale"][k])
+                + np.floor(plocal[..., 1] * m["checker_scale"][k])
+                + np.floor(plocal[..., 2] * m["checker_scale"][k]),
+                2.0,
+            )
+            col = _checker(m["checker"][k], m["checker_scale"][k], m["color"][k], m["color2"][k], parity)
+            mk = k
+        else:
+            m = arr["rmat"]
+            mk = k - n_sph
+            n_face = np.cross(arr["ru"][mk], arr["rv"][mk])
+            n_unit = n_face / np.linalg.norm(n_face)
+            nrm = np.broadcast_to(n_unit, (H, W, 3)).copy()
+            facing = np.where(np.einsum("hwc,c->hw", d, n_unit) < 0.0, 1.0, -1.0)
+            nrm = nrm * facing[..., None]
+            parity = np.mod(
+                np.floor(ra[mk] * m["checker_scale"][mk]) + np.floor(rb[mk] * m["checker_scale"][mk]),
+                2.0,
+            )
+            col = _checker(m["checker"][mk], m["checker_scale"][mk], m["color"][mk], m["color2"][mk], parity)
+        normal[sel] = nrm[sel]
+        base[sel] = col[sel]
+        for f in coeff:
+            coeff[f][sel] = m[f][mk]
+
+    # Shading.
+    colimg = coeff["ka"][..., None] * base * arr["ambient"][None, None, :]
+    view = -d
+    shadow_o = p + SHADOW_EPS * normal
+    for li in range(arr["lp"].shape[0]):
+        lvec = arr["lp"][li] - shadow_o
+        dist = np.linalg.norm(lvec, axis=-1)
+        ldir = lvec / np.where(dist[..., None] > 1e-9, dist[..., None], 1.0)
+        vis = np.ones((H, W))
+        if shadows:
+            vis = np.where(_occluded(arr, shadow_o, ldir, dist), 0.0, 1.0)
+        ndotl = np.maximum(np.einsum("hwc,hwc->hw", normal, ldir), 0.0)
+        refl = 2.0 * ndotl[..., None] * normal - ldir
+        rdotv = np.maximum(np.einsum("hwc,hwc->hw", refl, view), 0.0)
+        spec = coeff["ks"] * np.where(rdotv > 0, rdotv, 1.0) ** coeff["shininess"] * (rdotv > 0)
+        contrib = (coeff["kd"] * ndotl)[..., None] * base + spec[..., None]
+        colimg = colimg + (vis[..., None] * contrib) * arr["lc"][li][None, None, :]
+
+    colimg = np.where(hit[..., None], colimg, arr["bg"][None, None, :])
+    if clip:
+        colimg = np.clip(colimg, 0.0, 1.0)
+    return colimg
+
+
+def mse_loss(image, target):
+    d = image - np.asarray(target, dtype=np.float64)
+    return float(np.mean(d * d))
