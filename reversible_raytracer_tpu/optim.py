@@ -1,0 +1,200 @@
+"""Inverse rendering: Adam + bound projection over the scene pytree.
+
+Reference counterpart: `grad_descent.py` — plain GD/momentum over VariableSet
+values with bound clipping (SURVEY.md C12, §3.3). The BASELINE north star
+specifies Adam (BASELINE.json:5). TPU-native formulation:
+
+- one jitted ``step``: value_and_grad of the render loss, gradient masking
+  (the ParamSpec trainability registry), optax.adam update, box projection;
+- the whole optimization loop can also run *on device* via ``lax.scan``
+  (``optimize_scan``) so a convergence benchmark pays one dispatch, not one
+  per iteration — this is the "wall-clock-to-converge" fast path;
+- under a device mesh, the same step runs inside shard_map with per-tile
+  losses and psum'd gradients (parallel/shard.py) — this module is agnostic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .models.scene import ParamSpec, Scene
+from .ops.pipeline import RenderConfig
+from .ops.render import mse_loss, render_jnp, sum_squared_loss
+
+
+@dataclass(frozen=True)
+class OptConfig:
+    iters: int = 200
+    lr: float = 2e-2
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    loss: str = "mse"  # "mse" | "sum" (reference-faithful sum of squares)
+
+
+def loss_fn_for(name: str):
+    return {"mse": mse_loss, "sum": sum_squared_loss}[name]
+
+
+def make_optimizer(ocfg: OptConfig):
+    return optax.adam(ocfg.lr, b1=ocfg.b1, b2=ocfg.b2, eps=ocfg.eps)
+
+
+def mask_grads(grads: Scene, spec: ParamSpec) -> Scene:
+    """Zero gradients of non-trainable leaves (the functional VariableSet)."""
+    return jax.tree_util.tree_map(
+        lambda g, t: jnp.where(t, g, jnp.zeros_like(g)), grads, spec.trainable
+    )
+
+
+def project_bounds(scene: Scene, spec: ParamSpec) -> Scene:
+    """Box-projection after the update (reference bound-clipping semantics)."""
+    return jax.tree_util.tree_map(
+        lambda x, t, lo, hi: jnp.where(t, jnp.clip(x, lo, hi), x),
+        scene, spec.trainable, spec.lower, spec.upper,
+    )
+
+
+def make_step(
+    rcfg: RenderConfig,
+    spec: ParamSpec,
+    ocfg: OptConfig,
+    render_fn=None,
+):
+    """Build the jitted single optimization step.
+
+    ``render_fn(scene) -> (H, W, 3)`` defaults to the pure-jnp renderer;
+    pass the Pallas renderer or a shard_map-wrapped renderer for TPU/mesh
+    execution. Returns ``step(scene, opt_state, target) ->
+    (scene, opt_state, loss, grad_norm)``.
+    """
+    if render_fn is None:
+        render_fn = lambda s: render_jnp(s, rcfg)
+    loss_of = loss_fn_for(ocfg.loss)
+    tx = make_optimizer(ocfg)
+
+    def loss(scene: Scene, target):
+        return loss_of(render_fn(scene), target)
+
+    @jax.jit
+    def step(scene: Scene, opt_state, target):
+        l, grads = jax.value_and_grad(loss)(scene, target)
+        grads = mask_grads(grads, spec)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, scene)
+        scene = optax.apply_updates(scene, updates)
+        scene = project_bounds(scene, spec)
+        return scene, opt_state, l, gnorm
+
+    return step, tx
+
+
+def optimize(
+    scene: Scene,
+    target,
+    spec: ParamSpec,
+    rcfg: RenderConfig,
+    ocfg: OptConfig,
+    render_fn=None,
+    logger=None,
+    log_every: int = 10,
+    frame_every: int = 0,
+    frame_dir: str | None = None,
+    checkpoint_every: int = 0,
+    checkpoint_path: str | None = None,
+    truth: Scene | None = None,
+    resume: str | None = None,
+):
+    """Host-driven optimization loop with observability (SURVEY.md §5.5).
+
+    Returns (final_scene, history list of dicts).
+    """
+    from .utils import checkpoint as ckpt
+    from .utils.imageio import save_png
+
+    step, tx = make_step(rcfg, spec, ocfg, render_fn)
+    opt_state = tx.init(scene)
+    start_iter = 0
+    if resume is not None:
+        scene, opt_state, start_iter = ckpt.load(resume, scene, opt_state)
+
+    target = jnp.asarray(target, jnp.float32)
+    history = []
+    for it in range(start_iter, ocfg.iters):
+        scene, opt_state, l, gnorm = step(scene, opt_state, target)
+        if log_every and (it % log_every == 0 or it == ocfg.iters - 1):
+            rec = {"step": it, "loss": float(l), "grad_norm": float(gnorm)}
+            if truth is not None:
+                rec["param_err"] = float(param_error(scene, truth, spec))
+            history.append(rec)
+            if logger is not None:
+                logger.log(**rec)
+        if frame_every and frame_dir and it % frame_every == 0:
+            img = render_jnp(scene, rcfg) if render_fn is None else render_fn(scene)
+            save_png(f"{frame_dir}/frame_{it:05d}.png", img)
+        if checkpoint_every and checkpoint_path and it and it % checkpoint_every == 0:
+            ckpt.save(checkpoint_path, scene, opt_state, it)
+    if checkpoint_path:
+        ckpt.save(checkpoint_path, scene, opt_state, ocfg.iters)
+    return scene, history
+
+
+def optimize_scan(
+    scene: Scene,
+    target,
+    spec: ParamSpec,
+    rcfg: RenderConfig,
+    ocfg: OptConfig,
+    render_fn=None,
+):
+    """Whole optimization loop on-device via lax.scan: one dispatch total.
+
+    This is the TPU-native convergence fast path (the reference ran a Python
+    loop crossing the host boundary every iteration, SURVEY.md §3.3). Returns
+    (final_scene, losses[iters]).
+    """
+    if render_fn is None:
+        render_fn = lambda s: render_jnp(s, rcfg)
+    loss_of = loss_fn_for(ocfg.loss)
+    tx = make_optimizer(ocfg)
+    target = jnp.asarray(target, jnp.float32)
+
+    def loss(scene: Scene):
+        return loss_of(render_fn(scene), target)
+
+    @jax.jit
+    def run(scene: Scene):
+        opt_state = tx.init(scene)
+
+        def body(carry, _):
+            scene, opt_state = carry
+            l, grads = jax.value_and_grad(loss)(scene)
+            grads = mask_grads(grads, spec)
+            updates, opt_state = tx.update(grads, opt_state, scene)
+            scene = optax.apply_updates(scene, updates)
+            scene = project_bounds(scene, spec)
+            return (scene, opt_state), l
+
+        (scene, _), losses = jax.lax.scan(body, (scene, opt_state), None, length=ocfg.iters)
+        return scene, losses
+
+    return run(scene)
+
+
+def param_error(scene: Scene, truth: Scene, spec: ParamSpec):
+    """RMS error over trainable parameters vs the ground-truth scene —
+    the convergence metric for the benchmark configs (truth is known there)."""
+    sq = jax.tree_util.tree_map(
+        lambda a, b, t: jnp.sum(jnp.where(t, (a - b) ** 2, 0.0)), scene, truth, spec.trainable
+    )
+    n = jax.tree_util.tree_map(
+        lambda a, t: jnp.where(t, jnp.asarray(a.size, jnp.float32), 0.0), scene, spec.trainable
+    )
+    total = sum(jax.tree_util.tree_leaves(sq))
+    count = sum(jax.tree_util.tree_leaves(n))
+    return jnp.sqrt(total / jnp.maximum(count, 1.0))

@@ -1,0 +1,58 @@
+"""Checkpoint / resume (SURVEY.md §5.4).
+
+The reference's only resume primitive was the VariableSet value vector; here
+a checkpoint is the scene pytree + Adam state + step counter, serialized to
+a single .npz (orbax is installed but npz is the right tool at O(10^2..10^3)
+floats — zero dependencies, atomic rename, human-inspectable).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten_with_names(tree):
+    paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    names, leaves = [], []
+    for path, leaf in paths:
+        name = "/".join(str(getattr(k, "name", getattr(k, "key", getattr(k, "idx", k)))) for k in path)
+        names.append(name)
+        leaves.append(np.asarray(leaf))
+    return names, leaves, treedef
+
+
+def save(path: str, scene, opt_state=None, step: int = 0) -> None:
+    arrays = {"__step__": np.asarray(step, np.int64)}
+    names, leaves, _ = _flatten_with_names(scene)
+    for n, l in zip(names, leaves):
+        arrays[f"scene/{n}"] = l
+    if opt_state is not None:
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+            arrays[f"opt/{i}"] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrays)
+    os.replace(tmp, path)
+
+
+def load(path: str, scene_like, opt_state_like=None):
+    """Restore (scene, opt_state, step) using templates for structure."""
+    with np.load(path) as data:
+        step = int(data["__step__"])
+        names, _, treedef = _flatten_with_names(scene_like)
+        leaves = [jnp.asarray(data[f"scene/{n}"]) for n in names]
+        scene = jax.tree_util.tree_unflatten(treedef, leaves)
+        opt_state = None
+        if opt_state_like is not None:
+            flat, odef = jax.tree_util.tree_flatten(opt_state_like)
+            restored = []
+            for i, like in enumerate(flat):
+                key = f"opt/{i}"
+                restored.append(jnp.asarray(data[key]) if key in data else like)
+            opt_state = jax.tree_util.tree_unflatten(odef, restored)
+    return scene, opt_state, step
