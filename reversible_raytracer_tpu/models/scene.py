@@ -42,6 +42,13 @@ def _f32(x):
     return jnp.asarray(x, dtype=jnp.float32)
 
 
+def _leading_dim(x) -> int:
+    """Object count of a stacked leaf. Tolerates tuple-of-scalars leaves —
+    the Pallas kernels rebuild scenes as nested tuples of SMEM scalar reads
+    (ops/kernels/fused.py), reusing these dataclasses as the view type."""
+    return len(x) if isinstance(x, (tuple, list)) else x.shape[0]
+
+
 @_pytree_dataclass
 class Materials:
     """Per-object material parameters, stacked over K objects.
@@ -103,7 +110,7 @@ class Spheres:
 
     @property
     def count(self) -> int:
-        return self.center.shape[0]
+        return _leading_dim(self.center)
 
     @staticmethod
     def empty() -> "Spheres":
@@ -133,7 +140,7 @@ class Rects:
 
     @property
     def count(self) -> int:
-        return self.origin.shape[0]
+        return _leading_dim(self.origin)
 
     @staticmethod
     def empty() -> "Rects":
@@ -158,7 +165,7 @@ class Lights:
 
     @property
     def count(self) -> int:
-        return self.position.shape[0]
+        return _leading_dim(self.position)
 
 
 @_pytree_dataclass

@@ -1,0 +1,266 @@
+"""Fused Pallas TPU kernels: the production render path.
+
+This is the TPU-native replacement for the reference's Theano-codegen'd
+native layer (SURVEY.md L0, C4-C8, C11; BASELINE.json:5 "fused Pallas
+forward+backward kernels over tiled ray batches"). One forward kernel and
+one backward kernel each cover the ENTIRE pipeline — ray generation,
+sphere/rect intersection, nearest-hit select, shadow rays, Lambertian+Phong
+shading, checker materials — per image tile.
+
+Data layout (the load-bearing design decision):
+
+- The scene is O(10^2..10^3) *scalars*. It enters the kernel as one flat f32
+  vector in **SMEM**, and the kernel reads each parameter as an SMEM scalar
+  (`scene_ref[0, idx]`). Every compute op is then scalar x (bh, bw)-tile —
+  exactly the VPU's happy path. No small-vector slicing/reshaping happens
+  on the vector units at all (Mosaic has no lowering for tiny-vector
+  relayouts like (4,3)->(12), which sank the earlier ravel_pytree design).
+- The scalars are reassembled into the *same Scene dataclasses* with nested
+  tuples as leaves, so `ops.pipeline.render_tile` — the single source of
+  truth shared with the jnp path — traces unchanged inside the kernel.
+- Rays are generated inside the kernel from camera scalars + tile iota: ray
+  tensors never exist in HBM. Forward HBM traffic is exactly the 3*H*W*4
+  output bytes — the kernel is output-bandwidth-optimal.
+
+Backward (`custom_vjp`, SURVEY.md §7 "recompute-in-backward"):
+
+- The forward saves NO residuals (a per-pixel hit record would cost more
+  HBM than recomputing). The backward kernel replays the forward for its
+  tile by calling `jax.vjp` on `render_tile` *inside the kernel body*, with
+  the S scene scalars as differentiation arguments, and accumulates the S
+  gradient scalars into an SMEM output block across the sequential TPU grid
+  (first tile initializes, later tiles add — grid steps on one TPU core
+  execute in order, making cross-tile accumulation race-free).
+- Because fwd and bwd both trace `render_tile`, the hand-planned backward
+  agrees with `jax.grad` of the jnp renderer by construction (the SURVEY
+  §4.2 fidelity triangulation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.scene import Scene
+from ..pipeline import RenderConfig, render_tile
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class TileConfig:
+    """Static kernel tiling. Lane dim (bw) should be a multiple of 128."""
+
+    bh: int = 128
+    bw: int = 128
+    bh_bwd: int = 16
+    bw_bwd: int = 128
+
+    @staticmethod
+    def for_shape(H: int, W: int, n_objects: int) -> "TileConfig":
+        bw = 128 if W <= 256 else 256
+        bh = min(128, _round_up(H, 8))
+        # Backward VMEM heuristic: vjp residual footprint ~ tile * n_objects
+        # * ~24 live f32 arrays; keep under ~8 MB.
+        budget = 8 * 1024 * 1024
+        per_px = max(n_objects, 1) * 24 * 4
+        rows = max(8, min(64, budget // (per_px * 128)))
+        bh_bwd = 1 << (rows.bit_length() - 1)  # round down to pow2
+        return TileConfig(bh=bh, bw=bw, bh_bwd=bh_bwd, bw_bwd=128)
+
+
+# ---------------------------------------------------------------------------
+# Flat scalar layout of a Scene
+# ---------------------------------------------------------------------------
+
+
+def scene_layout(scene_like: Scene):
+    """(treedef, [(start, shape)], total_size) for row-major flat packing."""
+    leaves, treedef = jax.tree_util.tree_flatten(scene_like)
+    meta = []
+    off = 0
+    for leaf in leaves:
+        shape = tuple(np.shape(leaf))
+        size = int(np.prod(shape)) if shape else 1
+        meta.append((off, shape))
+        off += size
+    return treedef, meta, off
+
+
+def flatten_scene(scene: Scene):
+    """Scene pytree -> flat (S,) f32 vector (differentiable jnp op)."""
+    leaves = jax.tree_util.tree_leaves(scene)
+    parts = [jnp.ravel(jnp.asarray(l, jnp.float32)) for l in leaves]
+    return jnp.concatenate(parts) if parts else jnp.zeros((0,), jnp.float32)
+
+
+def _scalar_view(treedef, meta, read):
+    """Rebuild the Scene dataclass structure with nested-tuple leaves whose
+    elements are ``read(flat_index)`` scalars. Supports rank 0/1/2 leaves
+    (the only ranks the Scene schema uses)."""
+    leaves = []
+    for start, shape in meta:
+        if len(shape) == 0:
+            leaves.append(read(start))
+        elif len(shape) == 1:
+            leaves.append(tuple(read(start + i) for i in range(shape[0])))
+        elif len(shape) == 2:
+            n, m = shape
+            leaves.append(
+                tuple(tuple(read(start + i * m + j) for j in range(m)) for i in range(n))
+            )
+        else:  # pragma: no cover - schema has no rank-3 leaves
+            raise ValueError(f"unsupported leaf rank {len(shape)}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _scene_signature(scene: Scene):
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    return (treedef, tuple((tuple(np.shape(l)), jnp.asarray(l).dtype.name) for l in leaves))
+
+
+_CACHE: dict = {}
+
+
+def _make_fused(scene_like: Scene, cfg: RenderConfig, tiles: TileConfig, interpret: bool):
+    """Build (and cache) the custom_vjp'd fused renderer for this scene
+    structure + render config + tiling."""
+    key = (_scene_signature(scene_like), cfg, tiles, interpret)
+    hit = _CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    treedef, meta, S = scene_layout(scene_like)
+    H, W = cfg.height, cfg.width
+    bh, bw = min(tiles.bh, _round_up(H, 8)), min(tiles.bw, _round_up(W, 128))
+    Hp, Wp = _round_up(H, bh), _round_up(W, bw)
+    bhb = min(tiles.bh_bwd, Hp)
+    bwb = min(tiles.bw_bwd, Wp)
+    while Hp % bhb:
+        bhb //= 2
+    while Wp % bwb:
+        bwb //= 2
+    f32 = jnp.float32
+
+    # ------------------------------------------------------------- forward
+    def fwd_kernel(off_ref, scene_ref, r_ref, g_ref, b_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = off_ref[0, 0] + (i * bh).astype(f32)
+        col0 = off_ref[0, 1] + (j * bw).astype(f32)
+        view = _scalar_view(treedef, meta, lambda idx: scene_ref[0, idx])
+        r, g, b = render_tile(view, cfg, row0, col0, bh, bw)
+        r_ref[:, :] = r
+        g_ref[:, :] = g
+        b_ref[:, :] = b
+
+    fwd_call = pl.pallas_call(
+        fwd_kernel,
+        grid=(Hp // bh, Wp // bw),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bh, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), f32)] * 3,
+        interpret=interpret,
+    )
+
+    # ------------------------------------------------------------ backward
+    def bwd_kernel(off_ref, scene_ref, gr_ref, gg_ref, gb_ref, dflat_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = off_ref[0, 0] + (i * bhb).astype(f32)
+        col0 = off_ref[0, 1] + (j * bwb).astype(f32)
+
+        vals = tuple(scene_ref[0, idx] for idx in range(S))
+
+        def f(*scalars):
+            view = _scalar_view(treedef, meta, lambda idx: scalars[idx])
+            return render_tile(view, cfg, row0, col0, bhb, bwb)
+
+        _, vjp = jax.vjp(f, *vals)
+        dvals = vjp((gr_ref[:, :], gg_ref[:, :], gb_ref[:, :]))
+
+        first = (i == 0) & (j == 0)
+
+        @pl.when(first)
+        def _():
+            for idx in range(S):
+                dflat_ref[0, idx] = dvals[idx]
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            for idx in range(S):
+                dflat_ref[0, idx] = dflat_ref[0, idx] + dvals[idx]
+
+    bwd_call = pl.pallas_call(
+        bwd_kernel,
+        grid=(Hp // bhb, Wp // bwb),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, S), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, S), f32),
+        interpret=interpret,
+    )
+
+    # --------------------------------------------------------- custom_vjp
+    @jax.custom_vjp
+    def fused(flat, offsets):
+        return tuple(fwd_call(offsets, flat.reshape(1, S)))
+
+    def fused_fwd(flat, offsets):
+        return fused(flat, offsets), (flat, offsets)
+
+    def fused_bwd(res, cotangents):
+        flat, offsets = res
+        gr, gg, gb = cotangents
+        df = bwd_call(offsets, flat.reshape(1, S), gr, gg, gb)
+        return df.reshape(S), jnp.zeros_like(offsets)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+
+    def apply(flat, offsets):
+        r, g, b = fused(flat, offsets)
+        return jnp.stack([r[:H, :W], g[:H, :W], b[:H, :W]], axis=-1)
+
+    _CACHE[key] = apply
+    return apply
+
+
+def render_pallas(
+    scene: Scene,
+    cfg: RenderConfig,
+    row0=0.0,
+    col0=0.0,
+    tiles: TileConfig | None = None,
+    interpret: bool = False,
+):
+    """Render via the fused Pallas kernels. Differentiable w.r.t. ``scene``
+    (gradients flow through `flatten_scene`'s concatenate back into the
+    pytree). ``row0``/``col0`` offset the pixel grid — under shard_map each
+    device passes its band offset (may be a traced value).
+    """
+    if tiles is None:
+        n_obj = scene.spheres.count + scene.rects.count
+        tiles = TileConfig.for_shape(cfg.height, cfg.width, n_obj)
+    apply = _make_fused(scene, cfg, tiles, interpret)
+    flat = flatten_scene(scene)
+    offsets = jnp.stack(
+        [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]
+    ).reshape(1, 2)
+    return apply(flat, offsets)

@@ -325,8 +325,9 @@ def render_tile(scene: Scene, cfg: RenderConfig, row0, col0, bh: int, bw: int):
     Returns SoA (r, g, b), each (bh, bw) float32. ``row0``/``col0`` may be
     traced scalars (shard offsets / Pallas program ids).
     """
-    ii = row0 + jax.lax.broadcasted_iota(jnp.float32, (bh, bw), 0)
-    jj = col0 + jax.lax.broadcasted_iota(jnp.float32, (bh, bw), 1)
+    # Integer iota (Mosaic requires int iota results), then cast.
+    ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
+    jj = col0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
     o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width)
     o = vm.vbroadcast(o, (bh, bw))
     return shade(scene, o, d, cfg, (bh, bw))

@@ -15,6 +15,7 @@ jnp/np arrays. All helpers are backend-agnostic: they work on jax tracers
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 Vec3 = tuple  # (x, y, z) of arrays
@@ -72,7 +73,7 @@ def vnormalize(a: Vec3, eps: float = 1e-12) -> Vec3:
     zero vector cannot poison gradients with NaN (SURVEY.md §7 'grazing-ray
     numerics': both branches of a `where` are differentiated)."""
     n2 = vdot(a, a)
-    inv = jnp.where(n2 > eps, n2, 1.0) ** -0.5
+    inv = jax.lax.rsqrt(jnp.where(n2 > eps, n2, 1.0))
     return vscale(a, inv)
 
 
@@ -108,6 +109,9 @@ def safe_pow(x, p):
     Matches the subgradient convention of clamping (``max(r.v, 0) ** alpha``
     in Phong shading): at x <= 0 both the value and the incoming gradient are
     zero, exactly as Theano's switch-based formulation yields.
+
+    Implemented as exp(p * log(x)) — Mosaic (the Pallas TPU compiler) has no
+    `powf` lowering, but exp/log are native transcendentals.
     """
     safe_x = jnp.where(x > 0.0, x, 1.0)
-    return jnp.where(x > 0.0, safe_x**p, 0.0)
+    return jnp.where(x > 0.0, jnp.exp(p * jnp.log(safe_x)), 0.0)
