@@ -65,15 +65,22 @@ class TileConfig:
 
     @staticmethod
     def for_shape(H: int, W: int, n_objects: int) -> "TileConfig":
-        bw = 128 if W <= 256 else 256
-        bh = min(128, _round_up(H, 8))
-        # Backward VMEM heuristic: vjp residual footprint ~ tile * n_objects
-        # * ~24 live f32 arrays; keep under ~8 MB.
-        budget = 8 * 1024 * 1024
-        per_px = max(n_objects, 1) * 24 * 4
-        rows = max(8, min(64, budget // (per_px * 128)))
-        bh_bwd = 1 << (rows.bit_length() - 1)  # round down to pow2
-        return TileConfig(bh=bh, bw=bw, bh_bwd=bh_bwd, bw_bwd=128)
+        """Pick tiles so the live set fits VMEM (~16 MB/core).
+
+        The unrolled object chain keeps O(n_objects) per-pixel f32 arrays
+        live under Mosaic's scheduler: ~10 per object in the forward, ~24 in
+        the backward (vjp residuals). Tile pixels ~= budget / per-pixel."""
+        n = max(n_objects, 1)
+
+        def pick_rows(budget_bytes, arrays_per_obj, bw):
+            per_px = n * arrays_per_obj * 4
+            rows = max(8, min(128, budget_bytes // (per_px * bw)))
+            return 1 << (rows.bit_length() - 1)  # round down to pow2
+
+        bw = 128
+        bh = min(pick_rows(10 * 1024 * 1024, 10, bw), _round_up(H, 8))
+        bh_bwd = min(pick_rows(8 * 1024 * 1024, 24, bw), _round_up(H, 8))
+        return TileConfig(bh=bh, bw=bw, bh_bwd=bh_bwd, bw_bwd=bw)
 
 
 # ---------------------------------------------------------------------------
@@ -129,16 +136,28 @@ def _scene_signature(scene: Scene):
 _CACHE: dict = {}
 
 
-def _make_fused(scene_like: Scene, cfg: RenderConfig, tiles: TileConfig, interpret: bool):
+def _make_fused(
+    scene_like: Scene,
+    cfg: RenderConfig,
+    tiles: TileConfig,
+    interpret: bool,
+    out_h: int | None = None,
+):
     """Build (and cache) the custom_vjp'd fused renderer for this scene
-    structure + render config + tiling."""
-    key = (_scene_signature(scene_like), cfg, tiles, interpret)
+    structure + render config + tiling.
+
+    ``out_h`` renders only that many rows (starting at the runtime row
+    offset) while keeping camera math relative to the full cfg.height x
+    cfg.width image — the row-band primitive for shard_map (SURVEY.md P1).
+    """
+    out_h = cfg.height if out_h is None else out_h
+    key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
     hit = _CACHE.get(key)
     if hit is not None:
         return hit
 
     treedef, meta, S = scene_layout(scene_like)
-    H, W = cfg.height, cfg.width
+    H, W = out_h, cfg.width
     bh, bw = min(tiles.bh, _round_up(H, 8)), min(tiles.bw, _round_up(W, 128))
     Hp, Wp = _round_up(H, bh), _round_up(W, bw)
     bhb = min(tiles.bh_bwd, Hp)
@@ -249,16 +268,18 @@ def render_pallas(
     col0=0.0,
     tiles: TileConfig | None = None,
     interpret: bool = False,
+    out_height: int | None = None,
 ):
     """Render via the fused Pallas kernels. Differentiable w.r.t. ``scene``
     (gradients flow through `flatten_scene`'s concatenate back into the
     pytree). ``row0``/``col0`` offset the pixel grid — under shard_map each
-    device passes its band offset (may be a traced value).
+    device passes its band offset (may be a traced value) and sets
+    ``out_height`` to its band height.
     """
     if tiles is None:
         n_obj = scene.spheres.count + scene.rects.count
-        tiles = TileConfig.for_shape(cfg.height, cfg.width, n_obj)
-    apply = _make_fused(scene, cfg, tiles, interpret)
+        tiles = TileConfig.for_shape(out_height or cfg.height, cfg.width, n_obj)
+    apply = _make_fused(scene, cfg, tiles, interpret, out_h=out_height)
     flat = flatten_scene(scene)
     offsets = jnp.stack(
         [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]

@@ -1,0 +1,234 @@
+"""Ray/tile parallelism over a device mesh (SURVEY.md P1/P2).
+
+The reference is single-process, single-graph Theano — it has NO parallelism
+(SURVEY.md §2 checklist). The scaling dimension of this workload is the
+pixel grid: the image rows are the "sequence", so sharding rows across chips
+is simultaneously data parallelism over rays and the raytracing analog of
+sequence/context parallelism. Scene parameters are O(10^2..10^3) floats and
+stay fully replicated; their per-band gradients are the ONLY cross-device
+traffic — one small `lax.psum` per step, riding ICI within a slice and DCN
+across hosts (SURVEY.md §5.8). A second optional mesh axis provides true
+data parallelism over *batches of scenes* (joint inverse rendering of many
+targets at once — a capability the reference could not express at all).
+
+Why not TP/PP/EP (documented per SURVEY.md §2 checklist): there are no
+weight matrices to shard (TP n/a), the fused kernel has pipeline depth 1
+(PP n/a), there are no experts (EP n/a), and there is no attention/KV to
+rotate, so ring-attention/Ulysses-style SP mechanics reduce to the plain
+row-band sharding implemented here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.scene import ParamSpec, Scene
+from ..optim import OptConfig, loss_fn_for, make_optimizer, mask_grads, project_bounds
+from ..ops.pipeline import RenderConfig
+from ..ops.render import render_jnp
+
+RAYS_AXIS = "rays"
+BATCH_AXIS = "batch"
+
+
+_AUTO = (jax.sharding.AxisType.Auto,)
+
+
+def make_ray_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over all (or the first n) devices: the P1 layout.
+
+    Axis type Auto (not JAX 0.9's Explicit default): the sharded step mixes
+    shard_map regions with ordinary jit code (optax update), which is the
+    auto-sharding programming model."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return jax.make_mesh((n,), (RAYS_AXIS,), axis_types=_AUTO, devices=devs[:n])
+
+
+def make_scene_ray_mesh(batch: int, rays: int) -> Mesh:
+    """2-D mesh: DP over scene batch x SP over image rows."""
+    return jax.make_mesh((batch, rays), (BATCH_AXIS, RAYS_AXIS), axis_types=_AUTO * 2)
+
+
+def _band_render_fn(cfg: RenderConfig, band: int, impl: str):
+    """Per-device renderer of a `band`-row slice starting at a traced row0."""
+    if impl == "pallas":
+        from ..ops.kernels.fused import render_pallas
+
+        return lambda scene, row0: render_pallas(scene, cfg, row0=row0, out_height=band)
+    return lambda scene, row0: render_jnp(scene, cfg, row0=row0, height=band)
+
+
+def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh, impl: str = "jnp"):
+    """Full image rendered cooperatively: device i renders rows
+    [i*band, (i+1)*band). Output is row-sharded over the mesh (a host
+    `np.asarray` gathers it; multi-host gather lives in .distributed)."""
+    n = mesh.shape[RAYS_AXIS]
+    assert cfg.height % n == 0, f"height {cfg.height} not divisible by mesh size {n}"
+    band = cfg.height // n
+    render_band = _band_render_fn(cfg, band, impl)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(RAYS_AXIS),
+    )
+    def f(scene):
+        row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
+        return render_band(scene, row0)
+
+    return f(scene)
+
+
+def make_sharded_step(
+    mesh: Mesh,
+    rcfg: RenderConfig,
+    spec: ParamSpec,
+    ocfg: OptConfig,
+    impl: str = "jnp",
+):
+    """Build the jitted distributed optimization step (SURVEY.md §3.3 TPU
+    equivalent): per-device band loss -> local grads -> `psum` over the rays
+    axis (P2: the gradient all-reduce) -> replicated Adam update -> bounds.
+
+    The psum'd gradient pytree is tiny (the scene), so the collective is
+    latency-bound and XLA's latency-hiding scheduler overlaps it with the
+    backward of subsequent operations where possible.
+
+    Returns (step, init) where step(scene, opt_state, target) ->
+    (scene, opt_state, loss, grad_norm) and target is the (H, W, 3) image
+    (sharded or replicated; jit re-shards as needed).
+    """
+    n = mesh.shape[RAYS_AXIS]
+    assert rcfg.height % n == 0
+    band = rcfg.height // n
+    render_band = _band_render_fn(rcfg, band, impl)
+    tx = make_optimizer(ocfg)
+    # Normalizer so the psum of per-band sums equals the global loss.
+    denom = float(rcfg.height * rcfg.width * 3) if ocfg.loss == "mse" else 1.0
+
+    def global_loss(scene: Scene, target_band):
+        row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
+        img = render_band(scene, row0)
+        d = img - target_band
+        # P2: the psum in the FORWARD makes the loss global; its transpose
+        # (plus the transpose of the scene's replication) is the gradient
+        # all-reduce over ICI/DCN — JAX 0.9 shard_map inserts it
+        # automatically for replicated inputs, so no manual grad psum
+        # (doing both double-counts by the mesh size).
+        return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(RAYS_AXIS)),
+        out_specs=(P(), P()),
+    )
+    def loss_and_grads(scene, target_band):
+        return jax.value_and_grad(global_loss)(scene, target_band)
+
+    target_sharding = NamedSharding(mesh, P(RAYS_AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    @jax.jit
+    def step(scene, opt_state, target):
+        l, grads = loss_and_grads(scene, target)
+        grads = mask_grads(grads, spec)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, scene)
+        scene = optax.apply_updates(scene, updates)
+        scene = project_bounds(scene, spec)
+        return scene, opt_state, l, gnorm
+
+    def init(scene, target):
+        scene = jax.device_put(scene, replicated)
+        target = jax.device_put(jnp.asarray(target, jnp.float32), target_sharding)
+        return scene, tx.init(scene), target
+
+    return step, init
+
+
+# ---------------------------------------------------------------------------
+# Batched scenes: DP over scenes x SP over rays (2-D mesh)
+# ---------------------------------------------------------------------------
+
+
+def stack_scenes(scenes: "list[Scene]") -> Scene:
+    """Stack B structurally-identical scenes into one batched pytree
+    (leading axis B on every leaf)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *scenes)
+
+
+def unstack_scenes(batched: Scene) -> "list[Scene]":
+    b = jax.tree_util.tree_leaves(batched)[0].shape[0]
+    return [jax.tree_util.tree_map(lambda x: x[i], batched) for i in range(b)]
+
+
+def make_batched_step(
+    mesh: Mesh,
+    rcfg: RenderConfig,
+    spec: ParamSpec,
+    ocfg: OptConfig,
+    impl: str = "jnp",
+):
+    """Distributed step for a BATCH of independent inverse renders.
+
+    Mesh is 2-D (batch, rays): each device owns a (scenes-slice x row-band)
+    block of the problem. Per-scene gradients psum over the rays axis only;
+    scenes never communicate (they are independent problems). This is the
+    dp x sp sharding validated by `__graft_entry__.dryrun_multichip`.
+
+    step(batched_scene, opt_state, targets[B,H,W,3]) ->
+        (batched_scene, opt_state, per_scene_loss[B], grad_norm)
+    """
+    nb = mesh.shape[BATCH_AXIS]
+    nr = mesh.shape[RAYS_AXIS]
+    assert rcfg.height % nr == 0
+    band = rcfg.height // nr
+    render_band = _band_render_fn(rcfg, band, impl)
+    tx = make_optimizer(ocfg)
+    denom = float(rcfg.height * rcfg.width * 3) if ocfg.loss == "mse" else 1.0
+
+    def one_scene_loss(scene: Scene, target_band):
+        row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
+        img = render_band(scene, row0)
+        d = img - target_band
+        # Forward psum over rays => AD produces the grad all-reduce (see
+        # make_sharded_step). Scenes never communicate across BATCH_AXIS.
+        return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS, RAYS_AXIS)),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+    )
+    def loss_and_grads(scenes_local, targets_local):
+        # scenes_local: leaves with leading dim B/nb; targets (B/nb, band, W, 3)
+        return jax.vmap(jax.value_and_grad(one_scene_loss))(scenes_local, targets_local)
+
+    @jax.jit
+    def step(scenes, opt_state, targets):
+        l, grads = loss_and_grads(scenes, targets)
+        grads = jax.vmap(lambda g: mask_grads(g, spec))(grads)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, scenes)
+        scenes = optax.apply_updates(scenes, updates)
+        scenes = jax.vmap(lambda s: project_bounds(s, spec))(scenes)
+        return scenes, opt_state, l, gnorm
+
+    def init(scenes, targets):
+        scenes = jax.device_put(scenes, NamedSharding(mesh, P(BATCH_AXIS)))
+        targets = jax.device_put(
+            jnp.asarray(targets, jnp.float32), NamedSharding(mesh, P(BATCH_AXIS, RAYS_AXIS))
+        )
+        return scenes, tx.init(scenes), targets
+
+    return step, init

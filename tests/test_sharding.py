@@ -1,0 +1,154 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4.4): the full shard_map
+path on the 8-device fake CPU mesh. Asserts the sharded render equals the
+single-device render and the psum'd gradients match single-device grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reversible_raytracer_tpu.models import configs
+from reversible_raytracer_tpu.optim import OptConfig, make_step, param_error
+from reversible_raytracer_tpu.ops.pipeline import RenderConfig
+from reversible_raytracer_tpu.ops.render import render_jnp
+from reversible_raytracer_tpu.parallel import (
+    make_batched_step,
+    make_ray_mesh,
+    make_scene_ray_mesh,
+    make_sharded_step,
+    render_sharded,
+    stack_scenes,
+    unstack_scenes,
+)
+
+
+def test_sharded_render_matches_single_device():
+    scene, _, _ = configs.config2_four_spheres()
+    cfg = RenderConfig(height=64, width=64, shadows=True)
+    mesh = make_ray_mesh(8)
+    img_sharded = np.asarray(render_sharded(scene, cfg, mesh, impl="jnp"))
+    img_single = np.asarray(render_jnp(scene, cfg))
+    np.testing.assert_allclose(img_sharded, img_single, atol=1e-6)
+
+
+def test_sharded_step_matches_single_device_step():
+    scene, spec, _ = configs.config1_single_sphere()
+    cfg = RenderConfig(height=64, width=64, shadows=False)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.2, seed=1)
+    ocfg = OptConfig(iters=5, lr=3e-2)
+
+    # Single-device reference trajectory.
+    step1, tx1 = make_step(cfg, spec, ocfg)
+    s1, o1 = start, tx1.init(start)
+    for _ in range(5):
+        s1, o1, l1, _ = step1(s1, o1, target)
+
+    # 8-way sharded trajectory.
+    mesh = make_ray_mesh(8)
+    step8, init8 = make_sharded_step(mesh, cfg, spec, ocfg)
+    s8, o8, t8 = init8(start, target)
+    losses8 = []
+    for _ in range(5):
+        s8, o8, l8, _ = step8(s8, o8, t8)
+        losses8.append(float(l8))
+
+    # Step 1's loss is computed on identical params -> must agree to f32
+    # rounding (the psum changes only the reduction ORDER of the band sums).
+    _, _, l_first, _ = step1(start, tx1.init(start), target)
+    assert abs(float(l_first) - losses8[0]) < 1e-7
+
+    # Later steps: Adam's update is ~sign(g) early on, so reduction-order
+    # noise in near-zero gradient components can flip update signs and the
+    # trajectories legitimately drift by O(lr) per such component. Require
+    # both trajectories to descend to the same loss scale.
+    assert losses8[-1] < losses8[0]
+    assert abs(float(l1) - losses8[-1]) / float(l1) < 0.1
+
+
+def test_sharded_psum_grads_match_single_device():
+    """The real distributed-correctness check: psum'd per-band gradients ==
+    whole-image gradients (up to f32 reduction order)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    scene, spec, _ = configs.config2_four_spheres()
+    cfg = RenderConfig(height=64, width=64, shadows=True)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.15, seed=9)
+
+    g_single = jax.grad(lambda s: mse_loss(render_jnp(s, cfg), target))(start)
+
+    mesh = make_ray_mesh(8)
+    band = cfg.height // 8
+    denom = float(cfg.height * cfg.width * 3)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P("rays")), out_specs=P())
+    def grads_sharded(scene, target_band):
+        def global_loss(s):
+            row0 = (jax.lax.axis_index("rays") * band).astype(jnp.float32)
+            img = render_jnp(s, cfg, row0=row0, height=band)
+            d = img - target_band
+            # psum in forward; AD auto-psums the replicated input's grads.
+            return jax.lax.psum(jnp.sum(d * d), "rays") / denom
+
+        return jax.grad(global_loss)(scene)
+
+    g_shard = grads_sharded(start, target)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_single)[0],
+        jax.tree_util.tree_flatten_with_path(g_shard)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(a, b, atol=1e-4 * scale + 1e-8, err_msg=str(path))
+
+
+def test_sharded_convergence():
+    """Config-1 inverse render distributed over 8 fake devices converges."""
+    scene, spec, _ = configs.config1_single_sphere()
+    cfg = RenderConfig(height=64, width=64, shadows=False)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.2, seed=2)
+    mesh = make_ray_mesh(8)
+    step, init = make_sharded_step(mesh, cfg, spec, OptConfig(lr=3e-2))
+    s, o, t = init(start, target)
+    for _ in range(300):
+        s, o, l, _ = step(s, o, t)
+    assert float(param_error(s, scene, spec)) < 0.08
+    assert float(l) < 2e-3
+
+
+def test_batched_scenes_2d_mesh():
+    """DP over scenes x SP over rays on a (2, 4) mesh: two independent
+    inverse problems optimized jointly; each must converge toward its own
+    target and match what it would do alone."""
+    base, spec, _ = configs.config1_single_sphere()
+    cfg = RenderConfig(height=32, width=32, shadows=False)
+
+    # Two different ground truths -> two different targets.
+    other = configs.perturb(base, spec, scale=0.5, seed=10)
+    truths = [base, other]
+    targets = jnp.stack([render_jnp(t, cfg) for t in truths])
+
+    starts = [configs.perturb(t, spec, scale=0.15, seed=20 + i) for i, t in enumerate(truths)]
+    batched = stack_scenes(starts)
+
+    mesh = make_scene_ray_mesh(2, 4)
+    step, init = make_batched_step(mesh, cfg, spec, OptConfig(lr=3e-2))
+    s, o, t = init(batched, targets)
+    losses0 = None
+    for i in range(150):
+        s, o, l, _ = step(s, o, t)
+        if losses0 is None:
+            losses0 = np.asarray(l)
+    losses = np.asarray(l)
+    assert losses.shape == (2,)
+    assert (losses < losses0 * 0.2).all(), (losses0, losses)
+
+    finals = unstack_scenes(s)
+    for fin, truth in zip(finals, truths):
+        assert float(param_error(fin, truth, spec)) < 0.12
