@@ -6,6 +6,7 @@ from .shard import (  # noqa: F401
     make_ray_mesh,
     make_scene_ray_mesh,
     make_sharded_step,
+    optimize_sharded_scan,
     render_sharded,
     stack_scenes,
     unstack_scenes,

@@ -155,6 +155,59 @@ def make_sharded_step(
     return step, init
 
 
+def optimize_sharded_scan(
+    scene: Scene,
+    target,
+    mesh: Mesh,
+    rcfg: RenderConfig,
+    spec: ParamSpec,
+    ocfg: OptConfig,
+    impl: str = "jnp",
+):
+    """Whole sharded optimization on-device via lax.scan: ONE dispatch for
+    the entire inverse render (the wall-clock-to-converge fast path; the
+    host-loop variant pays a dispatch + a host roundtrip per iteration).
+
+    Returns (final_scene, losses[iters]).
+    """
+    n = mesh.shape[RAYS_AXIS]
+    assert rcfg.height % n == 0
+    band = rcfg.height // n
+    render_band = _band_render_fn(rcfg, band, impl)
+    tx = make_optimizer(ocfg)
+    denom = float(rcfg.height * rcfg.width * 3) if ocfg.loss == "mse" else 1.0
+
+    def global_loss(scene, target_band):
+        row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
+        img = render_band(scene, row0)
+        d = img - target_band
+        return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(RAYS_AXIS)), out_specs=(P(), P()))
+    def loss_and_grads(scene, target_band):
+        return jax.value_and_grad(global_loss)(scene, target_band)
+
+    @jax.jit
+    def run(scene, target):
+        opt_state = tx.init(scene)
+
+        def body(carry, _):
+            scene, opt_state = carry
+            l, grads = loss_and_grads(scene, target)
+            grads = mask_grads(grads, spec)
+            updates, opt_state = tx.update(grads, opt_state, scene)
+            scene = optax.apply_updates(scene, updates)
+            scene = project_bounds(scene, spec)
+            return (scene, opt_state), l
+
+        (scene, _), losses = jax.lax.scan(body, (scene, opt_state), None, length=ocfg.iters)
+        return scene, losses
+
+    scene = jax.device_put(scene, NamedSharding(mesh, P()))
+    target = jax.device_put(jnp.asarray(target, jnp.float32), NamedSharding(mesh, P(RAYS_AXIS)))
+    return run(scene, target)
+
+
 # ---------------------------------------------------------------------------
 # Batched scenes: DP over scenes x SP over rays (2-D mesh)
 # ---------------------------------------------------------------------------
@@ -232,3 +285,59 @@ def make_batched_step(
         return scenes, tx.init(scenes), targets
 
     return step, init
+
+
+def optimize_batched_scan(
+    scenes: Scene,
+    targets,
+    mesh: Mesh,
+    rcfg: RenderConfig,
+    spec: ParamSpec,
+    ocfg: OptConfig,
+    impl: str = "jnp",
+):
+    """On-device scan loop over `make_batched_step`'s update: the whole
+    batched inverse render in one dispatch. Returns (scenes, losses[iters, B])."""
+    nr = mesh.shape[RAYS_AXIS]
+    assert rcfg.height % nr == 0
+    band = rcfg.height // nr
+    render_band = _band_render_fn(rcfg, band, impl)
+    tx = make_optimizer(ocfg)
+    denom = float(rcfg.height * rcfg.width * 3) if ocfg.loss == "mse" else 1.0
+
+    def one_scene_loss(scene, target_band):
+        row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
+        img = render_band(scene, row0)
+        d = img - target_band
+        return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(BATCH_AXIS), P(BATCH_AXIS, RAYS_AXIS)),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+    )
+    def loss_and_grads(scenes_local, targets_local):
+        return jax.vmap(jax.value_and_grad(one_scene_loss))(scenes_local, targets_local)
+
+    @jax.jit
+    def run(scenes, targets):
+        opt_state = tx.init(scenes)
+
+        def body(carry, _):
+            scenes, opt_state = carry
+            l, grads = loss_and_grads(scenes, targets)
+            grads = jax.vmap(lambda g: mask_grads(g, spec))(grads)
+            updates, opt_state = tx.update(grads, opt_state, scenes)
+            scenes = optax.apply_updates(scenes, updates)
+            scenes = jax.vmap(lambda s: project_bounds(s, spec))(scenes)
+            return (scenes, opt_state), l
+
+        (scenes, _), losses = jax.lax.scan(body, (scenes, opt_state), None, length=ocfg.iters)
+        return scenes, losses
+
+    scenes = jax.device_put(scenes, NamedSharding(mesh, P(BATCH_AXIS)))
+    targets = jax.device_put(
+        jnp.asarray(targets, jnp.float32), NamedSharding(mesh, P(BATCH_AXIS, RAYS_AXIS))
+    )
+    return run(scenes, targets)
