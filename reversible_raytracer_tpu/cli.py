@@ -1,0 +1,188 @@
+"""Command-line interface (SURVEY.md L6: the reference's demo scripts,
+upgraded to a real CLI with `render` / `invert` / `bench` subcommands).
+
+Examples:
+    python -m reversible_raytracer_tpu.cli render --config 2 --size 256 -o out.png
+    python -m reversible_raytracer_tpu.cli invert --config 1 --iters 400 \\
+        --frames-dir frames/ --metrics metrics.jsonl
+    python -m reversible_raytracer_tpu.cli invert --config 2 --sharded
+    python -m reversible_raytracer_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5],
+                   help="driver benchmark config number (BASELINE.json)")
+    p.add_argument("--size", type=int, default=None,
+                   help="image size (default: the config's native size)")
+    p.add_argument("--impl", choices=["auto", "jnp", "pallas"], default="auto",
+                   help="render implementation (auto: Pallas on TPU)")
+    p.add_argument("--scene", type=str, default=None,
+                   help="JSON scene file overriding the config's parameters")
+
+
+def _build(args):
+    from .models import configs as cfgs
+    from .ops.pipeline import RenderConfig
+
+    builder = cfgs.CONFIGS[args.config]
+    scene, spec, cfg = builder(args.size) if args.size else builder()
+    if args.scene:
+        from .utils.sceneio import load_scene
+
+        scene = load_scene(args.scene, scene)
+    return scene, spec, cfg
+
+
+def _render_fn(cfg, impl):
+    import jax
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        from .ops.kernels.fused import render_pallas
+
+        return lambda s: render_pallas(s, cfg), impl
+    from .ops.render import render_jnp
+
+    return lambda s: render_jnp(s, cfg), impl
+
+
+def cmd_render(args):
+    import jax
+
+    from .utils.imageio import save_png
+
+    scene, _, cfg = _build(args)
+    render, impl = _render_fn(cfg, args.impl)
+    t0 = time.perf_counter()
+    img = jax.jit(render)(scene)
+    jax.block_until_ready(img)
+    print(f"[{impl}] rendered {cfg.height}x{cfg.width} in {time.perf_counter()-t0:.2f}s "
+          f"(incl. compile)", file=sys.stderr)
+    save_png(args.output, img)
+    print(args.output)
+
+
+def cmd_invert(args):
+    import jax
+
+    from .models.configs import perturb
+    from .optim import OptConfig, optimize, param_error
+    from .utils.metrics import MetricsLogger
+
+    scene, spec, cfg = _build(args)
+    render, impl = _render_fn(cfg, args.impl)
+
+    if args.target:
+        from .utils.imageio import load_png
+
+        target = load_png(args.target)
+        assert target.shape[:2] == (cfg.height, cfg.width), (
+            f"target {target.shape} != render {cfg.shape}")
+        truth = None
+    else:
+        target = jax.jit(render)(scene)
+        truth = scene
+
+    start = perturb(scene, spec, scale=args.perturb, seed=args.seed)
+    ocfg = OptConfig(iters=args.iters, lr=args.lr, loss=args.loss)
+    logger = MetricsLogger(jsonl_path=args.metrics, echo=not args.quiet)
+
+    if args.sharded:
+        from .parallel import make_ray_mesh, optimize_sharded_scan
+
+        mesh = make_ray_mesh()
+        t0 = time.perf_counter()
+        final, losses = optimize_sharded_scan(
+            start, target, mesh, cfg, spec, ocfg,
+            impl="pallas" if impl == "pallas" else "jnp",
+        )
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        logger.log(step=args.iters, loss=float(losses[-1]), wall_s=round(dt, 3),
+                   mesh=str(dict(mesh.shape)))
+        history = [{"loss": float(losses[-1])}]
+    else:
+        t0 = time.perf_counter()
+        final, history = optimize(
+            start, target, spec, cfg, ocfg, render_fn=render, logger=logger,
+            log_every=args.log_every, frame_every=args.frame_every,
+            frame_dir=args.frames_dir, checkpoint_every=args.checkpoint_every,
+            checkpoint_path=args.checkpoint, truth=truth, resume=args.resume,
+        )
+        dt = time.perf_counter() - t0
+
+    if truth is not None:
+        err = float(param_error(final, truth, spec))
+        print(f"final param RMS error vs truth: {err:.5f}", file=sys.stderr)
+    print(f"optimized {args.iters} iters in {dt:.1f}s "
+          f"(final loss {history[-1]['loss']:.3e})", file=sys.stderr)
+    if args.save_scene:
+        from .utils.sceneio import save_scene
+
+        save_scene(args.save_scene, final)
+        print(args.save_scene)
+    if args.output:
+        from .utils.imageio import save_png
+
+        save_png(args.output, jax.jit(render)(final))
+        print(args.output)
+    logger.close()
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="reversible_raytracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to PNG")
+    _add_common(pr)
+    pr.add_argument("-o", "--output", default="render.png")
+    pr.set_defaults(fn=cmd_render)
+
+    pi = sub.add_parser("invert", help="inverse-render: recover scene params from a target")
+    _add_common(pi)
+    pi.add_argument("--iters", type=int, default=400)
+    pi.add_argument("--lr", type=float, default=1e-2)
+    pi.add_argument("--loss", choices=["mse", "sum"], default="mse")
+    pi.add_argument("--perturb", type=float, default=0.05,
+                    help="perturbation scale applied to trainable params")
+    pi.add_argument("--seed", type=int, default=0)
+    pi.add_argument("--target", type=str, default=None,
+                    help="PNG target image (default: render the ground truth)")
+    pi.add_argument("--sharded", action="store_true",
+                    help="shard rays over all local devices (P1)")
+    pi.add_argument("--metrics", type=str, default=None, help="JSONL metrics path")
+    pi.add_argument("--quiet", action="store_true", help="suppress per-step stderr logs")
+    pi.add_argument("--log-every", type=int, default=25)
+    pi.add_argument("--frame-every", type=int, default=0)
+    pi.add_argument("--frames-dir", type=str, default="frames")
+    pi.add_argument("--checkpoint", type=str, default=None)
+    pi.add_argument("--checkpoint-every", type=int, default=0)
+    pi.add_argument("--resume", type=str, default=None)
+    pi.add_argument("--save-scene", type=str, default=None)
+    pi.add_argument("-o", "--output", type=str, default=None,
+                    help="save the final render as PNG")
+    pi.set_defaults(fn=cmd_invert)
+
+    pb = sub.add_parser("bench", help="run the benchmark harness")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
