@@ -1,0 +1,220 @@
+// Native float64 oracle renderer (C++/OpenMP).
+//
+// Role: the numpy oracle (oracle/reference_np.py) is the fidelity anchor for
+// the JAX/Pallas pipeline, but pure numpy is slow at 1024^2 x 64 objects —
+// too slow to use as a routine check at driver-config-5 scale. This is the
+// same float64 math (identical eps conventions, near-root-only sphere
+// intersection, hard shadows, checker select) as a native library,
+// parallelized over image rows with OpenMP. Bound via ctypes
+// (oracle/native.py); tests assert it matches the numpy oracle to 1e-12.
+//
+// The reference itself (lebek/reversible-raytracer) shipped no native code —
+// Theano's codegen was its native layer (SURVEY.md §2 native-code
+// checklist) — so this file is new-framework runtime, not a port.
+
+#include <cmath>
+#include <cstdint>
+
+namespace {
+
+constexpr double BIG = 1e10;
+constexpr double T_EPS = 1e-3;
+constexpr double SHADOW_EPS = 1e-3;
+
+struct Vec3 {
+  double x, y, z;
+};
+
+inline Vec3 operator+(Vec3 a, Vec3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+inline Vec3 operator-(Vec3 a, Vec3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+inline Vec3 operator*(Vec3 a, double s) { return {a.x * s, a.y * s, a.z * s}; }
+inline double dot(Vec3 a, Vec3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+inline Vec3 cross(Vec3 a, Vec3 b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+inline Vec3 normalize(Vec3 a) {
+  double n = std::sqrt(dot(a, a));
+  return n > 1e-12 ? a * (1.0 / n) : a;
+}
+inline Vec3 load3(const double* p) { return {p[0], p[1], p[2]}; }
+
+// Per-object material layout (12 doubles):
+// color[3], color2[3], checker, checker_scale, ka, kd, ks, shininess
+struct Mat {
+  Vec3 color, color2;
+  double checker, scale, ka, kd, ks, shin;
+};
+inline Mat load_mat(const double* p) {
+  return {load3(p), load3(p + 3), p[6], p[7], p[8], p[9], p[10], p[11]};
+}
+
+struct SceneView {
+  const double *sc, *sr, *smat;
+  int n_sph;
+  const double *ro, *ru, *rv, *rmat;
+  int n_rct;
+  const double *lp, *lc;
+  int n_lights;
+  Vec3 ambient, background;
+  bool shadows;
+};
+
+inline double sphere_t(Vec3 o, Vec3 d, Vec3 c, double r) {
+  Vec3 oc = o - c;
+  double b = dot(oc, d);
+  double cc = dot(oc, oc) - r * r;
+  double disc = b * b - cc;
+  if (disc <= 0.0) return BIG;
+  double t = -b - std::sqrt(disc);
+  return t > T_EPS ? t : BIG;
+}
+
+inline double rect_t(Vec3 o, Vec3 d, Vec3 p0, Vec3 eu, Vec3 ev, double* a_out,
+                     double* b_out, Vec3* n_out) {
+  Vec3 n = cross(eu, ev);
+  double denom = dot(d, n);
+  if (std::abs(denom) <= 1e-9) return BIG;
+  double t = dot(p0 - o, n) / denom;
+  if (t <= T_EPS) return BIG;
+  Vec3 rel = (o + d * t) - p0;
+  double a = dot(rel, eu) / dot(eu, eu);
+  double b = dot(rel, ev) / dot(ev, ev);
+  if (a < 0.0 || a > 1.0 || b < 0.0 || b > 1.0) return BIG;
+  if (a_out) *a_out = a;
+  if (b_out) *b_out = b;
+  if (n_out) *n_out = n;
+  return t;
+}
+
+inline bool occluded(const SceneView& s, Vec3 o, Vec3 dir, double dist) {
+  for (int k = 0; k < s.n_sph; ++k)
+    if (sphere_t(o, dir, load3(s.sc + 3 * k), s.sr[k]) < dist) return true;
+  for (int k = 0; k < s.n_rct; ++k)
+    if (rect_t(o, dir, load3(s.ro + 3 * k), load3(s.ru + 3 * k),
+               load3(s.rv + 3 * k), nullptr, nullptr, nullptr) < dist)
+      return true;
+  return false;
+}
+
+inline Vec3 checker_color(const Mat& m, double parity) {
+  bool use2 = (m.checker * parity) > 0.5;
+  return use2 ? m.color2 : m.color;
+}
+
+inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d) {
+  // Nearest hit over spheres then rects (first-wins ties, matching the
+  // unrolled where-chain / numpy argmin).
+  double t_best = BIG;
+  int best = -1;
+  double ra = 0, rb = 0;
+  Vec3 rn{0, 0, 0};
+  for (int k = 0; k < s.n_sph; ++k) {
+    double t = sphere_t(o, d, load3(s.sc + 3 * k), s.sr[k]);
+    if (t < t_best) { t_best = t; best = k; }
+  }
+  for (int k = 0; k < s.n_rct; ++k) {
+    double a, b;
+    Vec3 n;
+    double t = rect_t(o, d, load3(s.ro + 3 * k), load3(s.ru + 3 * k),
+                      load3(s.rv + 3 * k), &a, &b, &n);
+    if (t < t_best) { t_best = t; best = s.n_sph + k; ra = a; rb = b; rn = n; }
+  }
+  if (best < 0) return s.background;
+
+  Vec3 p = o + d * t_best;
+  Vec3 normal, base;
+  Mat m{};
+  if (best < s.n_sph) {
+    m = load_mat(s.smat + 12 * best);
+    Vec3 c = load3(s.sc + 3 * best);
+    Vec3 pl = p - c;
+    normal = pl * (1.0 / s.sr[best]);
+    double parity = std::fmod(std::floor(pl.x * m.scale) + std::floor(pl.y * m.scale) +
+                                  std::floor(pl.z * m.scale),
+                              2.0);
+    if (parity < 0) parity += 2.0;
+    base = checker_color(m, parity);
+  } else {
+    int k = best - s.n_sph;
+    m = load_mat(s.rmat + 12 * k);
+    Vec3 n_unit = normalize(rn);
+    double facing = dot(d, n_unit) < 0.0 ? 1.0 : -1.0;
+    normal = n_unit * facing;
+    double parity =
+        std::fmod(std::floor(ra * m.scale) + std::floor(rb * m.scale), 2.0);
+    if (parity < 0) parity += 2.0;
+    base = checker_color(m, parity);
+  }
+
+  Vec3 col = {m.ka * base.x * s.ambient.x, m.ka * base.y * s.ambient.y,
+              m.ka * base.z * s.ambient.z};
+  Vec3 view = d * -1.0;
+  Vec3 shadow_o = p + normal * SHADOW_EPS;
+  for (int li = 0; li < s.n_lights; ++li) {
+    Vec3 lpos = load3(s.lp + 3 * li);
+    Vec3 lcol = load3(s.lc + 3 * li);
+    Vec3 lvec = lpos - shadow_o;
+    double dist = std::sqrt(dot(lvec, lvec));
+    Vec3 ldir = lvec * (dist > 1e-9 ? 1.0 / dist : 1.0);
+    double vis = 1.0;
+    if (s.shadows && occluded(s, shadow_o, ldir, dist)) vis = 0.0;
+    double ndotl = dot(normal, ldir);
+    if (ndotl < 0.0) ndotl = 0.0;
+    Vec3 refl = normal * (2.0 * ndotl) - ldir;
+    double rdotv = dot(refl, view);
+    double spec = rdotv > 0.0 ? m.ks * std::pow(rdotv, m.shin) : 0.0;
+    col.x += vis * (m.kd * ndotl * base.x + spec) * lcol.x;
+    col.y += vis * (m.kd * ndotl * base.y + spec) * lcol.y;
+    col.z += vis * (m.kd * ndotl * base.z + spec) * lcol.z;
+  }
+  return col;
+}
+
+}  // namespace
+
+extern "C" {
+
+// out: H*W*3 doubles, row-major.
+void rrt_render(const double* sph_center, const double* sph_radius,
+                const double* sph_mat, int n_sph, const double* rct_origin,
+                const double* rct_eu, const double* rct_ev, const double* rct_mat,
+                int n_rct, const double* light_pos, const double* light_col,
+                int n_lights, const double* cam, const double* ambient,
+                const double* background, int H, int W, int shadows, int clip,
+                double* out) {
+  SceneView s{sph_center, sph_radius, sph_mat, n_sph,
+              rct_origin, rct_eu,     rct_ev,  rct_mat,
+              n_rct,      light_pos,  light_col, n_lights,
+              load3(ambient), load3(background), shadows != 0};
+
+  Vec3 eye = load3(cam), look = load3(cam + 3), up_hint = load3(cam + 6);
+  double fov = cam[9];
+  Vec3 fwd = normalize(look - eye);
+  Vec3 right = normalize(cross(fwd, up_hint));
+  Vec3 up = cross(right, fwd);
+  double tanf = std::tan(fov * (M_PI / 180.0) * 0.5);
+  double aspect = double(W) / double(H);
+
+#pragma omp parallel for schedule(dynamic, 8)
+  for (int i = 0; i < H; ++i) {
+    for (int j = 0; j < W; ++j) {
+      double sx = ((j + 0.5) * (2.0 / W) - 1.0) * tanf * aspect;
+      double sy = (1.0 - (i + 0.5) * (2.0 / H)) * tanf;
+      Vec3 d = normalize(fwd + right * sx + up * sy);
+      Vec3 c = shade_pixel(s, eye, d);
+      double* px = out + (size_t(i) * W + j) * 3;
+      if (clip) {
+        c.x = c.x < 0 ? 0 : (c.x > 1 ? 1 : c.x);
+        c.y = c.y < 0 ? 0 : (c.y > 1 ? 1 : c.y);
+        c.z = c.z < 0 ? 0 : (c.z > 1 ? 1 : c.z);
+      }
+      px[0] = c.x;
+      px[1] = c.y;
+      px[2] = c.z;
+    }
+  }
+}
+
+int rrt_version() { return 1; }
+
+}  // extern "C"

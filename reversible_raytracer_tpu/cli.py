@@ -80,6 +80,13 @@ def cmd_invert(args):
     scene, spec, cfg = _build(args)
     render, impl = _render_fn(cfg, args.impl)
 
+    if args.paranoid:
+        from .utils.paranoid import checked_render, enable_nan_debugging
+
+        enable_nan_debugging(True)
+        err, _ = checked_render(scene, cfg)
+        err.throw()
+
     if args.target:
         from .utils.imageio import load_png
 
@@ -166,6 +173,8 @@ def main(argv=None):
                     help="shard rays over all local devices (P1)")
     pi.add_argument("--metrics", type=str, default=None, help="JSONL metrics path")
     pi.add_argument("--quiet", action="store_true", help="suppress per-step stderr logs")
+    pi.add_argument("--paranoid", action="store_true",
+                    help="enable NaN debugging + checkify float checks (SURVEY §5.2)")
     pi.add_argument("--log-every", type=int, default=25)
     pi.add_argument("--frame-every", type=int, default=0)
     pi.add_argument("--frames-dir", type=str, default="frames")

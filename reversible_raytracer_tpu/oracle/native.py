@@ -1,0 +1,110 @@
+"""ctypes binding for the native C++ oracle renderer (native/oracle.cpp).
+
+Builds the shared library on first use (g++ is in the base image; no pip
+deps). Falls back to the numpy oracle transparently if the toolchain is
+unavailable — call `available()` to check, `render()` to render.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liboracle.so"))
+_lib = None
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-s", "liboracle.so"],
+                cwd=os.path.abspath(_NATIVE_DIR),
+                check=True,
+                capture_output=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            _build_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _build_failed = True
+        return None
+    D = ctypes.POINTER(ctypes.c_double)
+    lib.rrt_render.argtypes = (
+        [D, D, D, ctypes.c_int] + [D, D, D, D, ctypes.c_int]
+        + [D, D, ctypes.c_int] + [D, D, D]
+        + [ctypes.c_int] * 4 + [D]
+    )
+    lib.rrt_render.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _mat_block(mat) -> np.ndarray:
+    """Pack Materials into the (K, 12) layout oracle.cpp expects."""
+    k = np.shape(mat.color)[0]
+    out = np.empty((k, 12), np.float64)
+    out[:, 0:3] = np.asarray(mat.color, np.float64)
+    out[:, 3:6] = np.asarray(mat.color2, np.float64)
+    out[:, 6] = np.asarray(mat.checker, np.float64)
+    out[:, 7] = np.asarray(mat.checker_scale, np.float64)
+    out[:, 8] = np.asarray(mat.ka, np.float64)
+    out[:, 9] = np.asarray(mat.kd, np.float64)
+    out[:, 10] = np.asarray(mat.ks, np.float64)
+    out[:, 11] = np.asarray(mat.shininess, np.float64)
+    return out
+
+
+def render(scene, height: int, width: int, shadows: bool = True, clip: bool = True):
+    """Drop-in for oracle.reference_np.render, ~2 orders of magnitude faster
+    at config-5 scale. Raises RuntimeError if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native oracle unavailable (build failed)")
+
+    c = np.ascontiguousarray
+    f64 = np.float64
+    sp, rc = scene.spheres, scene.rects
+    sc = c(np.asarray(sp.center, f64))
+    sr = c(np.asarray(sp.radius, f64))
+    smat = c(_mat_block(sp.material))
+    ro = c(np.asarray(rc.origin, f64))
+    ru = c(np.asarray(rc.edge_u, f64))
+    rv = c(np.asarray(rc.edge_v, f64))
+    rmat = c(_mat_block(rc.material))
+    lp = c(np.asarray(scene.lights.position, f64))
+    lc = c(np.asarray(scene.lights.color, f64))
+    cam = c(np.concatenate([
+        np.asarray(scene.camera.eye, f64),
+        np.asarray(scene.camera.look_at, f64),
+        np.asarray(scene.camera.up, f64),
+        np.asarray(scene.camera.fov_deg, f64).reshape(1),
+    ]))
+    ambient = c(np.asarray(scene.ambient, f64))
+    bg = c(np.asarray(scene.background, f64))
+    out = np.empty((height, width, 3), f64)
+
+    D = ctypes.POINTER(ctypes.c_double)
+    p = lambda a: a.ctypes.data_as(D)
+    lib.rrt_render(
+        p(sc), p(sr), p(smat), sp.count,
+        p(ro), p(ru), p(rv), p(rmat), rc.count,
+        p(lp), p(lc), scene.lights.count,
+        p(cam), p(ambient), p(bg),
+        height, width, int(shadows), int(clip), p(out),
+    )
+    return out

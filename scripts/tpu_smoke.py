@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Compiled-TPU validation (run manually on a TPU host; CI covers the same
+assertions in interpret mode on CPU — SURVEY.md §4.5).
+
+Checks, per scene config:
+  1. compiled Pallas forward == jnp/XLA forward (expected bit-exact),
+  2. compiled Pallas custom_vjp grads == jax.grad of the jnp path,
+  3. no NaN/Inf anywhere.
+
+Exit code 0 on success.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    from reversible_raytracer_tpu.models import configs
+    from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+    from reversible_raytracer_tpu.ops.pipeline import RenderConfig
+    from reversible_raytracer_tpu.ops.render import mse_loss, render_jnp
+
+    assert jax.default_backend() == "tpu", f"not on TPU: {jax.default_backend()}"
+    failures = 0
+    for num, size in [(1, 64), (2, 128), (3, 128), (4, 128), (5, 256)]:
+        scene, spec, _ = configs.CONFIGS[num](size)
+        cfg = RenderConfig(height=size, width=size, shadows=True)
+        t0 = time.time()
+        img_p = np.asarray(jax.jit(lambda s: render_pallas(s, cfg))(scene))
+        img_j = np.asarray(jax.jit(lambda s: render_jnp(s, cfg))(scene))
+        fwd_diff = np.abs(img_p - img_j).max()
+
+        target = jnp.asarray(img_j)
+        start = configs.perturb(scene, spec, scale=0.1, seed=num)
+        gp = jax.jit(jax.grad(lambda s: mse_loss(render_pallas(s, cfg), target)))(start)
+        gj = jax.jit(jax.grad(lambda s: mse_loss(render_jnp(s, cfg), target)))(start)
+        gdiff, finite = 0.0, True
+        for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gj)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size:
+                gdiff = max(gdiff, float(np.abs(a - b).max()))
+                finite &= bool(np.isfinite(a).all())
+        ok = fwd_diff <= 1e-6 and gdiff <= 1e-6 and finite
+        failures += (not ok)
+        print(f"config {num} @{size}²: fwd_diff={fwd_diff:.2e} grad_diff={gdiff:.2e} "
+              f"finite={finite} [{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)",
+              flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
