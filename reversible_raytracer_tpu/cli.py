@@ -55,11 +55,15 @@ def _render_fn(cfg, impl):
 
 
 def cmd_render(args):
+    import dataclasses
+
     import jax
 
     from .utils.imageio import save_png
 
     scene, _, cfg = _build(args)
+    if getattr(args, "shader", "phong") != "phong":
+        cfg = dataclasses.replace(cfg, shader=args.shader)
     render, impl = _render_fn(cfg, args.impl)
     t0 = time.perf_counter()
     img = jax.jit(render)(scene)
@@ -99,7 +103,7 @@ def cmd_invert(args):
         truth = scene
 
     start = perturb(scene, spec, scale=args.perturb, seed=args.seed)
-    ocfg = OptConfig(iters=args.iters, lr=args.lr, loss=args.loss)
+    ocfg = OptConfig(iters=args.iters, lr=args.lr, loss=args.loss, schedule=args.schedule)
     logger = MetricsLogger(jsonl_path=args.metrics, echo=not args.quiet)
 
     if args.sharded:
@@ -157,6 +161,7 @@ def main(argv=None):
     pr = sub.add_parser("render", help="render a scene to PNG")
     _add_common(pr)
     pr.add_argument("-o", "--output", default="render.png")
+    pr.add_argument("--shader", choices=["phong", "depth", "normal"], default="phong")
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("invert", help="inverse-render: recover scene params from a target")
@@ -164,6 +169,8 @@ def main(argv=None):
     pi.add_argument("--iters", type=int, default=400)
     pi.add_argument("--lr", type=float, default=1e-2)
     pi.add_argument("--loss", choices=["mse", "sum"], default="mse")
+    pi.add_argument("--schedule", choices=["cosine", "constant"], default="cosine",
+                    help="learning-rate schedule (cosine stabilizes the endgame)")
     pi.add_argument("--perturb", type=float, default=0.05,
                     help="perturbation scale applied to trainable params")
     pi.add_argument("--seed", type=int, default=0)

@@ -49,6 +49,10 @@ class RenderConfig:
     width: int
     shadows: bool = True
     clip: bool = True  # clip final color to [0, 1] (reference-faithful output)
+    # Shader variant (SURVEY.md C15): "phong" is the full Lambertian+Phong
+    # pipeline; "depth" renders 1/(1+t) (white near, black far, 0 on miss);
+    # "normal" renders the camera-facing normal mapped to [0,1]^3.
+    shader: str = "phong"
 
     @property
     def shape(self):
@@ -272,6 +276,16 @@ def occluded(scene: Scene, o: Vec3, ldir: Vec3, dist):
 
 
 def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape):
+    if cfg.shader == "depth":
+        t, hit, _ = trace_nearest(scene, o, d, shape)
+        z = jnp.where(hit, 1.0 / (1.0 + t), 0.0)
+        return (z, z, z)
+    if cfg.shader == "normal":
+        t, hit, at = trace_nearest(scene, o, d, shape)
+        return tuple(
+            jnp.where(hit, at[k] * 0.5 + 0.5, 0.0) for k in ("nx", "ny", "nz")
+        )
+
     t, hit, at = trace_nearest(scene, o, d, shape)
     n = (at["nx"], at["ny"], at["nz"])
     base = (at["cr"], at["cg"], at["cb"])

@@ -28,8 +28,11 @@ def test_config1_converges():
     assert float(param_error(start, scene, spec)) > 0.05
 
     # 800 iters: the center-z vs radius depth ambiguity resolves slowly
-    # (silhouette matches early; shading disambiguates late).
-    final, losses = optimize_scan(start, target, spec, cfg, OptConfig(iters=800, lr=3e-2))
+    # (silhouette matches early; shading disambiguates late) — constant lr,
+    # since cosine decay would quench the long tail this test measures.
+    final, losses = optimize_scan(
+        start, target, spec, cfg, OptConfig(iters=800, lr=3e-2, schedule="constant")
+    )
     err = float(param_error(final, scene, spec))
     assert err < 2e-2, f"param RMS error {err} after optimization"
     assert float(losses[-1]) < float(losses[0]) * 0.05
