@@ -81,6 +81,11 @@ def cmd_invert(args):
     from .optim import OptConfig, optimize, param_error
     from .utils.metrics import MetricsLogger
 
+    if args.coordinator or (args.num_processes or 0) > 1:
+        from .parallel import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+
     scene, spec, cfg = _build(args)
     render, impl = _render_fn(cfg, args.impl)
 
@@ -145,6 +150,11 @@ def cmd_invert(args):
 
         save_png(args.output, jax.jit(render)(final))
         print(args.output)
+    if args.gif and args.frame_every:
+        from .utils.imageio import save_gif
+
+        save_gif(args.gif, args.frames_dir)
+        print(args.gif)
     logger.close()
 
 
@@ -178,6 +188,14 @@ def main(argv=None):
                     help="PNG target image (default: render the ground truth)")
     pi.add_argument("--sharded", action="store_true",
                     help="shard rays over all local devices (P1)")
+    pi.add_argument("--coordinator", type=str, default=None,
+                    help="multi-host: coordinator address for jax.distributed (P3)")
+    pi.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total process count")
+    pi.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this process's id")
+    pi.add_argument("--gif", type=str, default=None,
+                    help="assemble dumped frames into an animated GIF at this path")
     pi.add_argument("--metrics", type=str, default=None, help="JSONL metrics path")
     pi.add_argument("--quiet", action="store_true", help="suppress per-step stderr logs")
     pi.add_argument("--paranoid", action="store_true",

@@ -29,3 +29,22 @@ def load_png(path: str) -> np.ndarray:
 
     img = Image.open(path).convert("RGB")
     return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def save_gif(path: str, frames, duration_ms: int = 80) -> None:
+    """Assemble frames (list of float images or a frames directory of PNGs)
+    into an animated GIF — the reference's convergence-demo artifact."""
+    import glob
+
+    from PIL import Image
+
+    if isinstance(frames, str):
+        files = sorted(glob.glob(os.path.join(frames, "*.png")))
+        imgs = [Image.open(f).convert("RGB") for f in files]
+    else:
+        imgs = [Image.fromarray(to_uint8(f)) for f in frames]
+    if not imgs:
+        raise ValueError("no frames to assemble")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=duration_ms, loop=0)
