@@ -159,6 +159,9 @@ def optimize(
     return scene, history
 
 
+_SCAN_CACHE: dict = {}
+
+
 def optimize_scan(
     scene: Scene,
     target,
@@ -166,39 +169,65 @@ def optimize_scan(
     rcfg: RenderConfig,
     ocfg: OptConfig,
     render_fn=None,
+    cache_key=None,
 ):
     """Whole optimization loop on-device via lax.scan: one dispatch total.
 
     This is the TPU-native convergence fast path (the reference ran a Python
     loop crossing the host boundary every iteration, SURVEY.md §3.3). Returns
     (final_scene, losses[iters]).
+
+    Pass a hashable ``cache_key`` identifying ``render_fn`` (e.g. "pallas")
+    to reuse the compiled runner across calls — otherwise each call builds a
+    fresh jit closure and RECOMPILES the whole scan (~seconds), which
+    silently dominates repeated-call timings.
     """
     if render_fn is None:
         render_fn = lambda s: render_jnp(s, rcfg)
+        cache_key = cache_key or "jnp-default"
     loss_of = loss_fn_for(ocfg.loss)
-    tx = make_optimizer(ocfg)
     target = jnp.asarray(target, jnp.float32)
 
-    def loss(scene: Scene):
-        return loss_of(render_fn(scene), target)
+    def build():
+        tx = make_optimizer(ocfg)
 
-    @jax.jit
-    def run(scene: Scene):
-        opt_state = tx.init(scene)
+        @jax.jit
+        def run(scene: Scene, target):
+            opt_state = tx.init(scene)
 
-        def body(carry, _):
-            scene, opt_state = carry
-            l, grads = jax.value_and_grad(loss)(scene)
-            grads = mask_grads(grads, spec)
-            updates, opt_state = tx.update(grads, opt_state, scene)
-            scene = optax.apply_updates(scene, updates)
-            scene = project_bounds(scene, spec)
-            return (scene, opt_state), l
+            def body(carry, _):
+                scene, opt_state = carry
+                l, grads = jax.value_and_grad(
+                    lambda s: loss_of(render_fn(s), target)
+                )(scene)
+                grads = mask_grads(grads, spec)
+                updates, opt_state = tx.update(grads, opt_state, scene)
+                scene = optax.apply_updates(scene, updates)
+                scene = project_bounds(scene, spec)
+                return (scene, opt_state), l
 
-        (scene, _), losses = jax.lax.scan(body, (scene, opt_state), None, length=ocfg.iters)
-        return scene, losses
+            (scene, _), losses = jax.lax.scan(
+                body, (scene, opt_state), None, length=ocfg.iters
+            )
+            return scene, losses
 
-    return run(scene)
+        return run
+
+    if cache_key is None:
+        run = build()
+    else:
+        leaves, treedef = jax.tree_util.tree_flatten(scene)
+        spec_digest = (
+            tuple(bool(t) for t in jax.tree_util.tree_leaves(spec.trainable)),
+            tuple(float(x) for x in jax.tree_util.tree_leaves(spec.lower)),
+            tuple(float(x) for x in jax.tree_util.tree_leaves(spec.upper)),
+        )
+        sig = (treedef, tuple(jnp.shape(l) for l in leaves), rcfg, ocfg,
+               spec_digest, cache_key)
+        run = _SCAN_CACHE.get(sig)
+        if run is None:
+            run = _SCAN_CACHE[sig] = build()
+    return run(scene, target)
 
 
 def param_error(scene: Scene, truth: Scene, spec: ParamSpec):
