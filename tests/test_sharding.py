@@ -120,7 +120,10 @@ def test_sharded_convergence():
     target = render_jnp(scene, cfg)
     start = configs.perturb(scene, spec, scale=0.2, seed=2)
     mesh = make_ray_mesh(8)
-    s, losses = optimize_sharded_scan(start, target, mesh, cfg, spec, OptConfig(iters=300, lr=3e-2))
+    s, losses = optimize_sharded_scan(
+        start, target, mesh, cfg, spec,
+        OptConfig(iters=300, lr=3e-2, schedule="constant"),
+    )
     assert float(param_error(s, scene, spec)) < 0.08
     assert float(losses[-1]) < 2e-3
 
