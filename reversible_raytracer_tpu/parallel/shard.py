@@ -36,6 +36,8 @@ from ..ops.render import render_jnp
 RAYS_AXIS = "rays"
 BATCH_AXIS = "batch"
 
+_SHARD_SCAN_CACHE: dict = {}
+
 
 _AUTO = (jax.sharding.AxisType.Auto,)
 
@@ -168,40 +170,61 @@ def optimize_sharded_scan(
     the entire inverse render (the wall-clock-to-converge fast path; the
     host-loop variant pays a dispatch + a host roundtrip per iteration).
 
-    Returns (final_scene, losses[iters]).
+    Returns (final_scene, losses[iters]). The compiled runner is cached by
+    (scene structure, configs, spec, mesh shape, impl) — a fresh jit closure
+    per call would recompile the whole scan every time.
     """
     n = mesh.shape[RAYS_AXIS]
     assert rcfg.height % n == 0
     band = rcfg.height // n
-    render_band = _band_render_fn(rcfg, band, impl)
-    tx = make_optimizer(ocfg)
-    denom = float(rcfg.height * rcfg.width * 3) if ocfg.loss == "mse" else 1.0
 
-    def global_loss(scene, target_band):
-        row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
-        img = render_band(scene, row0)
-        d = img - target_band
-        return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
+    def build():
+        render_band = _band_render_fn(rcfg, band, impl)
+        tx = make_optimizer(ocfg)
+        denom = float(rcfg.height * rcfg.width * 3) if ocfg.loss == "mse" else 1.0
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(RAYS_AXIS)), out_specs=(P(), P()))
-    def loss_and_grads(scene, target_band):
-        return jax.value_and_grad(global_loss)(scene, target_band)
+        def global_loss(scene, target_band):
+            row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
+            img = render_band(scene, row0)
+            d = img - target_band
+            return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
 
-    @jax.jit
-    def run(scene, target):
-        opt_state = tx.init(scene)
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(RAYS_AXIS)), out_specs=(P(), P()))
+        def loss_and_grads(scene, target_band):
+            return jax.value_and_grad(global_loss)(scene, target_band)
 
-        def body(carry, _):
-            scene, opt_state = carry
-            l, grads = loss_and_grads(scene, target)
-            grads = mask_grads(grads, spec)
-            updates, opt_state = tx.update(grads, opt_state, scene)
-            scene = optax.apply_updates(scene, updates)
-            scene = project_bounds(scene, spec)
-            return (scene, opt_state), l
+        @jax.jit
+        def run(scene, target):
+            opt_state = tx.init(scene)
 
-        (scene, _), losses = jax.lax.scan(body, (scene, opt_state), None, length=ocfg.iters)
-        return scene, losses
+            def body(carry, _):
+                scene, opt_state = carry
+                l, grads = loss_and_grads(scene, target)
+                grads = mask_grads(grads, spec)
+                updates, opt_state = tx.update(grads, opt_state, scene)
+                scene = optax.apply_updates(scene, updates)
+                scene = project_bounds(scene, spec)
+                return (scene, opt_state), l
+
+            (scene, _), losses = jax.lax.scan(
+                body, (scene, opt_state), None, length=ocfg.iters
+            )
+            return scene, losses
+
+        return run
+
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    spec_digest = (
+        tuple(bool(t) for t in jax.tree_util.tree_leaves(spec.trainable)),
+        tuple(float(x) for x in jax.tree_util.tree_leaves(spec.lower)),
+        tuple(float(x) for x in jax.tree_util.tree_leaves(spec.upper)),
+    )
+    sig = ("sharded", treedef, tuple(jnp.shape(l) for l in leaves), rcfg, ocfg,
+           spec_digest, tuple(mesh.shape.items()),
+           tuple(d.id for d in mesh.devices.flat), impl)
+    run = _SHARD_SCAN_CACHE.get(sig)
+    if run is None:
+        run = _SHARD_SCAN_CACHE[sig] = build()
 
     scene = jax.device_put(scene, NamedSharding(mesh, P()))
     target = jax.device_put(jnp.asarray(target, jnp.float32), NamedSharding(mesh, P(RAYS_AXIS)))
