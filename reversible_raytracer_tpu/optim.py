@@ -43,6 +43,12 @@ class OptConfig:
     # 1.1e-2 at iter 400 on the 4-sphere 512^2 config). Decaying to zero
     # pins the endgame.
     schedule: str = "cosine"  # "cosine" | "constant"
+    # Per-parameter-group LR multipliers, applied AFTER Adam normalization:
+    # (("spheres.radius", 0.3), ("camera", 0.1), ...). Adam equalizes step
+    # sizes across parameters regardless of their true sensitivity; scene
+    # geometry / pose / materials have wildly different curvatures, and
+    # these rules restore the distinction (first matching substring wins).
+    lr_scales: tuple = ()
 
     def learning_rate(self):
         if self.schedule == "cosine":
@@ -56,8 +62,37 @@ def loss_fn_for(name: str):
     return {"mse": mse_loss, "sum": sum_squared_loss}[name]
 
 
+def _path_name(path) -> str:
+    return ".".join(getattr(k, "name", getattr(k, "key", str(k))) for k in path)
+
+
+def scale_by_path(rules):
+    """optax transform: multiply each leaf's update by the factor of the
+    first rule whose substring appears in the leaf's dotted path."""
+
+    def init(params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        def scale(path, u):
+            name = _path_name(path)
+            for substr, mult in rules:
+                if substr in name:
+                    return u * mult
+            return u
+
+        return jax.tree_util.tree_map_with_path(scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(ocfg: OptConfig):
-    return optax.adam(ocfg.learning_rate(), b1=ocfg.b1, b2=ocfg.b2, eps=ocfg.eps)
+    adam = optax.adam(ocfg.learning_rate(), b1=ocfg.b1, b2=ocfg.b2, eps=ocfg.eps)
+    if not ocfg.lr_scales:
+        return adam
+    return optax.chain(optax.scale_by_adam(b1=ocfg.b1, b2=ocfg.b2, eps=ocfg.eps),
+                       scale_by_path(tuple(ocfg.lr_scales)),
+                       optax.scale_by_learning_rate(ocfg.learning_rate()))
 
 
 def mask_grads(grads: Scene, spec: ParamSpec) -> Scene:
