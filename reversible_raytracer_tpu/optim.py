@@ -43,6 +43,16 @@ class OptConfig:
     # 1.1e-2 at iter 400 on the 4-sphere 512^2 config). Decaying to zero
     # pins the endgame.
     schedule: str = "cosine"  # "cosine" | "constant"
+    # Optimizer family. "adam" converges fastest but its per-parameter
+    # normalization turns near-flat valleys (the sphere depth/scale
+    # projective ambiguity) into full-speed random walks — observed runaway
+    # on the 4-sphere scene: center-z marches 0.3 -> 2.3 while radius
+    # inflates to compensate. "sgd" (optionally with momentum) follows true
+    # gradient magnitudes — in a flat valley it barely moves — matching the
+    # reference's plain-GD behavior (its grad_descent.py); use it for stiff
+    # joint geometry problems.
+    optimizer: str = "adam"  # "adam" | "sgd"
+    momentum: float = 0.0  # sgd only
     # Per-parameter-group LR multipliers, applied AFTER Adam normalization:
     # (("spheres.radius", 0.3), ("camera", 0.1), ...). Adam equalizes step
     # sizes across parameters regardless of their true sensitivity; scene
@@ -87,12 +97,17 @@ def scale_by_path(rules):
 
 
 def make_optimizer(ocfg: OptConfig):
-    adam = optax.adam(ocfg.learning_rate(), b1=ocfg.b1, b2=ocfg.b2, eps=ocfg.eps)
-    if not ocfg.lr_scales:
-        return adam
-    return optax.chain(optax.scale_by_adam(b1=ocfg.b1, b2=ocfg.b2, eps=ocfg.eps),
-                       scale_by_path(tuple(ocfg.lr_scales)),
-                       optax.scale_by_learning_rate(ocfg.learning_rate()))
+    if ocfg.optimizer == "sgd":
+        base = [optax.trace(decay=ocfg.momentum)] if ocfg.momentum else []
+    elif ocfg.optimizer == "adam":
+        base = [optax.scale_by_adam(b1=ocfg.b1, b2=ocfg.b2, eps=ocfg.eps)]
+    else:
+        raise ValueError(f"unknown optimizer {ocfg.optimizer!r}")
+    parts = base
+    if ocfg.lr_scales:
+        parts = parts + [scale_by_path(tuple(ocfg.lr_scales))]
+    parts = parts + [optax.scale_by_learning_rate(ocfg.learning_rate())]
+    return optax.chain(*parts)
 
 
 def mask_grads(grads: Scene, spec: ParamSpec) -> Scene:
