@@ -38,6 +38,7 @@ Backward (`custom_vjp`, SURVEY.md §7 "recompute-in-backward"):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import jax
@@ -79,7 +80,9 @@ class TileConfig:
 
         bw = 128
         bh = min(pick_rows(10 * 1024 * 1024, 10, bw), _round_up(H, 8))
-        bh_bwd = min(pick_rows(8 * 1024 * 1024, 24, bw), _round_up(H, 8))
+        # Sweep-validated at 512^2: bwd tile rows beyond 64 lose throughput
+        # (VMEM pressure from vjp residuals), below 32 pay grid overhead.
+        bh_bwd = min(pick_rows(8 * 1024 * 1024, 24, bw), 64, _round_up(H, 8))
         return TileConfig(bh=bh, bw=bw, bh_bwd=bh_bwd, bw_bwd=bw)
 
 
@@ -159,26 +162,36 @@ def _make_fused(
     treedef, meta, S = scene_layout(scene_like)
     H, W = out_h, cfg.width
     bh, bw = min(tiles.bh, _round_up(H, 8)), min(tiles.bw, _round_up(W, 128))
-    Hp, Wp = _round_up(H, bh), _round_up(W, bw)
-    bhb = min(tiles.bh_bwd, Hp)
-    bwb = min(tiles.bw_bwd, Wp)
-    while Hp % bhb:
-        bhb //= 2
-    while Wp % bwb:
-        bwb //= 2
+    bhb = min(tiles.bh_bwd, _round_up(H, 8))
+    bwb = min(tiles.bw_bwd, _round_up(W, 128))
+    # One padded canvas serving BOTH grids (fwd writes shadow-visibility
+    # residuals that the bwd reads with its own tiling).
+    Hp = _round_up(H, math.lcm(bh, bhb))
+    Wp = _round_up(W, math.lcm(bw, bwb))
     f32 = jnp.float32
 
+    # Shadow visibility is a step function (zero gradient): the forward
+    # saves it per light, and the backward replay skips the shadow any-hit
+    # loop entirely (~25% of the step for 1-light scenes at 512^2).
+    n_vis = (
+        scene_like.lights.count
+        if (cfg.shadows and cfg.shader == "phong")
+        else 0
+    )
+
     # ------------------------------------------------------------- forward
-    def fwd_kernel(off_ref, scene_ref, r_ref, g_ref, b_ref):
+    def fwd_kernel(off_ref, scene_ref, r_ref, g_ref, b_ref, *vis_refs):
         i = pl.program_id(0)
         j = pl.program_id(1)
         row0 = off_ref[0, 0] + (i * bh).astype(f32)
         col0 = off_ref[0, 1] + (j * bw).astype(f32)
         view = _scalar_view(treedef, meta, lambda idx: scene_ref[0, idx])
-        r, g, b = render_tile(view, cfg, row0, col0, bh, bw)
+        (r, g, b), vis = render_tile(view, cfg, row0, col0, bh, bw, return_vis=True)
         r_ref[:, :] = r
         g_ref[:, :] = g
         b_ref[:, :] = b
+        for li in range(n_vis):
+            vis_refs[li][:, :] = vis[li]
 
     fwd_call = pl.pallas_call(
         fwd_kernel,
@@ -189,23 +202,25 @@ def _make_fused(
         ],
         out_specs=[
             pl.BlockSpec((bh, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-        ] * 3,
-        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), f32)] * 3,
+        ] * (3 + n_vis),
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), f32)] * (3 + n_vis),
         interpret=interpret,
     )
 
     # ------------------------------------------------------------ backward
-    def bwd_kernel(off_ref, scene_ref, gr_ref, gg_ref, gb_ref, dflat_ref):
+    def bwd_kernel(off_ref, scene_ref, gr_ref, gg_ref, gb_ref, *rest):
+        vis_refs, dflat_ref = rest[:n_vis], rest[n_vis]
         i = pl.program_id(0)
         j = pl.program_id(1)
         row0 = off_ref[0, 0] + (i * bhb).astype(f32)
         col0 = off_ref[0, 1] + (j * bwb).astype(f32)
 
         vals = tuple(scene_ref[0, idx] for idx in range(S))
+        vis_tiles = tuple(vr[:, :] for vr in vis_refs) if n_vis else None
 
         def f(*scalars):
             view = _scalar_view(treedef, meta, lambda idx: scalars[idx])
-            return render_tile(view, cfg, row0, col0, bhb, bwb)
+            return render_tile(view, cfg, row0, col0, bhb, bwb, vis_in=vis_tiles)
 
         _, vjp = jax.vjp(f, *vals)
         dvals = vjp((gr_ref[:, :], gg_ref[:, :], gb_ref[:, :]))
@@ -231,7 +246,7 @@ def _make_fused(
         ]
         + [
             pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-        ] * 3,
+        ] * (3 + n_vis),
         out_specs=pl.BlockSpec((1, S), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, S), f32),
         interpret=interpret,
@@ -243,18 +258,20 @@ def _make_fused(
         return tuple(fwd_call(offsets, flat.reshape(1, S)))
 
     def fused_fwd(flat, offsets):
-        return fused(flat, offsets), (flat, offsets)
+        outs = fused(flat, offsets)
+        return outs, (flat, offsets, outs[3:])
 
     def fused_bwd(res, cotangents):
-        flat, offsets = res
-        gr, gg, gb = cotangents
-        df = bwd_call(offsets, flat.reshape(1, S), gr, gg, gb)
+        flat, offsets, vis = res
+        gr, gg, gb = cotangents[0], cotangents[1], cotangents[2]
+        df = bwd_call(offsets, flat.reshape(1, S), gr, gg, gb, *vis)
         return df.reshape(S), jnp.zeros_like(offsets)
 
     fused.defvjp(fused_fwd, fused_bwd)
 
     def apply(flat, offsets):
-        r, g, b = fused(flat, offsets)
+        outs = fused(flat, offsets)
+        r, g, b = outs[0], outs[1], outs[2]
         return jnp.stack([r[:H, :W], g[:H, :W], b[:H, :W]], axis=-1)
 
     _CACHE[key] = apply

@@ -275,16 +275,26 @@ def occluded(scene: Scene, o: Vec3, ldir: Vec3, dist):
 # ---------------------------------------------------------------------------
 
 
-def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape):
+def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
+          vis_in=None, return_vis: bool = False):
+    """Full shading pass.
+
+    ``vis_in``: optional tuple of per-light visibility arrays. Visibility is
+    a step function (zero gradient), so the backward Pallas kernel saves it
+    as a forward residual and passes it here to skip the shadow any-hit
+    recompute during the vjp replay (SURVEY.md §7 backward memory plan).
+    ``return_vis``: also return the computed per-light visibility tuple.
+    """
     if cfg.shader == "depth":
         t, hit, _ = trace_nearest(scene, o, d, shape)
         z = jnp.where(hit, 1.0 / (1.0 + t), 0.0)
-        return (z, z, z)
+        return ((z, z, z), ()) if return_vis else (z, z, z)
     if cfg.shader == "normal":
         t, hit, at = trace_nearest(scene, o, d, shape)
-        return tuple(
+        col = tuple(
             jnp.where(hit, at[k] * 0.5 + 0.5, 0.0) for k in ("nx", "ny", "nz")
         )
+        return (col, ()) if return_vis else col
 
     t, hit, at = trace_nearest(scene, o, d, shape)
     n = (at["nx"], at["ny"], at["nz"])
@@ -296,6 +306,7 @@ def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape):
     view = vm.vneg(d)  # unit, since d is unit
 
     lights = scene.lights
+    vis_out = []
     shadow_o = vm.vadd(p, vm.vscale(n, SHADOW_EPS))
     for li in range(lights.count):
         lpos = vm.splat(lights.position[li])
@@ -305,10 +316,13 @@ def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape):
         dist = vm.safe_sqrt(dist2)
         ldir = vm.vscale(lvec, 1.0 / jnp.where(dist > 1e-9, dist, 1.0))
 
-        if cfg.shadows:
+        if vis_in is not None:
+            vis = jax.lax.stop_gradient(vis_in[li])
+        elif cfg.shadows:
             vis = jnp.where(occluded(scene, shadow_o, ldir, dist), 0.0, 1.0)
         else:
             vis = 1.0
+        vis_out.append(vis)
 
         ndotl = jnp.maximum(vm.vdot(n, ldir), 0.0)
         # Phong reflection of the light direction about the normal.
@@ -325,6 +339,11 @@ def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape):
     col = vm.vwhere(hit, col, vm.vbroadcast(bg, shape))
     if cfg.clip:
         col = tuple(jnp.clip(c, 0.0, 1.0) for c in col)
+    if return_vis:
+        vis_arrays = tuple(
+            jnp.broadcast_to(jnp.asarray(v, jnp.float32), shape) for v in vis_out
+        )
+        return col, vis_arrays
     return col
 
 
@@ -333,15 +352,17 @@ def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape):
 # ---------------------------------------------------------------------------
 
 
-def render_tile(scene: Scene, cfg: RenderConfig, row0, col0, bh: int, bw: int):
+def render_tile(scene: Scene, cfg: RenderConfig, row0, col0, bh: int, bw: int,
+                vis_in=None, return_vis: bool = False):
     """Render a (bh, bw) tile whose top-left pixel is (row0, col0).
 
-    Returns SoA (r, g, b), each (bh, bw) float32. ``row0``/``col0`` may be
-    traced scalars (shard offsets / Pallas program ids).
+    Returns SoA (r, g, b), each (bh, bw) float32 (plus the per-light
+    visibility tuple when ``return_vis``). ``row0``/``col0`` may be traced
+    scalars (shard offsets / Pallas program ids).
     """
     # Integer iota (Mosaic requires int iota results), then cast.
     ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     jj = col0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
     o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width)
     o = vm.vbroadcast(o, (bh, bw))
-    return shade(scene, o, d, cfg, (bh, bw))
+    return shade(scene, o, d, cfg, (bh, bw), vis_in=vis_in, return_vis=return_vis)
