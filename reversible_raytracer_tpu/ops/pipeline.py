@@ -53,6 +53,11 @@ class RenderConfig:
     # pipeline; "depth" renders 1/(1+t) (white near, black far, 0 on miss);
     # "normal" renders the camera-facing normal mapped to [0,1]^3.
     shader: str = "phong"
+    # Camera projection (SURVEY.md C3 mentions an orthographic variant).
+    # "orthographic" keeps the perspective framing at the look_at plane:
+    # the ortho half-height is tan(fov/2) * |look_at - eye|, so switching
+    # projections frames the same scene comparably.
+    projection: str = "perspective"  # "perspective" | "orthographic"
 
     @property
     def shape(self):
@@ -77,7 +82,7 @@ def camera_basis(cam) -> tuple[Vec3, Vec3, Vec3]:
     return right, up, fwd
 
 
-def camera_rays(cam, ii, jj, H: int, W: int) -> tuple[Vec3, Vec3]:
+def camera_rays(cam, ii, jj, H: int, W: int, projection: str = "perspective") -> tuple[Vec3, Vec3]:
     """Per-pixel ray (origin, unit direction) for pixel rows ``ii`` / cols
     ``jj`` (float arrays of any broadcastable shape).
 
@@ -91,6 +96,16 @@ def camera_rays(cam, ii, jj, H: int, W: int) -> tuple[Vec3, Vec3]:
     # Pixel centers -> NDC in [-1, 1], y up.
     sx = ((jj + 0.5) * (2.0 / W) - 1.0) * tanf * aspect
     sy = (1.0 - (ii + 0.5) * (2.0 / H)) * tanf
+    if projection == "orthographic":
+        # Parallel rays along +fwd; the image plane spans the perspective
+        # frustum's footprint at the look_at distance.
+        eye = vm.splat(cam.eye)
+        dist = vm.vnorm(vm.vsub(vm.splat(cam.look_at), eye))
+        o = vm.vadd(
+            eye,
+            vm.vadd(vm.vscale(right, sx * dist), vm.vscale(up, sy * dist)),
+        )
+        return o, fwd  # scalar components broadcast against pixel arrays
     d = vm.vnormalize(
         vm.vadd(fwd, vm.vadd(vm.vscale(right, sx), vm.vscale(up, sy)))
     )
@@ -363,6 +378,7 @@ def render_tile(scene: Scene, cfg: RenderConfig, row0, col0, bh: int, bw: int,
     # Integer iota (Mosaic requires int iota results), then cast.
     ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     jj = col0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
-    o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width)
+    o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width, cfg.projection)
     o = vm.vbroadcast(o, (bh, bw))
+    d = vm.vbroadcast(d, (bh, bw))
     return shade(scene, o, d, cfg, (bh, bw), vis_in=vis_in, return_vis=return_vis)

@@ -35,7 +35,7 @@ def _normalize(v, axis=-1):
     return v / np.where(n > 1e-12, n, 1.0)
 
 
-def _camera_rays(cam, H, W):
+def _camera_rays(cam, H, W, projection="perspective"):
     eye = _np(cam.eye)
     look = _np(cam.look_at)
     up_hint = _np(cam.up)
@@ -47,6 +47,15 @@ def _camera_rays(cam, H, W):
     jj, ii = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
     sx = ((jj + 0.5) * (2.0 / W) - 1.0) * tanf * aspect
     sy = (1.0 - (ii + 0.5) * (2.0 / H)) * tanf
+    if projection == "orthographic":
+        dist = np.linalg.norm(look - eye)
+        o = (
+            eye[None, None, :]
+            + (sx * dist)[..., None] * right[None, None, :]
+            + (sy * dist)[..., None] * up[None, None, :]
+        )
+        d = np.broadcast_to(fwd, o.shape)
+        return o, d
     d = fwd[None, None, :] + sx[..., None] * right[None, None, :] + sy[..., None] * up[None, None, :]
     d = _normalize(d)
     o = np.broadcast_to(eye, d.shape)
@@ -129,13 +138,13 @@ def _occluded(arr, o, ldir, dist):
     return occ
 
 
-def render(scene, height, width, shadows=True, clip=True):
+def render(scene, height, width, shadows=True, clip=True, projection="perspective"):
     """Render the scene exactly like the jnp/Pallas pipeline claims to.
 
     Returns float64 (H, W, 3).
     """
     arr = _scene_arrays(scene)
-    o, d = _camera_rays(scene.camera, height, width)
+    o, d = _camera_rays(scene.camera, height, width, projection)
     H, W = height, width
 
     ts, tr, ra, rb = _all_hits(arr, o, d)
