@@ -25,6 +25,8 @@ def _add_common(p):
                    help="render implementation (auto: Pallas on TPU)")
     p.add_argument("--scene", type=str, default=None,
                    help="JSON scene file overriding the config's parameters")
+    p.add_argument("--spp", type=int, default=1, choices=[1, 4],
+                   help="samples per pixel (4 = 2x2 supersampling AA)")
 
 
 def _build(args):
@@ -37,6 +39,10 @@ def _build(args):
         from .utils.sceneio import load_scene
 
         scene = load_scene(args.scene, scene)
+    if getattr(args, "spp", 1) != 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, spp=args.spp)
     return scene, spec, cfg
 
 

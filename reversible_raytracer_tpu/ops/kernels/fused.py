@@ -173,9 +173,12 @@ def _make_fused(
     # Shadow visibility is a step function (zero gradient): the forward
     # saves it per light, and the backward replay skips the shadow any-hit
     # loop entirely (~25% of the step for 1-light scenes at 512^2).
+    # Disabled for spp > 1 (each subsample has its own visibility; storing
+    # the average would corrupt the replay) — multi-sample backward falls
+    # back to full recompute.
     n_vis = (
         scene_like.lights.count
-        if (cfg.shadows and cfg.shader == "phong")
+        if (cfg.shadows and cfg.shader == "phong" and cfg.spp == 1)
         else 0
     )
 

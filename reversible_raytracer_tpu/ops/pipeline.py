@@ -58,6 +58,12 @@ class RenderConfig:
     # the ortho half-height is tan(fov/2) * |look_at - eye|, so switching
     # projections frames the same scene comparably.
     projection: str = "perspective"  # "perspective" | "orthographic"
+    # Samples per pixel (anti-aliasing): 1 = pixel centers (reference
+    # semantics); 4 = a 2x2 subpixel grid averaged in place — fully fused in
+    # the kernels (no extra HBM traffic), and the area-averaging slightly
+    # softens silhouette edges, which also improves gradient quality at
+    # geometric boundaries.
+    spp: int = 1  # 1 | 4
 
     @property
     def shape(self):
@@ -378,7 +384,31 @@ def render_tile(scene: Scene, cfg: RenderConfig, row0, col0, bh: int, bw: int,
     # Integer iota (Mosaic requires int iota results), then cast.
     ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
     jj = col0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1).astype(jnp.float32)
-    o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width, cfg.projection)
-    o = vm.vbroadcast(o, (bh, bw))
-    d = vm.vbroadcast(d, (bh, bw))
-    return shade(scene, o, d, cfg, (bh, bw), vis_in=vis_in, return_vis=return_vis)
+
+    if cfg.spp == 1:
+        offsets = [(0.0, 0.0)]
+    elif cfg.spp == 4:  # 2x2 subpixel grid (offsets relative to the center)
+        offsets = [(-0.25, -0.25), (-0.25, 0.25), (0.25, -0.25), (0.25, 0.25)]
+    else:
+        raise ValueError(f"spp must be 1 or 4, got {cfg.spp}")
+
+    acc = None
+    vis_acc = None
+    for oi, oj in offsets:
+        o, d = camera_rays(
+            scene.camera, ii + oi, jj + oj, cfg.height, cfg.width, cfg.projection
+        )
+        o = vm.vbroadcast(o, (bh, bw))
+        d = vm.vbroadcast(d, (bh, bw))
+        out = shade(scene, o, d, cfg, (bh, bw), vis_in=vis_in, return_vis=return_vis)
+        col, vis = out if return_vis else (out, None)
+        acc = col if acc is None else vm.vadd(acc, col)
+        if return_vis:
+            vis_acc = vis if vis_acc is None else tuple(
+                a + b for a, b in zip(vis_acc, vis)
+            )
+    inv = 1.0 / len(offsets)
+    col = vm.vscale(acc, inv)
+    if return_vis:
+        return col, tuple(v * inv for v in vis_acc)
+    return col
