@@ -40,6 +40,10 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
         impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if impl == "jnp":
         return render_jnp(scene, cfg)
+    if impl == "jnp_vec":
+        from .pipeline_vec import render_jnp_vec
+
+        return render_jnp_vec(scene, cfg)
     if impl == "pallas":
         from .kernels.fused import render_pallas
 
