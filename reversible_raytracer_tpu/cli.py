@@ -21,8 +21,9 @@ def _add_common(p):
                    help="driver benchmark config number (BASELINE.json)")
     p.add_argument("--size", type=int, default=None,
                    help="image size (default: the config's native size)")
-    p.add_argument("--impl", choices=["auto", "jnp", "pallas"], default="auto",
-                   help="render implementation (auto: Pallas on TPU)")
+    p.add_argument("--impl", choices=["auto", "jnp", "jnp_vec", "pallas"], default="auto",
+                   help="render implementation (auto: Pallas on TPU; jnp_vec: "
+                        "object-vectorized, O(1) compile for huge object counts)")
     p.add_argument("--scene", type=str, default=None,
                    help="JSON scene file overriding the config's parameters")
     p.add_argument("--spp", type=int, default=1, choices=[1, 4],
@@ -55,6 +56,10 @@ def _render_fn(cfg, impl):
         from .ops.kernels.fused import render_pallas
 
         return lambda s: render_pallas(s, cfg), impl
+    if impl == "jnp_vec":
+        from .ops.pipeline_vec import render_jnp_vec
+
+        return lambda s: render_jnp_vec(s, cfg), impl
     from .ops.render import render_jnp
 
     return lambda s: render_jnp(s, cfg), impl
