@@ -64,6 +64,10 @@ def _band_render_fn(cfg: RenderConfig, band: int, impl: str):
         from ..ops.kernels.fused import render_pallas
 
         return lambda scene, row0: render_pallas(scene, cfg, row0=row0, out_height=band)
+    if impl == "jnp_vec":
+        from ..ops.pipeline_vec import render_jnp_vec
+
+        return lambda scene, row0: render_jnp_vec(scene, cfg, row0=row0, height=band)
     return lambda scene, row0: render_jnp(scene, cfg, row0=row0, height=band)
 
 

@@ -81,3 +81,16 @@ def test_vec_trace_is_object_count_independent():
         return len(jaxpr.jaxpr.eqns)
 
     assert n_eqns_unrolled(64) > 4 * n_eqns_unrolled(8)
+
+
+def test_vec_sharded_band_rendering():
+    """The vectorized path slots into the shard_map row-band machinery."""
+    from reversible_raytracer_tpu.parallel import make_ray_mesh, render_sharded
+
+    scene, _, _ = configs.config5_many_spheres(64, n_spheres=16)
+    cfg = RenderConfig(height=64, width=64, shadows=True)
+    mesh = make_ray_mesh(8)
+    a = np.asarray(render_sharded(scene, cfg, mesh, impl="jnp_vec"))
+    b = np.asarray(render_jnp(scene, cfg))
+    err = np.abs(a - b)
+    assert float((err > 1e-4).mean()) < 1e-3
