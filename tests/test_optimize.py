@@ -110,3 +110,22 @@ def test_checkpoint_roundtrip(tmp_path):
     assert step == 7
     for a, b in zip(jax.tree_util.tree_leaves(scene), jax.tree_util.tree_leaves(scene2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_config2_converges():
+    """Driver config 2 (4 spheres + plane, Phong, shadows): recover
+    centers/radii/albedos from a 5% perturbation with the documented
+    robust recipe (Adam cosine, lr<=5e-3 — see docs/OPTIMIZATION_NOTES.md)."""
+    import numpy as np
+
+    from reversible_raytracer_tpu.models import configs as cfgs
+
+    scene, spec, _ = cfgs.config2_four_spheres()
+    cfg = RenderConfig(height=96, width=96, shadows=True)
+    target = render_jnp(scene, cfg)
+    start = cfgs.perturb(scene, spec, scale=0.05, seed=7)
+    e0 = float(param_error(start, scene, spec))
+    final, losses = optimize_scan(start, target, spec, cfg, OptConfig(iters=400, lr=3e-3))
+    err = float(param_error(final, scene, spec))
+    assert err < 0.06, f"param RMS {e0} -> {err}"
+    assert float(np.asarray(losses)[-1]) < float(np.asarray(losses)[0]) * 0.6
