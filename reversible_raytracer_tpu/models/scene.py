@@ -269,6 +269,21 @@ def lights(positions, colors) -> Lights:
 # ---------------------------------------------------------------------------
 
 
+def path_matches(name: str, needle: str) -> bool:
+    """Segment-aware dotted-path matching: ``needle`` must align to '.'
+    boundaries of ``name``, so "spheres.material.color" does NOT match
+    "...color2" (that substring bug silently marked color2 trainable — it
+    has zero gradient when checker==0, putting a permanent noise floor
+    under param-RMS convergence metrics)."""
+    if name == needle:
+        return True
+    if name.startswith(needle + "."):
+        return True
+    if name.endswith("." + needle):
+        return True
+    return ("." + needle + ".") in name
+
+
 @dataclass(frozen=True)
 class ParamSpec:
     """Which leaves of the Scene pytree are optimized, and their box bounds.
@@ -298,12 +313,12 @@ class ParamSpec:
     def train(self, path_pred, lower=-np.inf, upper=np.inf) -> "ParamSpec":
         """Mark leaves whose dotted path satisfies ``path_pred`` trainable.
 
-        ``path_pred`` is a string (substring match, e.g. "spheres.center")
-        or a callable path -> bool.
+        ``path_pred`` is a string (segment-aware match, e.g.
+        "spheres.center" — see `path_matches`) or a callable path -> bool.
         """
         if isinstance(path_pred, str):
             needle = path_pred
-            path_pred = lambda p: needle in p
+            path_pred = lambda p: path_matches(p, needle)
 
         def visit(tree, update):
             paths_leaves = jax.tree_util.tree_flatten_with_path(tree)

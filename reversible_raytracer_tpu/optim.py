@@ -78,7 +78,9 @@ def _path_name(path) -> str:
 
 def scale_by_path(rules):
     """optax transform: multiply each leaf's update by the factor of the
-    first rule whose substring appears in the leaf's dotted path."""
+    first rule matching the leaf's dotted path (segment-aware — same
+    convention as ParamSpec.train, so "color" never matches "color2")."""
+    from .models.scene import path_matches
 
     def init(params):
         return optax.EmptyState()
@@ -86,8 +88,8 @@ def scale_by_path(rules):
     def update(updates, state, params=None):
         def scale(path, u):
             name = _path_name(path)
-            for substr, mult in rules:
-                if substr in name:
+            for needle, mult in rules:
+                if path_matches(name, needle):
                     return u * mult
             return u
 
@@ -203,7 +205,9 @@ def optimize(
             img = render_jnp(scene, rcfg) if render_fn is None else render_fn(scene)
             save_png(f"{frame_dir}/frame_{it:05d}.png", img)
         if checkpoint_every and checkpoint_path and it and it % checkpoint_every == 0:
-            ckpt.save(checkpoint_path, scene, opt_state, it)
+            # it+1: iteration `it` has already been applied, so resume must
+            # restart at the NEXT iteration (saving `it` double-applied it).
+            ckpt.save(checkpoint_path, scene, opt_state, it + 1)
     if checkpoint_path:
         ckpt.save(checkpoint_path, scene, opt_state, ocfg.iters)
     return scene, history

@@ -23,10 +23,18 @@ def _load():
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "oracle.cpp"))
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or (os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    )
+    if stale:
+        # Always (re)build when the source is newer: a stale binary (e.g.
+        # built with -march=native on another CPU) must never silently
+        # shadow oracle.cpp edits. The .so is gitignored, never committed.
         try:
             subprocess.run(
-                ["make", "-s", "liboracle.so"],
+                ["make", "-s", "-B", "liboracle.so"],
                 cwd=os.path.abspath(_NATIVE_DIR),
                 check=True,
                 capture_output=True,

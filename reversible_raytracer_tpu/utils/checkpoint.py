@@ -40,8 +40,15 @@ def save(path: str, scene, opt_state=None, step: int = 0) -> None:
     os.replace(tmp, path)
 
 
-def load(path: str, scene_like, opt_state_like=None):
-    """Restore (scene, opt_state, step) using templates for structure."""
+def load(path: str, scene_like, opt_state_like=None, allow_partial: bool = False):
+    """Restore (scene, opt_state, step) using templates for structure.
+
+    Strict by default: a checkpoint missing optimizer-state keys for the
+    given template raises (silently resetting Adam moments corrupts a
+    resumed run undetectably). Pass ``allow_partial=True`` to substitute
+    template leaves for missing keys (e.g. loading a scene-only checkpoint
+    into a run with a different optimizer).
+    """
     with np.load(path) as data:
         step = int(data["__step__"])
         names, _, treedef = _flatten_with_names(scene_like)
@@ -51,8 +58,20 @@ def load(path: str, scene_like, opt_state_like=None):
         if opt_state_like is not None:
             flat, odef = jax.tree_util.tree_flatten(opt_state_like)
             restored = []
+            missing = []
             for i, like in enumerate(flat):
                 key = f"opt/{i}"
-                restored.append(jnp.asarray(data[key]) if key in data else like)
+                if key in data:
+                    restored.append(jnp.asarray(data[key]))
+                else:
+                    missing.append(key)
+                    restored.append(like)
+            if missing and not allow_partial:
+                raise ValueError(
+                    f"checkpoint {path!r} is missing optimizer-state keys "
+                    f"{missing} for this optimizer (template has {len(flat)} "
+                    f"leaves); pass allow_partial=True to substitute "
+                    f"template values"
+                )
             opt_state = jax.tree_util.tree_unflatten(odef, restored)
     return scene, opt_state, step
