@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Produce the reference-style visual-verification artifacts for configs 1-4
+in one command (VERDICT round-1 item #9): for each config, render
+
+    examples/artifacts/config<N>/target.png   — ground-truth render
+    examples/artifacts/config<N>/start.png    — perturbed starting scene
+    examples/artifacts/config<N>/final.png    — after inverse rendering
+    examples/artifacts/config<N>/convergence.gif — per-iteration frames
+
+The reference (lebek/reversible-raytracer) verified its optimizer visually
+via per-iteration PNG dumps assembled into GIFs (SURVEY.md §4 "de-facto
+verification was visual"); this is that workflow's counterpart.
+
+Usage:
+    python examples/make_artifacts.py                 # all of configs 1-4
+    python examples/make_artifacts.py --configs 1 2   # subset
+    python examples/make_artifacts.py --size 64       # override resolution
+(CPU note: config sizes scale to 64-128 by default off-TPU to stay fast.)
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4])
+    ap.add_argument("--size", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--outdir", default="examples/artifacts")
+    args = ap.parse_args()
+
+    import jax
+
+    from reversible_raytracer_tpu.cli import main as cli
+
+    on_tpu = jax.default_backend() == "tpu"
+    # Small-but-recognizable defaults off-TPU; native config sizes on TPU.
+    size_default = {1: 64, 2: 128, 3: 128, 4: 128} if not on_tpu else {}
+    iters = args.iters or (400 if on_tpu else 120)
+
+    for num in args.configs:
+        out = os.path.join(args.outdir, f"config{num}")
+        frames = os.path.join(out, "frames")
+        os.makedirs(frames, exist_ok=True)
+        size = args.size or size_default.get(num)
+        size_args = ["--size", str(size)] if size else []
+
+        cli(["render", "--config", str(num), *size_args,
+             "-o", os.path.join(out, "target.png")])
+        # start.png: zero-iteration "inversion" renders the perturbed scene.
+        cli(["invert", "--config", str(num), *size_args, "--iters", "1",
+             "--lr", "0", "--log-every", "0",
+             "-o", os.path.join(out, "start.png")])
+        cli(["invert", "--config", str(num), *size_args,
+             "--iters", str(iters), "--log-every", str(max(iters // 10, 1)),
+             "--metrics", os.path.join(out, "metrics.jsonl"),
+             "--frame-every", str(max(iters // 40, 1)),
+             "--frames-dir", frames,
+             "--gif", os.path.join(out, "convergence.gif"),
+             "-o", os.path.join(out, "final.png")])
+        print(f"config {num}: artifacts in {out}/")
+
+
+if __name__ == "__main__":
+    main()

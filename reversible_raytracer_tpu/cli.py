@@ -21,7 +21,7 @@ def _add_common(p):
                    help="driver benchmark config number (BASELINE.json)")
     p.add_argument("--size", type=int, default=None,
                    help="image size (default: the config's native size)")
-    p.add_argument("--impl", choices=["auto", "jnp", "jnp_vec", "pallas"], default="auto",
+    p.add_argument("--impl", choices=["auto", "jnp", "jnp_vec", "pallas", "pallas_vec"], default="auto",
                    help="render implementation (auto: Pallas on TPU; jnp_vec: "
                         "object-vectorized, O(1) compile for huge object counts)")
     p.add_argument("--scene", type=str, default=None,
@@ -47,15 +47,24 @@ def _build(args):
     return scene, spec, cfg
 
 
-def _render_fn(cfg, impl):
+def _render_fn(cfg, impl, n_obj=None):
     import jax
 
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if jax.default_backend() == "tpu":
+            # Unrolled kernels compile O(N); chunked kernels O(1) — pick by N
+            # (same policy as ops.render.render).
+            impl = "pallas" if (n_obj is None or n_obj <= 24) else "pallas_vec"
+        else:
+            impl = "jnp"
     if impl == "pallas":
         from .ops.kernels.fused import render_pallas
 
         return lambda s: render_pallas(s, cfg), impl
+    if impl == "pallas_vec":
+        from .ops.kernels.fused_vec import render_pallas_vec
+
+        return lambda s: render_pallas_vec(s, cfg), impl
     if impl == "jnp_vec":
         from .ops.pipeline_vec import render_jnp_vec
 
@@ -75,7 +84,7 @@ def cmd_render(args):
     scene, _, cfg = _build(args)
     if getattr(args, "shader", "phong") != "phong":
         cfg = dataclasses.replace(cfg, shader=args.shader)
-    render, impl = _render_fn(cfg, args.impl)
+    render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count)
     t0 = time.perf_counter()
     img = jax.jit(render)(scene)
     jax.block_until_ready(img)
@@ -98,7 +107,7 @@ def cmd_invert(args):
         initialize(args.coordinator, args.num_processes, args.process_id)
 
     scene, spec, cfg = _build(args)
-    render, impl = _render_fn(cfg, args.impl)
+    render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count)
 
     if args.paranoid:
         from .utils.paranoid import checked_render, enable_nan_debugging
@@ -122,14 +131,28 @@ def cmd_invert(args):
     ocfg = OptConfig(iters=args.iters, lr=args.lr, loss=args.loss, schedule=args.schedule)
     logger = MetricsLogger(jsonl_path=args.metrics, echo=not args.quiet)
 
-    if args.sharded:
+    if args.anneal:
+        from .optim import optimize_annealed
+
+        assert truth is not None, "--anneal needs the ground-truth scene (no --target)"
+        taus = tuple(float(x) for x in args.anneal.split(","))
+        t0 = time.perf_counter()
+        final, losses = optimize_annealed(
+            start, target, spec, cfg, ocfg, taus=taus, target_scene=truth,
+        )
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        logger.log(step=len(losses), loss=float(losses[-1]), wall_s=round(dt, 3),
+                   taus=list(taus))
+        history = [{"loss": float(losses[-1])}]
+    elif args.sharded:
         from .parallel import make_ray_mesh, optimize_sharded_scan
 
         mesh = make_ray_mesh()
         t0 = time.perf_counter()
         final, losses = optimize_sharded_scan(
             start, target, mesh, cfg, spec, ocfg,
-            impl="pallas" if impl == "pallas" else "jnp",
+            impl=impl if impl in ("pallas", "pallas_vec", "jnp_vec") else "jnp",
         )
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
@@ -149,8 +172,9 @@ def cmd_invert(args):
     if truth is not None:
         err = float(param_error(final, truth, spec))
         print(f"final param RMS error vs truth: {err:.5f}", file=sys.stderr)
+    final_loss = f"{history[-1]['loss']:.3e}" if history else "n/a (--log-every 0)"
     print(f"optimized {args.iters} iters in {dt:.1f}s "
-          f"(final loss {history[-1]['loss']:.3e})", file=sys.stderr)
+          f"(final loss {final_loss})", file=sys.stderr)
     if args.save_scene:
         from .utils.sceneio import save_scene
 
@@ -217,6 +241,12 @@ def main(argv=None):
     pi.add_argument("--checkpoint", type=str, default=None)
     pi.add_argument("--checkpoint-every", type=int, default=0)
     pi.add_argument("--resume", type=str, default=None)
+    pi.add_argument("--anneal", type=str, default=None, metavar="TAUS",
+                    help="soft-visibility annealed inversion (silhouette-"
+                         "aware gradients): comma-separated tau schedule, "
+                         "e.g. '0.08,0.03,0' — runs --iters Adam steps per "
+                         "stage on the jnp_vec renderer. Requires the "
+                         "ground-truth scene (i.e. no --target image).")
     pi.add_argument("--save-scene", type=str, default=None)
     pi.add_argument("-o", "--output", type=str, default=None,
                     help="save the final render as PNG")

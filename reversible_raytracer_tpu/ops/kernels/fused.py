@@ -171,14 +171,13 @@ def _make_fused(
     f32 = jnp.float32
 
     # Shadow visibility is a step function (zero gradient): the forward
-    # saves it per light, and the backward replay skips the shadow any-hit
-    # loop entirely (~25% of the step for 1-light scenes at 512^2).
-    # Disabled for spp > 1 (each subsample has its own visibility; storing
-    # the average would corrupt the replay) — multi-sample backward falls
-    # back to full recompute.
+    # saves it per (subsample, light) plane, and the backward replay skips
+    # the shadow any-hit loop entirely (~25% of the step for 1-light scenes
+    # at 512^2). spp subsamples each carry their own shadow decision, so
+    # spp * L planes are saved (render_tile's subsample-major layout).
     n_vis = (
-        scene_like.lights.count
-        if (cfg.shadows and cfg.shader == "phong" and cfg.spp == 1)
+        scene_like.lights.count * cfg.spp
+        if (cfg.shadows and cfg.shader == "phong")
         else 0
     )
 

@@ -1,0 +1,604 @@
+"""Object-chunked fused Pallas kernels: O(1) compile time in object count.
+
+The primary fused kernels (`fused.py`) unroll the object loop at trace time
+— unbeatable for O(10) objects, but compile time grows linearly with N
+(~2 min at 65 objects) and the unrolled chain's live set eventually
+exhausts VMEM. This module is the large-N production path (SURVEY.md §5.7
+"(objects x ray-tiles) 2-D blocking"; VERDICT round-1 item #1): scene
+objects live in **SMEM arrays** (`spheres: (N, 16)`, `rects: (M, 21)`) and
+the kernel walks them with `lax.fori_loop` + dynamic scalar reads — one
+compiled loop body for ANY object count.
+
+Semantics are identical to `ops/pipeline_vec.render_jnp_vec` (which is
+itself locked to the unrolled pipeline and the f64 oracles by tests):
+first-wins nearest hit, hard shadows, checker materials, Lambertian+Phong.
+The shading math is literally shared — the kernel calls
+`pipeline.shade_from_attrs`, injecting its loop-based occlusion test.
+
+Forward kernel (per image tile):
+  1. rays from camera scalars + tile iota (never touch HBM);
+  2. fori_loop over spheres then rects: intersect, where-select the
+     nearest hit's 10 attribute planes (same subgradient convention as the
+     unrolled T.switch-style chain);
+  3. fori_loop occlusion any-hit per light; `shade_from_attrs`.
+
+Backward kernel (recompute-in-backward, no per-pixel residuals except the
+zero-gradient shadow-visibility planes saved by the forward):
+  1. replay the trace loop to recover (t_sel, k_best);
+  2. `jax.vjp` of the object-count-independent shading stage w.r.t.
+     (globals, rays, t, attribute planes);
+  3. fori_loop over objects: vjp of each object's (t_k, attrs_k) w.r.t.
+     its 16/21 scalars and the rays, with cotangents masked by
+     (k_best == k); per-object grads accumulate into SMEM output rows
+     (dynamic row writes; race-free across the sequential TPU grid);
+  4. vjp of ray generation closes the camera-gradient path.
+
+Gradient fidelity holds by construction: masked-cotangent accumulation is
+exactly the transpose of the where-select chain, so grads match `jax.grad`
+of `render_jnp_vec` (tests enforce it in interpret mode).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.scene import Scene
+from .. import vecmath as vm
+from ..pipeline import (
+    BIG,
+    RenderConfig,
+    camera_rays,
+    intersect_rect,
+    intersect_sphere,
+    shade_from_attrs,
+)
+from .fused import _round_up, _scalar_view, flatten_scene, scene_layout
+
+P_SPH = 16  # center(3) radius(1) color(3) color2(3) checker(1) cscale(1) ka kd ks shin
+P_RCT = 21  # origin(3) edge_u(3) edge_v(3) + same 12 material scalars
+
+ATTR_NAMES = ("nx", "ny", "nz", "cr", "cg", "cb", "ka", "kd", "ks", "shin")
+
+# Backward chunk-skip granularity (see obj_backward). SMEM object arrays are
+# padded to a CHUNK multiple with these BENIGN far-away rows: every
+# computation on them stays finite, so zero cotangents yield exactly-zero
+# gradient contributions (an all-zero pad row would divide by radius 0 and
+# turn 0-cotangent vjps into NaNs).
+CHUNK = 16
+_SPH_PAD_ROW = np.array(
+    [0.0, 0.0, 1e6, 1.0] + [0.5] * 6 + [0.0, 1.0, 0.5, 0.5, 0.0, 1.0], np.float32
+)
+_RCT_PAD_ROW = np.array(
+    [0.0, 0.0, 1e6, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+    + [0.5] * 6 + [0.0, 1.0, 0.5, 0.5, 0.0, 1.0],
+    np.float32,
+)
+
+
+@dataclass(frozen=True)
+class VecTileConfig:
+    """Static tiling for the object-chunked kernels. VMEM use is O(1) in
+    object count (the loop carries ~12 tile planes), so tiles are fixed."""
+
+    bh: int = 128
+    bw: int = 128
+    bh_bwd: int = 64
+    bw_bwd: int = 128
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing (differentiable jnp: grads flow back through it)
+# ---------------------------------------------------------------------------
+
+
+def _mat_cols(mat):
+    return [
+        mat.color,  # (K, 3)
+        mat.color2,  # (K, 3)
+        mat.checker[:, None],
+        mat.checker_scale[:, None],
+        mat.ka[:, None],
+        mat.kd[:, None],
+        mat.ks[:, None],
+        mat.shininess[:, None],
+    ]
+
+
+def pack_spheres(scene: Scene) -> jnp.ndarray:
+    sp = scene.spheres
+    if sp.count == 0:
+        return jnp.zeros((0, P_SPH), jnp.float32)
+    cols = [sp.center, sp.radius[:, None]] + _mat_cols(sp.material)
+    return jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
+
+
+def pack_rects(scene: Scene) -> jnp.ndarray:
+    rc = scene.rects
+    if rc.count == 0:
+        return jnp.zeros((0, P_RCT), jnp.float32)
+    cols = [rc.origin, rc.edge_u, rc.edge_v] + _mat_cols(rc.material)
+    return jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
+
+
+def globals_tree(scene: Scene):
+    """The object-count-independent scene parameters, as a dict pytree
+    (enters the kernel as one flat SMEM vector via fused.scene_layout)."""
+    return {
+        "ambient": scene.ambient,
+        "background": scene.background,
+        "camera": scene.camera,
+        "lights": scene.lights,
+    }
+
+
+def _globals_ns(gview):
+    """Scene-like namespace for shade_from_attrs (lights/ambient/background)."""
+    return SimpleNamespace(
+        lights=gview["lights"], ambient=gview["ambient"], background=gview["background"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel object math (scalar params -> tile planes)
+# ---------------------------------------------------------------------------
+
+
+def _sphere_eval(pv, o, d, t_known=None):
+    """(t, attr planes) of sphere with packed scalars ``pv`` (len 16).
+
+    Mirrors pipeline.trace_nearest's sphere branch exactly (same primitive
+    sequence -> same subgradients and bits). ``t_known`` lets the forward
+    loop reuse an already-computed t (identical value; the backward never
+    passes it so gradients flow through the intersection)."""
+    center = (pv[0], pv[1], pv[2])
+    radius = pv[3]
+    t = intersect_sphere(o, d, center, radius) if t_known is None else t_known
+    p = vm.vadd(o, vm.vscale(d, t))
+    p_local = vm.vsub(p, vm.splat(center))
+    inv_r = 1.0 / radius
+    n_unit = vm.vscale(p_local, inv_r)
+    cscale = pv[11]
+    parity = jnp.mod(
+        jnp.floor(p_local[0] * cscale)
+        + jnp.floor(p_local[1] * cscale)
+        + jnp.floor(p_local[2] * cscale),
+        2.0,
+    )
+    col = _checker(pv, parity)
+    return t, n_unit, col, (pv[12], pv[13], pv[14], pv[15])
+
+
+def _rect_eval(pv, o, d):
+    """(t, attr planes) of rect with packed scalars ``pv`` (len 21)."""
+    origin = (pv[0], pv[1], pv[2])
+    eu = (pv[3], pv[4], pv[5])
+    ev = (pv[6], pv[7], pv[8])
+    t, a, b, n = intersect_rect(o, d, origin, eu, ev)
+    n_unit = vm.vnormalize(n)
+    facing = jnp.where(vm.vdot(n_unit, d) < 0.0, 1.0, -1.0)
+    n_unit = vm.vscale(n_unit, facing)
+    cscale = pv[16]
+    parity = jnp.mod(jnp.floor(a * cscale) + jnp.floor(b * cscale), 2.0)
+    col = _checker(pv[5:], parity)  # material scalars start at index 9 = 5+4
+    return t, n_unit, col, (pv[17], pv[18], pv[19], pv[20])
+
+
+def _checker(pv_from_color, parity):
+    """Checker select from packed scalars where color starts at offset 4
+    (sphere layout) — for rects pass a shifted view so color lands at 4."""
+    c1 = vm.splat((pv_from_color[4], pv_from_color[5], pv_from_color[6]))
+    c2 = vm.splat((pv_from_color[7], pv_from_color[8], pv_from_color[9]))
+    use2 = pv_from_color[10] * parity
+    return vm.vwhere(use2 > 0.5, c2, c1)
+
+
+def _trace_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, with_kbest,
+                rct_offset=None):
+    """fori_loop nearest-hit over all objects. Returns (t_best, hit, attrs
+    dict[, k_best]). Object order (spheres then rects) and first-wins ties
+    match pipeline_vec's concatenated argmin."""
+    f32 = jnp.float32
+    t_best = jnp.full(shape, BIG, f32)
+    zero = jnp.zeros(shape, f32)
+    planes = [zero] * 9 + [jnp.ones(shape, f32)]  # shin init 1.0 as trace_nearest
+    kbest = jnp.full(shape, -1, jnp.int32)
+
+    def select(carry, k_global, t, n_unit, col, coeffs):
+        t_best, kbest, planes = carry
+        closer = t < t_best
+        new = list(n_unit) + list(col) + list(coeffs)
+        planes = tuple(jnp.where(closer, nv, ov) for nv, ov in zip(new, planes))
+        t_best = jnp.where(closer, t, t_best)
+        if with_kbest:
+            kbest = jnp.where(closer, k_global, kbest)
+        return t_best, kbest, planes
+
+    # NOTE on guards: a per-object lax.cond "skip attrs when the object
+    # beats no pixel" was tried and REVERTED — the scalar-vector sync per
+    # iteration broke Mosaic's loop pipelining (fwd 5.7 -> 7.7 ms at 513
+    # objects) and grew compile 100 s -> 760 s. The backward uses chunked
+    # conds instead (see obj_backward), where per-object vjps are heavy
+    # enough to win.
+    def sph_body(k, carry):
+        pv = tuple(sph_read(k, j) for j in range(P_SPH))
+        t, n_unit, col, coeffs = _sphere_eval(pv, o, d)
+        return select(carry, k, t, n_unit, col, coeffs)
+
+    def rct_body(k, carry):
+        pv = tuple(rct_read(k, j) for j in range(P_RCT))
+        t, n_unit, col, coeffs = _rect_eval(pv, o, d)
+        return select(carry, (n_sph if rct_offset is None else rct_offset) + k,
+                      t, n_unit, col, coeffs)
+
+    carry = (t_best, kbest, tuple(planes))
+    if n_sph:
+        carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
+    if n_rct:
+        carry = jax.lax.fori_loop(0, n_rct, rct_body, carry)
+    t_best, kbest, planes = carry
+    hit = t_best < BIG * 0.5
+    at = dict(zip(ATTR_NAMES, planes))
+    if with_kbest:
+        return t_best, hit, at, kbest
+    return t_best, hit, at
+
+
+def _occluded_loop(sph_read, n_sph, rct_read, n_rct):
+    """Loop-based shadow any-hit (the occluded_fn injected into shading)."""
+
+    def occluded_fn(so, ld, dist):
+        # f32 0/1 accumulator, not bool: Mosaic's packed i1 mask layout
+        # (vector<...xi1> vpad) does not reconcile across fori_loop carries
+        # (observed compile failure: arith.ori of 8x128x32xi1 vs 8x128xi1).
+        occ = jnp.zeros_like(dist)
+
+        def sph_body(k, occ):
+            c = (sph_read(k, 0), sph_read(k, 1), sph_read(k, 2))
+            t = intersect_sphere(so, ld, c, sph_read(k, 3))
+            return jnp.maximum(occ, (t < dist).astype(occ.dtype))
+
+        def rct_body(k, occ):
+            pv = tuple(rct_read(k, j) for j in range(9))
+            t, _, _, _ = intersect_rect(
+                so, ld, (pv[0], pv[1], pv[2]), (pv[3], pv[4], pv[5]), (pv[6], pv[7], pv[8])
+            )
+            return jnp.maximum(occ, (t < dist).astype(occ.dtype))
+
+        if n_sph:
+            occ = jax.lax.fori_loop(0, n_sph, sph_body, occ)
+        if n_rct:
+            occ = jax.lax.fori_loop(0, n_rct, rct_body, occ)
+        return occ > 0.5
+
+    return occluded_fn
+
+
+# ---------------------------------------------------------------------------
+# Kernel factory
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _make_fused_vec(
+    scene_like: Scene,
+    cfg: RenderConfig,
+    tiles: VecTileConfig,
+    interpret: bool,
+    out_h: int | None = None,
+):
+    if cfg.spp != 1:
+        raise NotImplementedError("fused_vec: spp>1 not supported (parity with render_jnp_vec)")
+    out_h = cfg.height if out_h is None else out_h
+    n_sph = scene_like.spheres.count
+    n_rct = scene_like.rects.count
+    n_lights = scene_like.lights.count
+    key = ((n_sph, n_rct, n_lights), cfg, tiles, interpret, out_h)
+    hit_entry = _CACHE.get(key)
+    if hit_entry is not None:
+        return hit_entry
+
+    gtreedef, gmeta, Sg = scene_layout(globals_tree(scene_like))
+    H, W = out_h, cfg.width
+    bh, bw = min(tiles.bh, _round_up(H, 8)), min(tiles.bw, _round_up(W, 128))
+    bhb = min(tiles.bh_bwd, _round_up(H, 8))
+    bwb = min(tiles.bw_bwd, _round_up(W, 128))
+    Hp = _round_up(H, math.lcm(bh, bhb))
+    Wp = _round_up(W, math.lcm(bw, bwb))
+    f32 = jnp.float32
+    # SMEM rows padded to a CHUNK multiple (benign rows; see _SPH_PAD_ROW) —
+    # the backward's chunked skip loops read whole chunks. Zero-count groups
+    # still pass one dummy chunk.
+    ns_pad = _round_up(max(n_sph, 1), CHUNK)
+    nr_pad = _round_up(max(n_rct, 1), CHUNK)
+
+    n_vis = n_lights if (cfg.shadows and cfg.shader == "phong") else 0
+
+    def tile_coords(off_ref, i, j, bh_, bw_):
+        row0 = off_ref[0, 0] + (i * bh_).astype(f32)
+        col0 = off_ref[0, 1] + (j * bw_).astype(f32)
+        ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh_, bw_), 0).astype(f32)
+        jj = col0 + jax.lax.broadcasted_iota(jnp.int32, (bh_, bw_), 1).astype(f32)
+        return ii, jj
+
+    def rays_for(gvals, ii, jj, shape):
+        gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
+        o, d = camera_rays(gview["camera"], ii, jj, cfg.height, cfg.width, cfg.projection)
+        return vm.vbroadcast(o, shape), vm.vbroadcast(d, shape), gview
+
+    # ------------------------------------------------------------- forward
+    def fwd_kernel(off_ref, glob_ref, sph_ref, rct_ref, r_ref, g_ref, b_ref, *vis_refs):
+        i, j = pl.program_id(0), pl.program_id(1)
+        ii, jj = tile_coords(off_ref, i, j, bh, bw)
+        gvals = tuple(glob_ref[0, idx] for idx in range(Sg))
+        o, d, gview = rays_for(gvals, ii, jj, (bh, bw))
+        sph_read = lambda k, c: sph_ref[k, c]
+        rct_read = lambda k, c: rct_ref[k, c]
+        t, hit, at = _trace_loop(
+            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), with_kbest=False
+        )
+        occluded_fn = _occluded_loop(sph_read, n_sph, rct_read, n_rct)
+        out = shade_from_attrs(
+            _globals_ns(gview), o, d, cfg, (bh, bw), t, hit, at,
+            occluded_fn=occluded_fn, return_vis=True,
+        )
+        (r, g, b), vis = out
+        r_ref[:, :] = r
+        g_ref[:, :] = g
+        b_ref[:, :] = b
+        for li in range(n_vis):
+            vis_refs[li][:, :] = vis[li]
+
+    fwd_call = pl.pallas_call(
+        fwd_kernel,
+        grid=(Hp // bh, Wp // bw),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bh, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ] * (3 + n_vis),
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), f32)] * (3 + n_vis),
+        interpret=interpret,
+    )
+
+    # ------------------------------------------------------------ backward
+    def bwd_kernel(off_ref, glob_ref, sph_ref, rct_ref, gr_ref, gg_ref, gb_ref,
+                   *rest):
+        vis_refs = rest[:n_vis]
+        dglob_ref, dsph_ref, drct_ref = rest[n_vis], rest[n_vis + 1], rest[n_vis + 2]
+        i, j = pl.program_id(0), pl.program_id(1)
+        ii, jj = tile_coords(off_ref, i, j, bhb, bwb)
+        shape = (bhb, bwb)
+        gvals = tuple(glob_ref[0, idx] for idx in range(Sg))
+        sph_read = lambda k, c: sph_ref[k, c]
+        rct_read = lambda k, c: rct_ref[k, c]
+
+        # Stage R: rays (differentiable in globals via the camera scalars).
+        def rays_fn(gvals):
+            o, d, _ = rays_for(gvals, ii, jj, shape)
+            return o, d
+
+        (o, d), rays_vjp = jax.vjp(rays_fn, gvals)
+
+        # Replay trace (no grad) for the select decisions and the winning
+        # attribute planes. The planes enter the shade stage as stop-gradded
+        # VALUES; their gradients route to object scalars via the masked
+        # per-object vjps below (the transpose of the where-select chain).
+        # Rects are numbered at ns_pad (not n_sph) in kbest space so that
+        # sphere PAD-row indices [n_sph, ns_pad) can never collide with a
+        # real rect index (a collision hands the rect's cotangent mask to a
+        # benign pad sphere at z=1e6 -> garbage camera gradients).
+        t_sel, hit, at_replay, kbest = _trace_loop(
+            sph_read, n_sph, rct_read, n_rct, o, d, shape, with_kbest=True,
+            rct_offset=ns_pad,
+        )
+        t_sel = jax.lax.stop_gradient(t_sel)
+        kbest = jax.lax.stop_gradient(kbest)
+        planes_replay = tuple(
+            jax.lax.stop_gradient(at_replay[name]) for name in ATTR_NAMES
+        )
+        vis_tiles = tuple(vr[:, :] for vr in vis_refs) if n_vis else None
+
+        # Stage S: object-count-independent shading. occluded_fn stays None:
+        # when shadows are on the forward saved the (zero-gradient)
+        # visibility planes, which vis_in replays.
+        def shade_fn(gvals, o, d, t, planes):
+            gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
+            at = dict(zip(ATTR_NAMES, planes))
+            return shade_from_attrs(
+                _globals_ns(gview), o, d, cfg, shape, t, hit, at,
+                vis_in=vis_tiles,
+            )
+
+        _, shade_vjp = jax.vjp(shade_fn, gvals, o, d, t_sel, planes_replay)
+        dcol = (gr_ref[:, :], gg_ref[:, :], gb_ref[:, :])
+        dg_shade, d_o, d_d, d_t, d_planes = shade_vjp(dcol)
+
+        # Stage O: per-object masked vjps, accumulating SMEM grad rows.
+        first = (i == 0) & (j == 0)
+
+        @pl.when(first)
+        def _():
+            for idx in range(Sg):
+                dglob_ref[0, idx] = 0.0
+
+            def z_sph(k, _):
+                for c in range(P_SPH):
+                    dsph_ref[k, c] = 0.0
+                return 0
+
+            def z_rct(k, _):
+                for c in range(P_RCT):
+                    drct_ref[k, c] = 0.0
+                return 0
+
+            jax.lax.fori_loop(0, ns_pad, z_sph, 0)
+            jax.lax.fori_loop(0, nr_pad, z_rct, 0)
+
+        def obj_backward(eval_fn, read, P, k_offset, dref, n_obj):
+            """Chunked masked vjps: a CHUNK of objects whose members win no
+            pixel of this tile has identically-zero cotangents, so the whole
+            chunk's vjps are skipped with ONE lax.cond (per-object conds
+            were tried and reverted — the scalar sync per iteration defeated
+            loop pipelining). SMEM rows are padded to a CHUNK multiple with
+            benign far-away objects so tail chunks read valid data."""
+
+            def per_object(k, acc2):
+                d_o_acc, d_d_acc = acc2
+                mask = (kbest == (k + k_offset)).astype(f32)
+                pv = tuple(read(k, c) for c in range(P))
+
+                def f(pv, o, d):
+                    t, n_unit, col, coeffs = eval_fn(pv, o, d)
+                    # Broadcast scalar outputs (material coefficients) to
+                    # the tile so cotangent shapes match; the vjp transpose
+                    # (reduce-sum) is exactly the where-select chain's.
+                    return tuple(
+                        jnp.broadcast_to(x, shape)
+                        for x in (t,) + tuple(n_unit) + tuple(col) + tuple(coeffs)
+                    )
+
+                _, obj_vjp = jax.vjp(f, pv, o, d)
+                cots = (d_t * mask,) + tuple(p * mask for p in d_planes)
+                dpv, d_o_k, d_d_k = obj_vjp(cots)
+                for c in range(P):
+                    dref[k, c] = dref[k, c] + dpv[c]
+                return (vm.vadd(d_o_acc, d_o_k), vm.vadd(d_d_acc, d_d_k))
+
+            def chunk_body(ci, acc):
+                k0 = ci * CHUNK
+                lo = k0 + k_offset
+                in_chunk = (
+                    (kbest >= lo) & (kbest < lo + CHUNK)
+                ).astype(f32)
+                any_live = jnp.max(in_chunk) > 0.0
+                return jax.lax.cond(
+                    any_live,
+                    lambda a: jax.lax.fori_loop(
+                        k0, k0 + CHUNK, per_object, a
+                    ),
+                    lambda a: a,
+                    acc,
+                )
+
+            n_chunks = (n_obj + CHUNK - 1) // CHUNK
+            return chunk_body, n_chunks
+
+        zero3 = (jnp.zeros(shape, f32),) * 3
+        acc = (zero3, zero3)
+        if n_sph:
+            chunk_body, n_chunks = obj_backward(
+                _sphere_eval, sph_read, P_SPH, 0, dsph_ref, n_sph
+            )
+            acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
+        if n_rct:
+            chunk_body, n_chunks = obj_backward(
+                _rect_eval, rct_read, P_RCT, ns_pad, drct_ref, n_rct
+            )
+            acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
+        d_o_obj, d_d_obj = acc
+
+        # Stage R transpose: close the camera path.
+        (dg_rays,) = rays_vjp((vm.vadd(d_o, d_o_obj), vm.vadd(d_d, d_d_obj)))
+        for idx in range(Sg):
+            dglob_ref[0, idx] = dglob_ref[0, idx] + dg_shade[idx] + dg_rays[idx]
+
+    bwd_call = pl.pallas_call(
+        bwd_kernel,
+        grid=(Hp // bhb, Wp // bwb),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ] * (3 + n_vis),
+        out_specs=[
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Sg), f32),
+            jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
+            jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
+        ],
+        interpret=interpret,
+    )
+
+    # --------------------------------------------------------- custom_vjp
+    def _pad(arr, n_pad, pad_row):
+        if arr.shape[0] == n_pad:
+            return arr
+        fill = jnp.tile(jnp.asarray(pad_row)[None], (n_pad - arr.shape[0], 1))
+        return jnp.concatenate([arr, fill], axis=0) if arr.shape[0] else fill
+
+    @jax.custom_vjp
+    def fused(gflat, sph, rct, offsets):
+        return tuple(fwd_call(offsets, gflat.reshape(1, Sg),
+                              _pad(sph, ns_pad, _SPH_PAD_ROW),
+                              _pad(rct, nr_pad, _RCT_PAD_ROW)))
+
+    def fused_fwd(gflat, sph, rct, offsets):
+        outs = fused(gflat, sph, rct, offsets)
+        return outs, (gflat, sph, rct, offsets, outs[3:])
+
+    def fused_bwd(res, cotangents):
+        gflat, sph, rct, offsets, vis = res
+        gr, gg, gb = cotangents[0], cotangents[1], cotangents[2]
+        dglob, dsph, drct = bwd_call(
+            offsets, gflat.reshape(1, Sg), _pad(sph, ns_pad, _SPH_PAD_ROW),
+            _pad(rct, nr_pad, _RCT_PAD_ROW), gr, gg, gb, *vis
+        )
+        return (
+            dglob.reshape(Sg),
+            dsph[: sph.shape[0]],
+            drct[: rct.shape[0]],
+            jnp.zeros_like(offsets),
+        )
+
+    fused.defvjp(fused_fwd, fused_bwd)
+
+    def apply(gflat, sph, rct, offsets):
+        outs = fused(gflat, sph, rct, offsets)
+        r, g, b = outs[0], outs[1], outs[2]
+        return jnp.stack([r[:H, :W], g[:H, :W], b[:H, :W]], axis=-1)
+
+    _CACHE[key] = apply
+    return apply
+
+
+def render_pallas_vec(
+    scene: Scene,
+    cfg: RenderConfig,
+    row0=0.0,
+    col0=0.0,
+    tiles: VecTileConfig | None = None,
+    interpret: bool = False,
+    out_height: int | None = None,
+):
+    """Render via the object-chunked Pallas kernels. Differentiable w.r.t.
+    ``scene`` (grads flow back through the pack_* concatenations into the
+    pytree). Same band-offset contract as fused.render_pallas for
+    shard_map row-band sharding."""
+    tiles = tiles or VecTileConfig()
+    apply = _make_fused_vec(scene, cfg, tiles, interpret, out_h=out_height)
+    gflat = flatten_scene(globals_tree(scene))
+    offsets = jnp.stack(
+        [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]
+    ).reshape(1, 2)
+    return apply(gflat, pack_spheres(scene), pack_rects(scene), offsets)

@@ -64,6 +64,16 @@ class RenderConfig:
     # softens silhouette edges, which also improves gradient quality at
     # geometric boundaries.
     spp: int = 1  # 1 | 4
+    # Soft-visibility relaxation (silhouette-aware gradients; a capability
+    # extension beyond the reference's hard-step semantics). 0.0 = hard
+    # (reference-faithful, the default). tau > 0 renders sphere silhouettes
+    # with coverage alpha = sigmoid(disc / (tau * r^2)) composited over the
+    # next-nearest surface, so sphere centers/radii receive gradient signal
+    # AT their silhouettes (raytracer autodiff otherwise has none — see
+    # docs/OPTIMIZATION_NOTES.md). Anneal tau -> 0 during inverse rendering
+    # (optim.optimize_annealed); the tau -> 0 limit is the hard image.
+    # jnp_vec-path only.
+    soft_tau: float = 0.0
 
     @property
     def shape(self):
@@ -296,28 +306,26 @@ def occluded(scene: Scene, o: Vec3, ldir: Vec3, dist):
 # ---------------------------------------------------------------------------
 
 
-def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
-          vis_in=None, return_vis: bool = False):
-    """Full shading pass.
+def shade_from_attrs(scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
+                     t, hit, at, occluded_fn=None,
+                     vis_in=None, return_vis: bool = False):
+    """Object-count-independent shading given nearest-hit results.
 
-    ``vis_in``: optional tuple of per-light visibility arrays. Visibility is
-    a step function (zero gradient), so the backward Pallas kernel saves it
-    as a forward residual and passes it here to skip the shadow any-hit
-    recompute during the vjp replay (SURVEY.md §7 backward memory plan).
-    ``return_vis``: also return the computed per-light visibility tuple.
+    Shared verbatim by the unrolled path (`shade`) and the object-chunked
+    Pallas kernels (ops/kernels/fused_vec.py), which compute (t, hit, at)
+    with their own object loops. ``scene`` only needs .lights/.ambient/
+    .background here; ``occluded_fn(shadow_o, ldir, dist) -> bool`` performs
+    the shadow any-hit test (object-dependent, hence injected).
     """
     if cfg.shader == "depth":
-        t, hit, _ = trace_nearest(scene, o, d, shape)
         z = jnp.where(hit, 1.0 / (1.0 + t), 0.0)
         return ((z, z, z), ()) if return_vis else (z, z, z)
     if cfg.shader == "normal":
-        t, hit, at = trace_nearest(scene, o, d, shape)
         col = tuple(
             jnp.where(hit, at[k] * 0.5 + 0.5, 0.0) for k in ("nx", "ny", "nz")
         )
         return (col, ()) if return_vis else col
 
-    t, hit, at = trace_nearest(scene, o, d, shape)
     n = (at["nx"], at["ny"], at["nz"])
     base = (at["cr"], at["cg"], at["cb"])
     p = vm.vadd(o, vm.vscale(d, t))
@@ -339,8 +347,16 @@ def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
 
         if vis_in is not None:
             vis = jax.lax.stop_gradient(vis_in[li])
-        elif cfg.shadows:
-            vis = jnp.where(occluded(scene, shadow_o, ldir, dist), 0.0, 1.0)
+        elif cfg.shadows and occluded_fn is not None:
+            occ = occluded_fn(shadow_o, ldir, dist)
+            if occ.dtype == jnp.bool_:
+                vis = jnp.where(occ, 0.0, 1.0)
+            else:
+                # Soft occlusion in [0, 1] (RenderConfig.soft_tau mode):
+                # continuous visibility carries shadow-silhouette gradients
+                # to occluder geometry. Values are exactly 0/1 for a bool-
+                # equivalent occluder, so the hard path is unaffected.
+                vis = 1.0 - occ
         else:
             vis = 1.0
         vis_out.append(vis)
@@ -368,6 +384,24 @@ def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
     return col
 
 
+def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
+          vis_in=None, return_vis: bool = False):
+    """Full shading pass (trace + shade).
+
+    ``vis_in``: optional tuple of per-light visibility arrays. Visibility is
+    a step function (zero gradient), so the backward Pallas kernel saves it
+    as a forward residual and passes it here to skip the shadow any-hit
+    recompute during the vjp replay (SURVEY.md §7 backward memory plan).
+    ``return_vis``: also return the computed per-light visibility tuple.
+    """
+    t, hit, at = trace_nearest(scene, o, d, shape)
+    return shade_from_attrs(
+        scene, o, d, cfg, shape, t, hit, at,
+        occluded_fn=lambda so, ld, dist: occluded(scene, so, ld, dist),
+        vis_in=vis_in, return_vis=return_vis,
+    )
+
+
 # ---------------------------------------------------------------------------
 # The tile entry point (shared by jnp renderer and Pallas kernels)
 # ---------------------------------------------------------------------------
@@ -377,9 +411,16 @@ def render_tile(scene: Scene, cfg: RenderConfig, row0, col0, bh: int, bw: int,
                 vis_in=None, return_vis: bool = False):
     """Render a (bh, bw) tile whose top-left pixel is (row0, col0).
 
-    Returns SoA (r, g, b), each (bh, bw) float32 (plus the per-light
-    visibility tuple when ``return_vis``). ``row0``/``col0`` may be traced
-    scalars (shard offsets / Pallas program ids).
+    Returns SoA (r, g, b), each (bh, bw) float32 (plus the visibility
+    tuple when ``return_vis``). ``row0``/``col0`` may be traced scalars
+    (shard offsets / Pallas program ids).
+
+    Visibility residuals: with ``spp`` subsamples and L lights the
+    visibility tuple holds ``spp * L`` planes, ordered subsample-major
+    (offset 0's L lights, then offset 1's, ...). Each subsample has its own
+    shadow decision, so the backward replay (``vis_in`` with the same
+    layout) skips the shadow any-hit recompute at ANY spp — round 1 only
+    supported spp=1 and silently recomputed otherwise.
     """
     # Integer iota (Mosaic requires int iota results), then cast.
     ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0).astype(jnp.float32)
@@ -392,23 +433,25 @@ def render_tile(scene: Scene, cfg: RenderConfig, row0, col0, bh: int, bw: int,
     else:
         raise ValueError(f"spp must be 1 or 4, got {cfg.spp}")
 
+    n_off = len(offsets)
     acc = None
-    vis_acc = None
-    for oi, oj in offsets:
+    vis_all = []
+    for idx, (oi, oj) in enumerate(offsets):
         o, d = camera_rays(
             scene.camera, ii + oi, jj + oj, cfg.height, cfg.width, cfg.projection
         )
         o = vm.vbroadcast(o, (bh, bw))
         d = vm.vbroadcast(d, (bh, bw))
-        out = shade(scene, o, d, cfg, (bh, bw), vis_in=vis_in, return_vis=return_vis)
+        vi = None
+        if vis_in is not None and len(vis_in):
+            per = len(vis_in) // n_off
+            vi = tuple(vis_in[idx * per:(idx + 1) * per])
+        out = shade(scene, o, d, cfg, (bh, bw), vis_in=vi, return_vis=return_vis)
         col, vis = out if return_vis else (out, None)
         acc = col if acc is None else vm.vadd(acc, col)
         if return_vis:
-            vis_acc = vis if vis_acc is None else tuple(
-                a + b for a, b in zip(vis_acc, vis)
-            )
-    inv = 1.0 / len(offsets)
-    col = vm.vscale(acc, inv)
+            vis_all.extend(vis)
+    col = vm.vscale(acc, 1.0 / n_off)
     if return_vis:
-        return col, tuple(v * inv for v in vis_acc)
+        return col, tuple(vis_all)
     return col

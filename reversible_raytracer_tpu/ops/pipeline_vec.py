@@ -24,7 +24,14 @@ import jax.numpy as jnp
 
 from ..models.scene import Scene
 from . import vecmath as vm
-from .pipeline import BIG, SHADOW_EPS, T_EPS, RenderConfig, camera_rays
+from .pipeline import (
+    BIG,
+    SHADOW_EPS,
+    T_EPS,
+    RenderConfig,
+    camera_rays,
+    shade_from_attrs,
+)
 
 
 def _dotN(ax, ay, az, bx, by, bz):
@@ -88,6 +95,8 @@ def render_jnp_vec(scene: Scene, cfg: RenderConfig, row0=0, height: int | None =
     """Object-vectorized full render. Returns (H, W, 3) float32."""
     if cfg.spp != 1:
         raise NotImplementedError("spp>1: use the primary pipeline")
+    if cfg.soft_tau > 0.0:
+        return _render_soft(scene, cfg, row0, height)
     H = cfg.height if height is None else height
     W = cfg.width
     ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
@@ -113,6 +122,28 @@ def render_jnp_vec(scene: Scene, cfg: RenderConfig, row0=0, height: int | None =
     k_best = jnp.argmin(t_all, axis=0)  # first-wins ties == unrolled chain
     t = jnp.take_along_axis(t_all, k_best[None], axis=0)[0]
     hit = t < BIG * 0.5
+
+    at = _gather_layer(scene, k_best, t, (ox, oy, oz), (dx, dy, dz), ra, rb)
+
+    def occluded_fn(so, ld, dist):
+        return _occluded_any(scene, so[0], so[1], so[2], ld[0], ld[1], ld[2], dist)
+
+    col = shade_from_attrs(
+        scene, (ox, oy, oz), (dx, dy, dz), cfg, (H, W), t, hit, at,
+        occluded_fn=occluded_fn,
+    )
+    return jnp.stack(col, axis=-1)
+
+
+def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb):
+    """Per-pixel attribute planes of the objects selected by ``k_best``
+    (spheres first, then rects — pipeline_vec's concatenated object axis).
+    Returns the `at` dict consumed by pipeline.shade_from_attrs."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    H, W = t.shape
+    n_sph = scene.spheres.count
+    n_rct = scene.rects.count
 
     # Hit position.
     px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
@@ -159,7 +190,11 @@ def render_jnp_vec(scene: Scene, cfg: RenderConfig, row0=0, height: int | None =
 
     if n_rct:
         n_face = jnp.cross(scene.rects.edge_u, scene.rects.edge_v)  # (M,3)
-        n_unit = n_face / jnp.linalg.norm(n_face, axis=1, keepdims=True)
+        # rsqrt-based normalize: the same primitive sequence as
+        # vm.vnormalize, so this path agrees BITWISE with the unrolled
+        # pipeline and the fused_vec kernels.
+        n2 = jnp.sum(n_face * n_face, axis=1, keepdims=True)
+        n_unit = n_face * jax.lax.rsqrt(jnp.where(n2 > 1e-12, n2, 1.0))
         pad = jnp.zeros((n_sph, 3), jnp.float32)
         n_full = jnp.concatenate([pad, n_unit], axis=0)
         rnx = jnp.take(n_full[:, 0], k_best)
@@ -184,36 +219,158 @@ def render_jnp_vec(scene: Scene, cfg: RenderConfig, row0=0, height: int | None =
     use2 = (checker * parity) > 0.5
     base = [jnp.where(use2, c2, c1) for c1, c2 in zip(col1, col2)]
 
-    if cfg.shader == "depth":
-        z = jnp.where(hit, 1.0 / (1.0 + t), 0.0)
-        return jnp.stack([z, z, z], axis=-1)
-    if cfg.shader == "normal":
-        return jnp.stack(
-            [jnp.where(hit, c * 0.5 + 0.5, 0.0) for c in (nx, ny, nz)], axis=-1
+    # Shading is shared VERBATIM with the unrolled pipeline and the
+    # object-chunked Pallas kernels (fused_vec): only the object stage
+    # (intersection + attribute gather) is path-specific, so the three
+    # implementations agree bitwise wherever the hit decision agrees.
+    return {
+        "nx": nx, "ny": ny, "nz": nz,
+        "cr": base[0], "cg": base[1], "cb": base[2],
+        "ka": ka, "kd": kd, "ks": ks, "shin": shin,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Soft-visibility rendering (silhouette-aware gradients; RenderConfig.soft_tau)
+# ---------------------------------------------------------------------------
+
+
+def _sphere_soft(scene: Scene, ox, oy, oz, dx, dy, dz, tau):
+    """(t_rank, alpha) for all spheres, each (N, H, W).
+
+    t_rank is the hit t where the ray hits, the closest-approach t for
+    forward near-misses (so near-miss layers have a well-defined shading
+    point), BIG otherwise. alpha = sigmoid(disc / (tau r^2)): the sphere's
+    soft coverage — 0.5 exactly at the silhouette, ~1 inside, ~0 outside,
+    with width ~2*tau*r in closest-approach distance. d(alpha)/d(center,
+    radius) is the silhouette gradient the hard renderer lacks.
+    """
+    c = scene.spheres.center
+    r = scene.spheres.radius
+    cx, cy, cz = (c[:, k][:, None, None] for k in range(3))
+    rr = r[:, None, None]
+    ocx, ocy, ocz = ox[None] - cx, oy[None] - cy, oz[None] - cz
+    b = _dotN(ocx, ocy, ocz, dx[None], dy[None], dz[None])
+    cc = _dotN(ocx, ocy, ocz, ocx, ocy, ocz) - rr * rr
+    disc = b * b - cc
+    t = -b - vm.safe_sqrt(disc)
+    hit = (disc > 0.0) & (t > T_EPS)
+    ahead = hit | (-b > T_EPS)
+    alpha = jnp.where(ahead, jax.nn.sigmoid(disc / (tau * rr * rr)), 0.0)
+    # A near-miss only RANKS as a layer where its coverage is non-negligible
+    # (the ~3.5*tau*r silhouette ring). Without this gate every sphere's
+    # closest-approach point becomes a phantom layer for every pixel, and
+    # two phantom layers hide the true surface behind them.
+    near = alpha > 1e-3
+    t_rank = jnp.where(hit, t, jnp.where(near & (-b > T_EPS), -b, BIG))
+    return t_rank, alpha
+
+
+def _occluded_soft(scene: Scene, ox, oy, oz, dx, dy, dz, dist, tau):
+    """Soft occlusion in [0, 1]: 1 - prod_k (1 - alpha_k) over sphere
+    occluders between the surface point and the light (rect occluders stay
+    hard). Shadow silhouettes thus carry gradients to occluder centers and
+    radii — the depth signal hard shadows discard (a sphere's shadow
+    position on the ground plane pins its height)."""
+    occ_parts = []
+    if scene.spheres.count:
+        c = scene.spheres.center
+        r = scene.spheres.radius
+        cx, cy, cz = (c[:, k][:, None, None] for k in range(3))
+        rr = r[:, None, None]
+        ocx, ocy, ocz = ox[None] - cx, oy[None] - cy, oz[None] - cz
+        b = _dotN(ocx, ocy, ocz, dx[None], dy[None], dz[None])
+        cc = _dotN(ocx, ocy, ocz, ocx, ocy, ocz) - rr * rr
+        disc = b * b - cc
+        t = -b - vm.safe_sqrt(disc)
+        hit_between = (disc > 0.0) & (t > T_EPS) & (t < dist[None])
+        ca_between = (-b > T_EPS) & (-b < dist[None])
+        alpha = jnp.where(
+            hit_between | ca_between,
+            jax.nn.sigmoid(disc / (tau * rr * rr)),
+            0.0,
+        )
+        occ_parts.append(alpha)
+    if scene.rects.count:
+        tr, _, _ = _rect_ts(scene, ox, oy, oz, dx, dy, dz)
+        occ_parts.append((tr < dist[None]).astype(jnp.float32))
+    if not occ_parts:
+        return jnp.zeros_like(dist)
+    alpha_all = jnp.concatenate(occ_parts, axis=0)
+    return 1.0 - jnp.prod(1.0 - alpha_all, axis=0)
+
+
+def _render_soft(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = None):
+    """Two-layer soft compositing: the nearest (by t_rank) surface's shaded
+    color is alpha-blended over the next-nearest surface's (which itself
+    blends over the background). Sphere alphas are soft (silhouette
+    gradients); rect alphas stay hard (config-5 optimizes spheres; rect
+    silhouette relaxation would need an analogous edge distance).
+
+    As soft_tau -> 0 alpha -> the hard step and the image converges to
+    render_jnp_vec's: annealing recovers reference semantics.
+    """
+    import dataclasses
+
+    H = cfg.height if height is None else height
+    W = cfg.width
+    ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+    o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width, cfg.projection)
+    ox, oy, oz = (jnp.broadcast_to(v, (H, W)) for v in o)
+    dx, dy, dz = (jnp.broadcast_to(v, (H, W)) for v in d)
+
+    n_sph = scene.spheres.count
+    n_rct = scene.rects.count
+    t_parts, a_parts = [], []
+    ra = rb = None
+    if n_sph:
+        ts, alphas = _sphere_soft(scene, ox, oy, oz, dx, dy, dz, cfg.soft_tau)
+        t_parts.append(ts)
+        a_parts.append(alphas)
+    if n_rct:
+        tr, ra, rb = _rect_ts(scene, ox, oy, oz, dx, dy, dz)
+        t_parts.append(tr)
+        a_parts.append((tr < BIG * 0.5).astype(jnp.float32))
+    if not t_parts:
+        img = jnp.broadcast_to(scene.background, (H, W, 3))
+        return jnp.clip(img, 0.0, 1.0) if cfg.clip else img
+
+    t_all = jnp.concatenate(t_parts, axis=0)
+    a_all = jnp.concatenate(a_parts, axis=0)
+
+    cfg_layer = dataclasses.replace(cfg, clip=False, soft_tau=0.0)
+
+    def occluded_fn(so, ld, dist):
+        return _occluded_soft(
+            scene, so[0], so[1], so[2], ld[0], ld[1], ld[2], dist, cfg.soft_tau
         )
 
-    amb = scene.ambient
-    col = [ka * base[k] * amb[k] for k in range(3)]
-    sx, sy, sz = px + SHADOW_EPS * nx, py + SHADOW_EPS * ny, pz + SHADOW_EPS * nz
-    for li in range(scene.lights.count):
-        lp = scene.lights.position[li]
-        lc = scene.lights.color[li]
-        lvx, lvy, lvz = lp[0] - sx, lp[1] - sy, lp[2] - sz
-        dist = vm.safe_sqrt(lvx * lvx + lvy * lvy + lvz * lvz)
-        inv = 1.0 / jnp.where(dist > 1e-9, dist, 1.0)
-        ldx, ldy, ldz = lvx * inv, lvy * inv, lvz * inv
-        if cfg.shadows:
-            vis = jnp.where(_occluded_any(scene, sx, sy, sz, ldx, ldy, ldz, dist), 0.0, 1.0)
-        else:
-            vis = 1.0
-        ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
-        rx, ry, rz = 2 * ndotl * nx - ldx, 2 * ndotl * ny - ldy, 2 * ndotl * nz - ldz
-        rdotv = jnp.maximum(-(rx * dx + ry * dy + rz * dz), 0.0)
-        spec = ks * vm.safe_pow(rdotv, shin)
-        for k in range(3):
-            col[k] = col[k] + vis * (kd * ndotl * base[k] + spec) * lc[k]
+    def shade_layer(t_layers):
+        k = jnp.argmin(t_layers, axis=0)
+        t = jnp.take_along_axis(t_layers, k[None], axis=0)[0]
+        a = jnp.take_along_axis(a_all, k[None], axis=0)[0]
+        live = t < BIG * 0.5
+        a = jnp.where(live, a, 0.0)
+        at = _gather_layer(scene, k, t, (ox, oy, oz), (dx, dy, dz), ra, rb)
+        col = shade_from_attrs(
+            scene, (ox, oy, oz), (dx, dy, dz), cfg_layer, (H, W), t, live, at,
+            occluded_fn=occluded_fn,
+        )
+        return k, a, col
 
-    img = jnp.stack(
-        [jnp.where(hit, c, scene.background[k]) for k, c in enumerate(col)], axis=-1
-    )
+    k1, a1, c1 = shade_layer(t_all)
+    # Mask the winner out and composite against the next-nearest surface,
+    # so silhouette gradients blend toward the TRUE local background.
+    n_all = t_all.shape[0]
+    winner = jnp.arange(n_all)[:, None, None] == k1[None]
+    t_all2 = jnp.where(winner, BIG, t_all)
+    _, a2, c2 = shade_layer(t_all2)
+
+    bg = scene.background
+    out = []
+    for ch in range(3):
+        behind = a2 * c2[ch] + (1.0 - a2) * bg[ch]
+        out.append(a1 * c1[ch] + (1.0 - a1) * behind)
+    img = jnp.stack(out, axis=-1)
     return jnp.clip(img, 0.0, 1.0) if cfg.clip else img

@@ -37,7 +37,13 @@ def render_jnp(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = Non
 def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     """Render the full image with the best available implementation."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+        if jax.default_backend() == "tpu":
+            # Unrolled fused kernels compile O(N) (fastest for small object
+            # counts); the object-chunked kernels compile O(1) — pick by N.
+            n_obj = scene.spheres.count + scene.rects.count
+            impl = "pallas" if n_obj <= 24 else "pallas_vec"
+        else:
+            impl = "jnp"
     if impl == "jnp":
         return render_jnp(scene, cfg)
     if impl == "jnp_vec":
@@ -48,6 +54,10 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
         from .kernels.fused import render_pallas
 
         return render_pallas(scene, cfg)
+    if impl == "pallas_vec":
+        from .kernels.fused_vec import render_pallas_vec
+
+        return render_pallas_vec(scene, cfg)
     raise ValueError(f"unknown impl {impl!r}")
 
 

@@ -64,6 +64,10 @@ def _band_render_fn(cfg: RenderConfig, band: int, impl: str):
         from ..ops.kernels.fused import render_pallas
 
         return lambda scene, row0: render_pallas(scene, cfg, row0=row0, out_height=band)
+    if impl == "pallas_vec":
+        from ..ops.kernels.fused_vec import render_pallas_vec
+
+        return lambda scene, row0: render_pallas_vec(scene, cfg, row0=row0, out_height=band)
     if impl == "jnp_vec":
         from ..ops.pipeline_vec import render_jnp_vec
 

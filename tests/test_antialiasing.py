@@ -57,3 +57,38 @@ def test_spp4_gradients_finite_and_pallas_matches():
         assert np.isfinite(x).all() and np.isfinite(y).all()
         scale = max(np.abs(x).max(), 1e-6)
         np.testing.assert_allclose(x, y, atol=1e-2 * scale, err_msg=str(path))
+
+
+def test_spp4_multilight_grads_masked_vis_residuals():
+    """VERDICT round-1 item #6: spp=4 backward now uses per-(subsample,
+    light) visibility residuals instead of silently recomputing. Two lights
+    x 4 subsamples = 8 saved planes; masked comparison vs the jnp path must
+    agree to 1e-5 of group scale (the two backwards are mathematically
+    identical away from discontinuity pixels)."""
+    import jax.numpy as jnp
+    from test_fused_vec import _edge_mask
+
+    from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+
+    scene, spec, _ = configs.config3_multi_light()
+    cfg = RenderConfig(height=32, width=32, shadows=True, spp=4)
+    start = configs.perturb(scene, spec, scale=0.1, seed=6)
+    img_j = np.asarray(render_jnp(start, cfg))
+    img_p = np.asarray(render_pallas(start, cfg, interpret=True))
+    w = jnp.asarray(~_edge_mask(img_j, img_p), jnp.float32)[..., None]
+    target = jnp.zeros((32, 32, 3), jnp.float32)
+
+    def loss(render):
+        return lambda s: jnp.sum(w * (render(s) - target) ** 2)
+
+    gj = jax.grad(loss(lambda s: render_jnp(s, cfg)))(start)
+    gp = jax.grad(loss(lambda s: render_pallas(s, cfg, interpret=True)))(start)
+    for (path, x), (_, y) in zip(
+        jax.tree_util.tree_flatten_with_path(gj)[0],
+        jax.tree_util.tree_flatten_with_path(gp)[0],
+    ):
+        x, y = np.asarray(x), np.asarray(y)
+        if not x.size:
+            continue
+        scale = max(np.abs(x).max(), 1e-6)
+        np.testing.assert_allclose(x, y, atol=1e-5 * scale, err_msg=str(path))

@@ -102,6 +102,44 @@ def test_pallas_interpret_matches_jnp():
         np.testing.assert_allclose(a, b, atol=1e-2 * scale, err_msg=str(path))
 
 
+def test_pallas_interpret_grads_masked():
+    """VERDICT round-1 item #7: away from discontinuity pixels the fused
+    kernel's hand-planned backward and XLA autodiff of the jnp path are
+    mathematically identical — compare at 1e-5 of group scale instead of
+    the 1% tolerance the full-image comparison needs for boundary flips."""
+    import jax.numpy as jnp
+    from test_fused_vec import _edge_mask
+
+    from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+    from reversible_raytracer_tpu.ops.pipeline import RenderConfig
+    from reversible_raytracer_tpu.ops.render import render_jnp
+
+    scene, spec, _ = configs.config2_four_spheres()
+    cfg = RenderConfig(height=48, width=80, shadows=True)
+    start = configs.perturb(scene, spec, scale=0.1, seed=4)
+    img_j = np.asarray(render_jnp(start, cfg))
+    img_p = np.asarray(render_pallas(start, cfg, interpret=True))
+    e = _edge_mask(img_j, img_p)
+    assert e.mean() < 0.7  # the mask must not hide everything
+    w = jnp.asarray(~e, jnp.float32)[..., None]
+    target = jnp.zeros((48, 80, 3), jnp.float32)
+
+    def loss(render):
+        return lambda s: jnp.sum(w * (render(s) - target) ** 2)
+
+    gj = jax.grad(loss(lambda s: render_jnp(s, cfg)))(start)
+    gp = jax.grad(loss(lambda s: render_pallas(s, cfg, interpret=True)))(start)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gj)[0],
+        jax.tree_util.tree_flatten_with_path(gp)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale, err_msg=str(path))
+
+
 def test_pallas_interpret_band_offsets():
     """Band rendering (out_height + row0) equals slicing the full render."""
     from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
