@@ -241,6 +241,20 @@ def main():
     details["converge_param_rms"] = err
     details["converge_final_loss"] = float(losses[-1])
 
+    # --- spp=4 supersampling: fwd+bwd with per-subsample vis residuals ---
+    if on_tpu:
+        import dataclasses
+
+        cfg4 = dataclasses.replace(cfg, spp=4)
+        t0 = time.perf_counter()
+        t_spp4 = _scan_steps_grad(
+            lambda s: render_pallas(s, cfg4), scene, target, 10, 60, k=3
+        )
+        _log(f"pallas spp=4 fwd+bwd: {t_spp4*1e3:.3f} ms/step "
+             f"({t_spp4/t_fast:.2f}x the spp=1 step) "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["fwdbwd_ms_spp4"] = t_spp4 * 1e3
+
     # --- config-5 scale: object-chunked kernels at 513 objects, 512^2 ---
     if on_tpu:
         from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec

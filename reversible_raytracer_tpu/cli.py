@@ -107,6 +107,11 @@ def cmd_invert(args):
         initialize(args.coordinator, args.num_processes, args.process_id)
 
     scene, spec, cfg = _build(args)
+    if getattr(args, "anneal", None) and args.impl == "auto":
+        # The annealed path optimizes through jnp_vec; rendering the target
+        # with it too avoids a multi-minute Pallas kernel compile that would
+        # be used for exactly one image.
+        args.impl = "jnp_vec"
     render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count)
 
     if args.paranoid:
@@ -139,6 +144,7 @@ def cmd_invert(args):
         t0 = time.perf_counter()
         final, losses = optimize_annealed(
             start, target, spec, cfg, ocfg, taus=taus, target_scene=truth,
+            soft_size=args.anneal_size,
         )
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
@@ -247,6 +253,9 @@ def main(argv=None):
                          "e.g. '0.08,0.03,0' — runs --iters Adam steps per "
                          "stage on the jnp_vec renderer. Requires the "
                          "ground-truth scene (i.e. no --target image).")
+    pi.add_argument("--anneal-size", type=int, default=None,
+                    help="resolution for the soft anneal stages (coarse-to-"
+                         "fine; the final hard stage runs at full size)")
     pi.add_argument("--save-scene", type=str, default=None)
     pi.add_argument("-o", "--output", type=str, default=None,
                     help="save the final render as PNG")

@@ -224,8 +224,10 @@ def optimize_scan(
     ocfg: OptConfig,
     render_fn=None,
     cache_key=None,
+    max_chunk: "int | None" = None,
 ):
-    """Whole optimization loop on-device via lax.scan: one dispatch total.
+    """Whole optimization loop on-device via lax.scan: one dispatch total
+    (or ``ceil(iters / max_chunk)`` dispatches when ``max_chunk`` is set).
 
     This is the TPU-native convergence fast path (the reference ran a Python
     loop crossing the host boundary every iteration, SURVEY.md §3.3). Returns
@@ -235,41 +237,46 @@ def optimize_scan(
     to reuse the compiled runner across calls — otherwise each call builds a
     fresh jit closure and RECOMPILES the whole scan (~seconds), which
     silently dominates repeated-call timings.
+
+    ``max_chunk``: cap on scan length per device dispatch. The axon PJRT
+    tunnel kills the worker on very long single executions (observed: a
+    300-iteration 1024^2 scan ~75 s of device time dies with "TPU worker
+    crashed"; <=100-iteration dispatches are reliable). Optimizer state
+    carries across chunks, so results are identical to one big scan.
     """
     if render_fn is None:
         render_fn = lambda s: render_jnp(s, rcfg)
         cache_key = cache_key or "jnp-default"
     loss_of = loss_fn_for(ocfg.loss)
     target = jnp.asarray(target, jnp.float32)
+    tx = make_optimizer(ocfg)
 
-    def build():
-        tx = make_optimizer(ocfg)
+    def build(length):
+        tx_b = make_optimizer(ocfg)
 
         @jax.jit
-        def run(scene: Scene, target):
-            opt_state = tx.init(scene)
-
+        def run(scene: Scene, opt_state, target):
             def body(carry, _):
                 scene, opt_state = carry
                 l, grads = jax.value_and_grad(
                     lambda s: loss_of(render_fn(s), target)
                 )(scene)
                 grads = mask_grads(grads, spec)
-                updates, opt_state = tx.update(grads, opt_state, scene)
+                updates, opt_state = tx_b.update(grads, opt_state, scene)
                 scene = optax.apply_updates(scene, updates)
                 scene = project_bounds(scene, spec)
                 return (scene, opt_state), l
 
-            (scene, _), losses = jax.lax.scan(
-                body, (scene, opt_state), None, length=ocfg.iters
+            (scene, opt_state), losses = jax.lax.scan(
+                body, (scene, opt_state), None, length=length
             )
-            return scene, losses
+            return scene, opt_state, losses
 
         return run
 
-    if cache_key is None:
-        run = build()
-    else:
+    def runner_for(length):
+        if cache_key is None:
+            return build(length)
         leaves, treedef = jax.tree_util.tree_flatten(scene)
         spec_digest = (
             tuple(bool(t) for t in jax.tree_util.tree_leaves(spec.trainable)),
@@ -277,11 +284,24 @@ def optimize_scan(
             tuple(float(x) for x in jax.tree_util.tree_leaves(spec.upper)),
         )
         sig = (treedef, tuple(jnp.shape(l) for l in leaves), rcfg, ocfg,
-               spec_digest, cache_key)
+               spec_digest, cache_key, length)
         run = _SCAN_CACHE.get(sig)
         if run is None:
-            run = _SCAN_CACHE[sig] = build()
-    return run(scene, target)
+            run = _SCAN_CACHE[sig] = build(length)
+        return run
+
+    if max_chunk is None or ocfg.iters <= max_chunk:
+        lengths = [ocfg.iters]
+    else:
+        n_full, rem = divmod(ocfg.iters, max_chunk)
+        lengths = [max_chunk] * n_full + ([rem] if rem else [])
+
+    opt_state = tx.init(scene)
+    all_losses = []
+    for length in lengths:
+        scene, opt_state, losses = runner_for(length)(scene, opt_state, target)
+        all_losses.append(losses)
+    return scene, (all_losses[0] if len(all_losses) == 1 else jnp.concatenate(all_losses))
 
 
 def param_error(scene: Scene, truth: Scene, spec: ParamSpec):
@@ -304,8 +324,11 @@ def optimize_annealed(
     spec: ParamSpec,
     rcfg: RenderConfig,
     ocfg: OptConfig,
-    taus=(0.08, 0.03, 0.0),
+    taus=(0.08, 0.03, 0.01, 0.0),
     target_scene: "Scene | None" = None,
+    soft_size: "int | None" = None,
+    max_chunk: "int | None" = 100,
+    hard_ocfg: "OptConfig | None" = "auto",
 ):
     """Soft-visibility annealing for joint geometry inversion (the config-5
     capability; docs/OPTIMIZATION_NOTES.md "Open" item, closed in round 2).
@@ -328,22 +351,46 @@ def optimize_annealed(
     (image-only inverse rendering): unbiased only as tau -> 0, so prefer
     small taus and expect weaker basins.
 
+    ``soft_size``: run the soft (tau > 0) stages at this resolution instead
+    of the full one (coarse-to-fine; requires ``target_scene``). The soft
+    renderer's reverse-mode intermediates are O(n_objects * H * W) several
+    times over — 64 spheres at 1024^2 crashed the v5e worker (HBM), while
+    soft stages at 512^2 + the hard polish at 1024^2 fit comfortably and
+    silhouette signal is resolution-robust.
+
     Returns (final_scene, losses[(len(taus) * iters)]).
     """
     import dataclasses
 
     from .ops.pipeline_vec import render_jnp_vec
 
+    if soft_size is not None and target_scene is None:
+        raise ValueError("soft_size requires target_scene (stage targets are re-rendered)")
+    if hard_ocfg == "auto":
+        # The tau=0 polish must NOT use Adam: starting from the soft stages'
+        # near-optimum, gradients are tiny and Adam's normalization takes
+        # full-lr steps in noise directions — measured on the 64-sphere
+        # 1024^2 inversion: soft stages reach RMS 0.0005, a 200-step Adam
+        # hard stage then RANDOM-WALKS to 0.027 (SGD lr 3.0 drifts to
+        # 0.005; lr 0.3 HOLDS at 0.00054). Plain low-lr SGD steps are
+        # proportional to the true (tiny) gradients — the reference's own
+        # descent dynamics (grad_descent.py).
+        hard_ocfg = dataclasses.replace(ocfg, optimizer="sgd", lr=0.3, momentum=0.0)
+
     all_losses = []
     for tau in taus:
         cfg_t = dataclasses.replace(rcfg, soft_tau=float(tau))
+        if tau > 0.0 and soft_size is not None:
+            cfg_t = dataclasses.replace(cfg_t, height=soft_size, width=soft_size)
         tgt = target
         if target_scene is not None and tau > 0.0:
             tgt = render_jnp_vec(target_scene, cfg_t)
+        stage_ocfg = hard_ocfg if (tau == 0.0 and hard_ocfg is not None) else ocfg
         scene, losses = optimize_scan(
-            scene, tgt, spec, cfg_t, ocfg,
+            scene, tgt, spec, cfg_t, stage_ocfg,
             render_fn=lambda s, c=cfg_t: render_jnp_vec(s, c),
-            cache_key=("annealed-jnp_vec", float(tau)),
+            cache_key=("annealed-jnp_vec", float(tau), soft_size),
+            max_chunk=max_chunk,
         )
         all_losses.append(losses)
     return scene, jnp.concatenate(all_losses)

@@ -51,6 +51,31 @@ def main():
         print(f"config {num} @{size}²: fwd_diff={fwd_diff:.2e} grad_diff={gdiff:.2e} "
               f"finite={finite} [{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)",
               flush=True)
+
+    # Object-chunked kernels (fused_vec) vs the object-vectorized jnp path:
+    # forward expected bit-exact; grads finite and close (the hand-planned
+    # masked-vjp backward differs from XLA autodiff only at boundary-pixel
+    # subgradients — the strict masked comparison runs in CI interpret mode).
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, spec, _ = configs.config5_many_spheres(256, n_spheres=64)
+    cfg = RenderConfig(height=256, width=256, shadows=True)
+    t0 = time.time()
+    img_p = np.asarray(jax.jit(lambda s: render_pallas_vec(s, cfg))(scene))
+    img_v = np.asarray(jax.jit(lambda s: render_jnp_vec(s, cfg))(scene))
+    fwd_diff = np.abs(img_p - img_v).max()
+    target = jnp.asarray(img_v)
+    start = configs.perturb(scene, spec, scale=0.05, seed=9)
+    gp = jax.jit(jax.grad(lambda s: mse_loss(render_pallas_vec(s, cfg), target)))(start)
+    finite = all(
+        bool(np.isfinite(np.asarray(l)).all())
+        for l in jax.tree_util.tree_leaves(gp) if np.asarray(l).size
+    )
+    ok = fwd_diff <= 1e-6 and finite
+    failures += (not ok)
+    print(f"fused_vec 65-obj @256²: fwd_diff={fwd_diff:.2e} grads_finite={finite} "
+          f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
     sys.exit(1 if failures else 0)
 
 
