@@ -147,7 +147,12 @@ def main():
                "fast_impl": fast_name}
 
     if on_tpu:
-        fwd_pts, grad_pts = (50, 350), (20, 120)
+        # The two-point delta must dwarf the tunnel's few-ms fetch jitter:
+        # fwd steps are ~60 us, so the pair spans 1900 steps (~115 ms of
+        # device time); grad steps ~0.17 ms, pair spans 450 steps (~75 ms).
+        # Observed with the old short pairs: fwd slope samples scattered
+        # 9..87 us and grad 0..0.5 ms; with these, both tighten to a few %.
+        fwd_pts, grad_pts = (100, 2000), (50, 500)
     else:  # CPU dev runs: fewer scan steps
         fwd_pts, grad_pts = (2, 12), (1, 6)
 

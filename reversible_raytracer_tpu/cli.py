@@ -140,7 +140,11 @@ def cmd_invert(args):
         from .optim import optimize_annealed
 
         assert truth is not None, "--anneal needs the ground-truth scene (no --target)"
-        taus = tuple(float(x) for x in args.anneal.split(","))
+        try:
+            taus = tuple(float(x) for x in args.anneal.split(","))
+        except ValueError:
+            sys.exit(f"error: --anneal expects comma-separated floats "
+                     f"(e.g. '0.08,0.03,0'), got {args.anneal!r}")
         t0 = time.perf_counter()
         final, losses = optimize_annealed(
             start, target, spec, cfg, ocfg, taus=taus, target_scene=truth,
