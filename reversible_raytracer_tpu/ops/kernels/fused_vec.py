@@ -15,11 +15,15 @@ first-wins nearest hit, hard shadows, checker materials, Lambertian+Phong.
 The shading math is literally shared — the kernel calls
 `pipeline.shade_from_attrs`, injecting its loop-based occlusion test.
 
-Forward kernel (per image tile):
+Forward kernel (per image tile), two-phase trace:
   1. rays from camera scalars + tile iota (never touch HBM);
-  2. fori_loop over spheres then rects: intersect, where-select the
-     nearest hit's 10 attribute planes (same subgradient convention as the
-     unrolled T.switch-style chain);
+  2. phase 1 — t-only fori_loop over spheres then rects tracking
+     (t_best, k_best): one intersection + two selects per object, reading
+     only the geometry scalars; phase 2 — chunk-skipped attribute resolve
+     (one lax.cond per 16 objects) materializes the winner's 10 attribute
+     planes under disjoint ``kbest == k`` masks — bit-identical to the
+     one-phase where-select chain (same subgradient convention as the
+     unrolled T.switch-style chain) at a fraction of the O(N) cost;
   3. fori_loop occlusion any-hit per light; `shade_from_attrs`.
 
 Backward kernel (recompute-in-backward, no per-pixel residuals except the
@@ -200,55 +204,97 @@ def _checker(pv_from_color, parity):
     return vm.vwhere(use2 > 0.5, c2, c1)
 
 
-def _trace_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, with_kbest,
-                rct_offset=None):
-    """fori_loop nearest-hit over all objects. Returns (t_best, hit, attrs
-    dict[, k_best]). Object order (spheres then rects) and first-wins ties
-    match pipeline_vec's concatenated argmin."""
+def _nearest_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset):
+    """Phase 1 of the two-phase trace: t-only fori_loop nearest-hit over
+    all objects, tracking (t_best, k_best). Reads just the GEOMETRY scalars
+    (4/sphere, 9/rect) and carries two tile planes — the O(n_objects) cost
+    per tile is one intersection + two selects, vs. the full 10-attribute
+    where-chain of the one-phase design (measured at 513 objects 512^2:
+    fwd 5.8 -> see README). Object order (spheres then rects) and
+    first-wins ties (strict ``t < t_best``) match pipeline_vec's
+    concatenated argmin bit-exactly, so phase 2 resolves the SAME winners.
+
+    NOTE on guards: a per-object lax.cond "skip when the object beats no
+    pixel" was tried and REVERTED — the scalar-vector sync per iteration
+    broke Mosaic's loop pipelining and grew compile 100 s -> 760 s.
+    Chunked conds (1 per 16 objects) live in phase 2 / the backward, where
+    the skipped work is heavy enough to win."""
     f32 = jnp.float32
     t_best = jnp.full(shape, BIG, f32)
-    zero = jnp.zeros(shape, f32)
-    planes = [zero] * 9 + [jnp.ones(shape, f32)]  # shin init 1.0 as trace_nearest
     kbest = jnp.full(shape, -1, jnp.int32)
 
-    def select(carry, k_global, t, n_unit, col, coeffs):
-        t_best, kbest, planes = carry
-        closer = t < t_best
-        new = list(n_unit) + list(col) + list(coeffs)
-        planes = tuple(jnp.where(closer, nv, ov) for nv, ov in zip(new, planes))
-        t_best = jnp.where(closer, t, t_best)
-        if with_kbest:
-            kbest = jnp.where(closer, k_global, kbest)
-        return t_best, kbest, planes
-
-    # NOTE on guards: a per-object lax.cond "skip attrs when the object
-    # beats no pixel" was tried and REVERTED — the scalar-vector sync per
-    # iteration broke Mosaic's loop pipelining (fwd 5.7 -> 7.7 ms at 513
-    # objects) and grew compile 100 s -> 760 s. The backward uses chunked
-    # conds instead (see obj_backward), where per-object vjps are heavy
-    # enough to win.
     def sph_body(k, carry):
-        pv = tuple(sph_read(k, j) for j in range(P_SPH))
-        t, n_unit, col, coeffs = _sphere_eval(pv, o, d)
-        return select(carry, k, t, n_unit, col, coeffs)
+        t_best, kbest = carry
+        c = (sph_read(k, 0), sph_read(k, 1), sph_read(k, 2))
+        t = intersect_sphere(o, d, c, sph_read(k, 3))
+        closer = t < t_best
+        return jnp.where(closer, t, t_best), jnp.where(closer, k, kbest)
 
     def rct_body(k, carry):
-        pv = tuple(rct_read(k, j) for j in range(P_RCT))
-        t, n_unit, col, coeffs = _rect_eval(pv, o, d)
-        return select(carry, (n_sph if rct_offset is None else rct_offset) + k,
-                      t, n_unit, col, coeffs)
+        t_best, kbest = carry
+        pv = tuple(rct_read(k, j) for j in range(9))
+        t, _, _, _ = intersect_rect(
+            o, d, (pv[0], pv[1], pv[2]), (pv[3], pv[4], pv[5]), (pv[6], pv[7], pv[8])
+        )
+        closer = t < t_best
+        return jnp.where(closer, t, t_best), jnp.where(closer, rct_offset + k, kbest)
 
-    carry = (t_best, kbest, tuple(planes))
+    carry = (t_best, kbest)
     if n_sph:
         carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
     if n_rct:
         carry = jax.lax.fori_loop(0, n_rct, rct_body, carry)
-    t_best, kbest, planes = carry
-    hit = t_best < BIG * 0.5
-    at = dict(zip(ATTR_NAMES, planes))
-    if with_kbest:
-        return t_best, hit, at, kbest
-    return t_best, hit, at
+    return carry
+
+
+def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
+                   rct_offset):
+    """Phase 2: materialize the winner's 10 attribute planes from k_best.
+
+    Chunk-skipped (same pattern as obj_backward): a CHUNK of objects none of
+    whose members wins a pixel of this tile is skipped with ONE lax.cond.
+    Within a live chunk, each object's attributes are where-merged under the
+    disjoint masks ``kbest == k`` — exactly the values the one-phase
+    where-select chain produced (the sphere eval reuses ``t_sel``, which on
+    the winning pixels is bit-identical to the object's own t from phase 1:
+    same primitive sequence, same SMEM operands). Pixels with no winner
+    (kbest == -1, and pad rows which can never win) keep the init values
+    (zeros, shininess 1.0) exactly as trace_nearest's init."""
+    f32 = jnp.float32
+    zero = jnp.zeros(shape, f32)
+    planes = tuple([zero] * 9 + [jnp.ones(shape, f32)])  # shin init 1.0
+
+    def group(eval_fn, read, P, k_offset, n_obj, planes, with_t_known):
+        def per_object(k, planes):
+            mask = kbest == (k + k_offset)
+            pv = tuple(read(k, c) for c in range(P))
+            if with_t_known:
+                _, n_unit, col, coeffs = eval_fn(pv, o, d, t_known=t_sel)
+            else:
+                _, n_unit, col, coeffs = eval_fn(pv, o, d)
+            new = list(n_unit) + list(col) + list(coeffs)
+            return tuple(jnp.where(mask, nv, ov) for nv, ov in zip(new, planes))
+
+        def chunk_body(ci, planes):
+            k0 = ci * CHUNK
+            lo = k0 + k_offset
+            in_chunk = ((kbest >= lo) & (kbest < lo + CHUNK)).astype(f32)
+            any_live = jnp.max(in_chunk) > 0.0
+            return jax.lax.cond(
+                any_live,
+                lambda p: jax.lax.fori_loop(k0, k0 + CHUNK, per_object, p),
+                lambda p: p,
+                planes,
+            )
+
+        n_chunks = (n_obj + CHUNK - 1) // CHUNK
+        return jax.lax.fori_loop(0, n_chunks, chunk_body, planes)
+
+    if n_sph:
+        planes = group(_sphere_eval, sph_read, P_SPH, 0, n_sph, planes, True)
+    if n_rct:
+        planes = group(_rect_eval, rct_read, P_RCT, rct_offset, n_rct, planes, False)
+    return dict(zip(ATTR_NAMES, planes))
 
 
 def _occluded_loop(sph_read, n_sph, rct_read, n_rct):
@@ -342,8 +388,15 @@ def _make_fused_vec(
         o, d, gview = rays_for(gvals, ii, jj, (bh, bw))
         sph_read = lambda k, c: sph_ref[k, c]
         rct_read = lambda k, c: rct_ref[k, c]
-        t, hit, at = _trace_loop(
-            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), with_kbest=False
+        # Rects numbered at ns_pad in kbest space (not n_sph) so sphere
+        # PAD-row indices [n_sph, ns_pad) can never collide with a real
+        # rect index (see bwd_kernel note).
+        t, kbest = _nearest_loop(
+            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), rct_offset=ns_pad
+        )
+        hit = t < BIG * 0.5
+        at = _resolve_attrs(
+            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), t, kbest, ns_pad
         )
         occluded_fn = _occluded_loop(sph_read, n_sph, rct_read, n_rct)
         out = shade_from_attrs(
@@ -400,12 +453,15 @@ def _make_fused_vec(
         # sphere PAD-row indices [n_sph, ns_pad) can never collide with a
         # real rect index (a collision hands the rect's cotangent mask to a
         # benign pad sphere at z=1e6 -> garbage camera gradients).
-        t_sel, hit, at_replay, kbest = _trace_loop(
-            sph_read, n_sph, rct_read, n_rct, o, d, shape, with_kbest=True,
-            rct_offset=ns_pad,
+        t_sel, kbest = _nearest_loop(
+            sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset=ns_pad
         )
         t_sel = jax.lax.stop_gradient(t_sel)
         kbest = jax.lax.stop_gradient(kbest)
+        hit = t_sel < BIG * 0.5
+        at_replay = _resolve_attrs(
+            sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest, ns_pad
+        )
         planes_replay = tuple(
             jax.lax.stop_gradient(at_replay[name]) for name in ATTR_NAMES
         )
