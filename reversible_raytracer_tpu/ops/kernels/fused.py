@@ -153,6 +153,12 @@ def _make_fused(
     offset) while keeping camera math relative to the full cfg.height x
     cfg.width image — the row-band primitive for shard_map (SURVEY.md P1).
     """
+    if cfg.soft_tau > 0.0:
+        raise NotImplementedError(
+            "the fused kernels implement the hard reference semantics; "
+            "soft_tau rendering lives in pipeline_vec.render_jnp_vec "
+            "(render impl='auto' routes there)"
+        )
     out_h = cfg.height if out_h is None else out_h
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
     hit = _CACHE.get(key)

@@ -90,9 +90,14 @@ _RCT_PAD_ROW = np.array(
 @dataclass(frozen=True)
 class VecTileConfig:
     """Static tiling for the object-chunked kernels. VMEM use is O(1) in
-    object count (the loop carries ~12 tile planes), so tiles are fixed."""
+    object count (the loop carries ~12 tile planes), so tiles are fixed.
 
-    bh: int = 128
+    Defaults are swept on v5e at 513 objects 512^2
+    (scripts/vec_tile_sweep.py): fwd 64x128 = 2.91 ms vs 3.34 (128x128),
+    4.50 (256x128), 10.4 (8x128); bigger tiles lose to VMEM pressure /
+    pipelining depth, smaller ones to per-tile loop overhead."""
+
+    bh: int = 64
     bw: int = 128
     bh_bwd: int = 64
     bw_bwd: int = 128
@@ -343,6 +348,12 @@ def _make_fused_vec(
 ):
     if cfg.spp != 1:
         raise NotImplementedError("fused_vec: spp>1 not supported (parity with render_jnp_vec)")
+    if cfg.soft_tau > 0.0:
+        raise NotImplementedError(
+            "fused_vec implements the hard reference semantics; soft_tau "
+            "rendering lives in pipeline_vec.render_jnp_vec (render impl='auto' "
+            "routes there)"
+        )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count
     n_rct = scene_like.rects.count

@@ -37,7 +37,12 @@ def render_jnp(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = Non
 def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     """Render the full image with the best available implementation."""
     if impl == "auto":
-        if jax.default_backend() == "tpu":
+        if cfg.soft_tau > 0.0:
+            # Soft-visibility rendering exists only in the object-vectorized
+            # jnp path; the Pallas kernels implement the hard reference
+            # semantics (they would silently drop tau).
+            impl = "jnp_vec"
+        elif jax.default_backend() == "tpu":
             # Unrolled fused kernels compile O(N) (fastest for small object
             # counts); the object-chunked kernels compile O(1) — pick by N.
             n_obj = scene.spheres.count + scene.rects.count

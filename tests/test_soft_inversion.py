@@ -109,3 +109,23 @@ def test_annealed_joint_inversion_converges():
     assert np.isfinite(np.asarray(losses)).all()
     assert rms < 0.01, f"annealed inversion did not converge: {rms0} -> {rms}"
     assert rms < 0.5 * rms0
+
+
+def test_soft_tau_dispatch_guards():
+    """soft_tau > 0 must never silently render hard: impl='auto' routes to
+    the jnp_vec soft implementation, and the Pallas factories refuse."""
+    import pytest
+
+    from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
+    from reversible_raytracer_tpu.ops.render import render
+
+    scene, _, _ = configs.config5_many_spheres(32, n_spheres=4)
+    cfg = RenderConfig(height=32, width=32, shadows=True, soft_tau=0.05)
+    auto = np.asarray(render(scene, cfg, impl="auto"))
+    soft = np.asarray(render_jnp_vec(scene, cfg))
+    np.testing.assert_array_equal(auto, soft)
+    with pytest.raises(NotImplementedError):
+        render_pallas(scene, cfg, interpret=True)
+    with pytest.raises(NotImplementedError):
+        render_pallas_vec(scene, cfg, interpret=True)
