@@ -101,6 +101,12 @@ class VecTileConfig:
     bw: int = 128
     bh_bwd: int = 64
     bw_bwd: int = 128
+    # Static unroll factor of the phase-1 nearest-hit / occlusion loops
+    # (U objects per fori_loop iteration, remainder peeled outside the
+    # loop — iteration order and therefore first-wins ties unchanged;
+    # bitwise-equal to unroll=1 by test). v5e sweep at 513 objects:
+    # 2.91 ms (u=1) / 2.78 (2) / 2.56 (4) / 2.71 (8).
+    unroll: int = 4
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +215,28 @@ def _checker(pv_from_color, parity):
     return vm.vwhere(use2 > 0.5, c2, c1)
 
 
-def _nearest_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset):
+def _unrolled_fori(n, step, carry, unroll):
+    """fori_loop over [0, n) applying ``step(k, carry)`` with a static
+    unroll factor; remainder iterations are peeled after the loop so the
+    visit order (and any first-wins tie semantics in ``step``) is
+    identical to the unroll=1 loop."""
+    u = max(1, min(unroll, n))
+    if u > 1:
+        def body(i, c):
+            k0 = i * u
+            for off in range(u):
+                c = step(k0 + off, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, n // u, body, carry)
+        for k in range(n - n % u, n):
+            carry = step(k, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, step, carry)
+
+
+def _nearest_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset,
+                  unroll=1):
     """Phase 1 of the two-phase trace: t-only fori_loop nearest-hit over
     all objects, tracking (t_best, k_best). Reads just the GEOMETRY scalars
     (4/sphere, 9/rect) and carries two tile planes — the O(n_objects) cost
@@ -246,9 +273,9 @@ def _nearest_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset):
 
     carry = (t_best, kbest)
     if n_sph:
-        carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
+        carry = _unrolled_fori(n_sph, sph_body, carry, unroll)
     if n_rct:
-        carry = jax.lax.fori_loop(0, n_rct, rct_body, carry)
+        carry = _unrolled_fori(n_rct, rct_body, carry, unroll)
     return carry
 
 
@@ -302,7 +329,7 @@ def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
     return dict(zip(ATTR_NAMES, planes))
 
 
-def _occluded_loop(sph_read, n_sph, rct_read, n_rct):
+def _occluded_loop(sph_read, n_sph, rct_read, n_rct, unroll=1):
     """Loop-based shadow any-hit (the occluded_fn injected into shading)."""
 
     def occluded_fn(so, ld, dist):
@@ -324,9 +351,9 @@ def _occluded_loop(sph_read, n_sph, rct_read, n_rct):
             return jnp.maximum(occ, (t < dist).astype(occ.dtype))
 
         if n_sph:
-            occ = jax.lax.fori_loop(0, n_sph, sph_body, occ)
+            occ = _unrolled_fori(n_sph, sph_body, occ, unroll)
         if n_rct:
-            occ = jax.lax.fori_loop(0, n_rct, rct_body, occ)
+            occ = _unrolled_fori(n_rct, rct_body, occ, unroll)
         return occ > 0.5
 
     return occluded_fn
@@ -403,13 +430,15 @@ def _make_fused_vec(
         # PAD-row indices [n_sph, ns_pad) can never collide with a real
         # rect index (see bwd_kernel note).
         t, kbest = _nearest_loop(
-            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), rct_offset=ns_pad
+            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), rct_offset=ns_pad,
+            unroll=tiles.unroll,
         )
         hit = t < BIG * 0.5
         at = _resolve_attrs(
             sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), t, kbest, ns_pad
         )
-        occluded_fn = _occluded_loop(sph_read, n_sph, rct_read, n_rct)
+        occluded_fn = _occluded_loop(sph_read, n_sph, rct_read, n_rct,
+                                     unroll=tiles.unroll)
         out = shade_from_attrs(
             _globals_ns(gview), o, d, cfg, (bh, bw), t, hit, at,
             occluded_fn=occluded_fn, return_vis=True,
@@ -465,7 +494,8 @@ def _make_fused_vec(
         # real rect index (a collision hands the rect's cotangent mask to a
         # benign pad sphere at z=1e6 -> garbage camera gradients).
         t_sel, kbest = _nearest_loop(
-            sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset=ns_pad
+            sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset=ns_pad,
+            unroll=tiles.unroll,
         )
         t_sel = jax.lax.stop_gradient(t_sel)
         kbest = jax.lax.stop_gradient(kbest)

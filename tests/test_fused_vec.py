@@ -165,3 +165,35 @@ def test_sharded_band_rendering():
 
     b = np.asarray(render(scene, cfg, impl="jnp_vec"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_unroll_bitwise_invariant():
+    """The phase-1 loop's static unroll (VecTileConfig.unroll) peels the
+    remainder in visit order, so any factor must be BITWISE identical to
+    the unrolled=1 loop — fwd and hand-planned bwd."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import VecTileConfig
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    scene, _, _ = configs.config5_many_spheres(48, n_spheres=18)
+    cfg = RenderConfig(height=48, width=48, shadows=True)
+    ref = np.asarray(
+        render_pallas_vec(scene, cfg, tiles=VecTileConfig(unroll=1), interpret=True)
+    )
+    for u in (3, 4):  # 3: remainder path (18 % 3 == 0 for spheres but 1 rect)
+        img = np.asarray(
+            render_pallas_vec(scene, cfg, tiles=VecTileConfig(unroll=u), interpret=True)
+        )
+        np.testing.assert_array_equal(img, ref, err_msg=f"unroll={u}")
+
+    target = jnp.zeros((48, 48, 3), jnp.float32)
+
+    def g(u):
+        return jax.grad(
+            lambda s: mse_loss(
+                render_pallas_vec(s, cfg, tiles=VecTileConfig(unroll=u), interpret=True),
+                target,
+            )
+        )(scene)
+
+    for a, b in zip(jax.tree_util.tree_leaves(g(1)), jax.tree_util.tree_leaves(g(4))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
