@@ -260,7 +260,8 @@ def main():
              f"[compile+bench {time.perf_counter()-t0:.0f}s]")
         details["fwdbwd_ms_spp4"] = t_spp4 * 1e3
 
-    # --- config-5 scale: object-chunked kernels at 513 objects, 512^2 ---
+    # --- config-5 scale: object-chunked kernels at 513 objects, 512^2,
+    # and at the BASELINE config-5 driver shape (64 spheres + plane, 1024^2)
     if on_tpu:
         from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
 
@@ -274,6 +275,18 @@ def main():
         _log(f"pallas_vec 513-obj 512^2 fwd+bwd: {t5*1e3:.2f} ms/step "
              f"[compile+bench {time.perf_counter()-t0:.0f}s]")
         details["config5_513obj_fwdbwd_ms"] = t5 * 1e3
+
+        scene5k, _, _ = configs.config5_many_spheres(1024, n_spheres=64)
+        cfg5k = RenderConfig(height=1024, width=1024, shadows=True)
+        tgt5k = jnp.zeros((1024, 1024, 3), jnp.float32)
+        t0 = time.perf_counter()
+        t5k = _scan_steps_grad(
+            lambda s: render_pallas_vec(s, cfg5k), scene5k, tgt5k, 10, 60, k=3
+        )
+        _log(f"pallas_vec 65-obj 1024^2 fwd+bwd: {t5k*1e3:.2f} ms/step "
+             f"({1024*1024/t5k/1e6:.0f} Mrays/s) "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["config5_65obj_1024_fwdbwd_ms"] = t5k * 1e3
 
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=2)

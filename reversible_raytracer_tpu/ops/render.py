@@ -45,6 +45,9 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
         elif jax.default_backend() == "tpu":
             # Unrolled fused kernels compile O(N) (fastest for small object
             # counts); the object-chunked kernels compile O(1) — pick by N.
+            # Crossover measured on v5e at 512^2 fwd+bwd: unrolled 0.172 ms
+            # at 6 objects vs vec 0.686; vec 0.916 ms at 25 objects while
+            # the unrolled chain reaches ~1 ms around 25-30 — threshold 24.
             n_obj = scene.spheres.count + scene.rects.count
             impl = "pallas" if n_obj <= 24 else "pallas_vec"
         else:
