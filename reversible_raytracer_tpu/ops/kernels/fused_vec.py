@@ -363,6 +363,14 @@ def _occluded_loop(sph_read, n_sph, rct_read, n_rct, unroll=1):
 # Kernel factory
 # ---------------------------------------------------------------------------
 
+def pad_rows(arr, n_pad, pad_row):
+    """Pad object rows to ``n_pad`` with a benign pad row (see _SPH_PAD_ROW)."""
+    if arr.shape[0] == n_pad:
+        return arr
+    fill = jnp.tile(jnp.asarray(pad_row)[None], (n_pad - arr.shape[0], 1))
+    return jnp.concatenate([arr, fill], axis=0) if arr.shape[0] else fill
+
+
 _CACHE: dict = {}
 
 
@@ -638,11 +646,7 @@ def _make_fused_vec(
     )
 
     # --------------------------------------------------------- custom_vjp
-    def _pad(arr, n_pad, pad_row):
-        if arr.shape[0] == n_pad:
-            return arr
-        fill = jnp.tile(jnp.asarray(pad_row)[None], (n_pad - arr.shape[0], 1))
-        return jnp.concatenate([arr, fill], axis=0) if arr.shape[0] else fill
+    _pad = pad_rows
 
     @jax.custom_vjp
     def fused(gflat, sph, rct, offsets):

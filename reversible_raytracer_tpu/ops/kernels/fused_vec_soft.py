@@ -1,0 +1,830 @@
+"""Soft-visibility fused Pallas kernels (the RenderConfig.soft_tau mode).
+
+The annealed joint-geometry inversion (optim.optimize_annealed; BASELINE
+config 5 "full joint inverse render") spends almost all of its device time
+in the SOFT (tau > 0) stages, which previously only existed as
+`pipeline_vec._render_soft` — an XLA path that materializes (N, H, W)
+tensors for every per-object quantity and is HBM-bound. This module is the
+TPU-native soft renderer: the same object-chunked SMEM design as
+`fused_vec` (O(1) compile in N, scene objects walked by fori_loop), with
+the soft math fused into one kernel per tile.
+
+Semantics mirror `pipeline_vec._render_soft` primitive-for-primitive:
+
+  1. phase 1 — a TWO-MIN t_rank loop tracks the nearest and next-nearest
+     soft layers (t1, k1, t2, k2). Strict `<` comparisons reproduce
+     argmin's first-wins ties and the winner-masked re-argmin of the jnp
+     path (distinct-pair ties included);
+  2. phase 2 — chunk-skipped resolve of each layer's 10 attribute planes
+     plus its soft coverage alpha (`_sphere_soft_eval`: the sigmoid
+     silhouette alpha whose d/d(center, radius) is the gradient hard
+     raytracing lacks; rect layers stay hard, alpha = 1);
+  3. per-layer shading through the SHARED `pipeline.shade_from_attrs`
+     with a soft-occlusion product loop (1 - prod_k (1 - alpha_k), rect
+     occluders hard) injected as occluded_fn;
+  4. two-layer alpha compositing over the background, exactly the jnp
+     path's `a1*c1 + (1-a1)*(a2*c2 + (1-a2)*bg)`.
+
+The backward is hand-planned (recompute-in-backward, custom_vjp) like
+`fused_vec`, with two soft-specific additions: the composite weights
+(a1, a2) carry real gradients (silhouettes!), routed to the winning
+objects' scalars via masked alpha vjps; and the soft shadow product's
+transpose needs per-object EXCLUSIVE products, computed exactly with
+chunked prefix/suffix products in VMEM scratch (no O(N) residuals).
+
+Fidelity contract: soft products reduce in a different association order
+than XLA's reduce, so parity vs `_render_soft` is allclose-grade
+(~1e-5 relative away from layer-decision boundaries), not bitwise —
+tests/test_fused_vec_soft.py pins it with the same boundary-masked
+methodology as the hard kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.scene import Scene
+from .. import vecmath as vm
+from ..pipeline import (
+    BIG,
+    T_EPS,
+    RenderConfig,
+    camera_rays,
+    intersect_rect,
+    light_geometry,
+    shade_from_attrs,
+    shadow_origin,
+)
+from .fused import _round_up, _scalar_view, flatten_scene, scene_layout
+from .fused_vec import (
+    ATTR_NAMES,
+    CHUNK,
+    P_RCT,
+    P_SPH,
+    _RCT_PAD_ROW,
+    _SPH_PAD_ROW,
+    VecTileConfig,
+    _globals_ns,
+    _rect_eval,
+    _sphere_eval,
+    _unrolled_fori,
+    globals_tree,
+    pack_rects,
+    pack_spheres,
+    pad_rows,
+)
+
+
+def _sphere_soft_geom(geom, o, d, tau):
+    """(t_rank, alpha) of one sphere from its 4 geometry scalars
+    (cx, cy, cz, r) — the primitive sequence of pipeline_vec._sphere_soft.
+
+    t_rank: the hit t where the ray hits, the closest-approach t for a
+    near-miss whose coverage is non-negligible (> 1e-3), BIG otherwise.
+    alpha: sigmoid(disc / (tau r^2)) gated to rays pointing at the sphere.
+    """
+    center = (geom[0], geom[1], geom[2])
+    radius = geom[3]
+    oc = vm.vsub(o, vm.splat(center))
+    b = vm.vdot(oc, d)
+    cc = vm.vdot(oc, oc) - radius * radius
+    disc = b * b - cc
+    t = -b - vm.safe_sqrt(disc)
+    hit = (disc > 0.0) & (t > T_EPS)
+    ahead = hit | (-b > T_EPS)
+    alpha = jnp.where(ahead, jax.nn.sigmoid(disc / (tau * radius * radius)), 0.0)
+    near = alpha > 1e-3
+    t_rank = jnp.where(hit, t, jnp.where(near & (-b > T_EPS), -b, BIG))
+    return t_rank, alpha
+
+
+def _sphere_shadow_alpha(geom, so, ld, dist, tau):
+    """Soft occluder coverage of one sphere for a shadow ray — the
+    primitive sequence of pipeline_vec._occluded_soft's sphere branch."""
+    center = (geom[0], geom[1], geom[2])
+    radius = geom[3]
+    oc = vm.vsub(so, vm.splat(center))
+    b = vm.vdot(oc, ld)
+    cc = vm.vdot(oc, oc) - radius * radius
+    disc = b * b - cc
+    t = -b - vm.safe_sqrt(disc)
+    hit_between = (disc > 0.0) & (t > T_EPS) & (t < dist)
+    ca_between = (-b > T_EPS) & (-b < dist)
+    return jnp.where(
+        hit_between | ca_between,
+        jax.nn.sigmoid(disc / (tau * radius * radius)),
+        0.0,
+    )
+
+
+def _rect_t_only(pv9, o, d):
+    t, _, _, _ = intersect_rect(
+        o, d, (pv9[0], pv9[1], pv9[2]), (pv9[3], pv9[4], pv9[5]),
+        (pv9[6], pv9[7], pv9[8]),
+    )
+    return t
+
+
+def _two_min_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset,
+                  tau, unroll=1):
+    """Track the two smallest t_rank layers (t1, k1, t2, k2) over all
+    objects. Strict `<` updates reproduce pipeline_vec's argmin (first
+    index wins ties) and its winner-masked second argmin (the later of a
+    tied pair becomes layer 2)."""
+    f32 = jnp.float32
+    t1 = jnp.full(shape, BIG, f32)
+    t2 = jnp.full(shape, BIG, f32)
+    k1 = jnp.full(shape, -1, jnp.int32)
+    k2 = jnp.full(shape, -1, jnp.int32)
+
+    def update(carry, k_global, t):
+        t1, k1, t2, k2 = carry
+        lt1 = t < t1
+        lt2 = t < t2
+        t2n = jnp.where(lt1, t1, jnp.where(lt2, t, t2))
+        k2n = jnp.where(lt1, k1, jnp.where(lt2, k_global, k2))
+        t1n = jnp.where(lt1, t, t1)
+        k1n = jnp.where(lt1, k_global, k1)
+        return t1n, k1n, t2n, k2n
+
+    def sph_body(k, carry):
+        geom = (sph_read(k, 0), sph_read(k, 1), sph_read(k, 2), sph_read(k, 3))
+        t_rank, _ = _sphere_soft_geom(geom, o, d, tau)
+        return update(carry, k, t_rank)
+
+    def rct_body(k, carry):
+        pv9 = tuple(rct_read(k, j) for j in range(9))
+        return update(carry, rct_offset + k, _rect_t_only(pv9, o, d))
+
+    carry = (t1, k1, t2, k2)
+    if n_sph:
+        carry = _unrolled_fori(n_sph, sph_body, carry, unroll)
+    if n_rct:
+        carry = _unrolled_fori(n_rct, rct_body, carry, unroll)
+    return carry
+
+
+def _resolve_soft_layer(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel,
+                        kbest, rct_offset, tau):
+    """Chunk-skipped resolve of one layer's attribute planes + its soft
+    alpha (same pattern as fused_vec._resolve_attrs; sphere alpha is the
+    sigmoid coverage, rect alpha is 1 — a rect can only win with a real
+    hit). Returns (attrs dict, alpha plane)."""
+    f32 = jnp.float32
+    zero = jnp.zeros(shape, f32)
+    planes = tuple([zero] * 9 + [jnp.ones(shape, f32)] + [zero])  # + alpha
+
+    def group(is_sphere, read, P, k_offset, n_obj, planes):
+        def per_object(k, planes):
+            mask = kbest == (k + k_offset)
+            pv = tuple(read(k, c) for c in range(P))
+            if is_sphere:
+                _, n_unit, col, coeffs = _sphere_eval(pv, o, d, t_known=t_sel)
+                _, alpha = _sphere_soft_geom(pv[:4], o, d, tau)
+            else:
+                _, n_unit, col, coeffs = _rect_eval(pv, o, d)
+                alpha = jnp.ones(shape, f32)
+            new = list(n_unit) + list(col) + list(coeffs) + [alpha]
+            return tuple(jnp.where(mask, nv, ov) for nv, ov in zip(new, planes))
+
+        def chunk_body(ci, planes):
+            k0 = ci * CHUNK
+            lo = k0 + k_offset
+            in_chunk = ((kbest >= lo) & (kbest < lo + CHUNK)).astype(f32)
+            any_live = jnp.max(in_chunk) > 0.0
+            return jax.lax.cond(
+                any_live,
+                lambda p: jax.lax.fori_loop(k0, k0 + CHUNK, per_object, p),
+                lambda p: p,
+                planes,
+            )
+
+        n_chunks = (n_obj + CHUNK - 1) // CHUNK
+        return jax.lax.fori_loop(0, n_chunks, chunk_body, planes)
+
+    if n_sph:
+        planes = group(True, sph_read, P_SPH, 0, n_sph, planes)
+    if n_rct:
+        planes = group(False, rct_read, P_RCT, rct_offset, n_rct, planes)
+    return dict(zip(ATTR_NAMES, planes[:10])), planes[10]
+
+
+def _occluded_soft_loop(sph_read, n_sph, rct_read, n_rct, tau, unroll=1):
+    """Soft occlusion as a product loop: occ = 1 - prod_k (1 - alpha_k)
+    (sphere occluders soft, rect occluders hard). Returned as f32 in
+    [0, 1]; shade_from_attrs's non-bool branch turns it into vis = 1-occ
+    with gradients flowing to the occluders."""
+
+    def occluded_fn(so, ld, dist):
+        prod = jnp.ones_like(dist)
+
+        def sph_body(k, prod):
+            geom = (sph_read(k, 0), sph_read(k, 1), sph_read(k, 2), sph_read(k, 3))
+            alpha = _sphere_shadow_alpha(geom, so, ld, dist, tau)
+            return prod * (1.0 - alpha)
+
+        def rct_body(k, prod):
+            pv9 = tuple(rct_read(k, j) for j in range(9))
+            t = _rect_t_only(pv9, so, ld)
+            return prod * jnp.where(t < dist, 0.0, 1.0)
+
+        if n_sph:
+            prod = _unrolled_fori(n_sph, sph_body, prod, unroll)
+        if n_rct:
+            prod = _unrolled_fori(n_rct, rct_body, prod, unroll)
+        return 1.0 - prod
+
+    return occluded_fn
+
+
+# ---------------------------------------------------------------------------
+# Kernel factory
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _make_fused_vec_soft(
+    scene_like: Scene,
+    cfg: RenderConfig,
+    tiles: VecTileConfig,
+    interpret: bool,
+    out_h: int | None = None,
+):
+    if cfg.spp != 1:
+        raise NotImplementedError("fused_vec_soft: spp>1 not supported")
+    if not cfg.soft_tau > 0.0:
+        raise ValueError("fused_vec_soft requires soft_tau > 0 (hard path: fused_vec)")
+    out_h = cfg.height if out_h is None else out_h
+    n_sph = scene_like.spheres.count
+    n_rct = scene_like.rects.count
+    n_lights = scene_like.lights.count
+    # tau enters the kernels as a runtime SMEM scalar, NOT a compile-time
+    # constant: the annealed inversion sweeps tau per stage and must reuse
+    # ONE compiled kernel pair (the soft fwd compile is minutes-long).
+    key = ((n_sph, n_rct, n_lights), dataclasses.replace(cfg, soft_tau=1.0),
+           tiles, interpret, out_h)
+    hit_entry = _CACHE.get(key)
+    if hit_entry is not None:
+        return hit_entry
+
+    gtreedef, gmeta, Sg = scene_layout(globals_tree(scene_like))
+    H, W = out_h, cfg.width
+    bh, bw = min(tiles.bh, _round_up(H, 8)), min(tiles.bw, _round_up(W, 128))
+    bhb = min(tiles.bh_bwd, _round_up(H, 8))
+    bwb = min(tiles.bw_bwd, _round_up(W, 128))
+    Hp = _round_up(H, math.lcm(bh, bhb))
+    Wp = _round_up(W, math.lcm(bw, bwb))
+    f32 = jnp.float32
+    ns_pad = _round_up(max(n_sph, 1), CHUNK)
+    nr_pad = _round_up(max(n_rct, 1), CHUNK)
+    cfg_layer = dataclasses.replace(cfg, clip=False, soft_tau=0.0)
+
+    def tile_coords(off_ref, i, j, bh_, bw_):
+        row0 = off_ref[0, 0] + (i * bh_).astype(f32)
+        col0 = off_ref[0, 1] + (j * bw_).astype(f32)
+        ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (bh_, bw_), 0).astype(f32)
+        jj = col0 + jax.lax.broadcasted_iota(jnp.int32, (bh_, bw_), 1).astype(f32)
+        return ii, jj
+
+    def rays_for(gvals, ii, jj, shape):
+        gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
+        o, d = camera_rays(gview["camera"], ii, jj, cfg.height, cfg.width, cfg.projection)
+        return vm.vbroadcast(o, shape), vm.vbroadcast(d, shape), gview
+
+    def soft_image(gvals, sph_read, rct_read, o, d, gview, shape, unroll, tau):
+        """The full soft pipeline for one tile — shared by the forward
+        kernel and (re-traced under jax.vjp stage-wise) the backward."""
+        t1, k1, t2, k2 = _two_min_loop(
+            sph_read, n_sph, rct_read, n_rct, o, d, shape, ns_pad, tau, unroll
+        )
+        occluded_fn = _occluded_soft_loop(sph_read, n_sph, rct_read, n_rct, tau, unroll)
+        layers = []
+        for t_sel, kb in ((t1, k1), (t2, k2)):
+            live = t_sel < BIG * 0.5
+            at, alpha = _resolve_soft_layer(
+                sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kb,
+                ns_pad, tau,
+            )
+            a = jnp.where(live, alpha, 0.0)
+            col = shade_from_attrs(
+                _globals_ns(gview), o, d, cfg_layer, shape, t_sel, live, at,
+                occluded_fn=occluded_fn,
+            )
+            layers.append((a, col))
+        (a1, c1), (a2, c2) = layers
+        bg = gview["background"]
+        out = []
+        for ch in range(3):
+            behind = a2 * c2[ch] + (1.0 - a2) * bg[ch]
+            comp = a1 * c1[ch] + (1.0 - a1) * behind
+            out.append(jnp.clip(comp, 0.0, 1.0) if cfg.clip else comp)
+        return tuple(out)
+
+    # ------------------------------------------------------------- forward
+    def fwd_kernel(off_ref, tau_ref, glob_ref, sph_ref, rct_ref, r_ref, g_ref, b_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        ii, jj = tile_coords(off_ref, i, j, bh, bw)
+        tau = tau_ref[0, 0]
+        gvals = tuple(glob_ref[0, idx] for idx in range(Sg))
+        o, d, gview = rays_for(gvals, ii, jj, (bh, bw))
+        sph_read = lambda k, c: sph_ref[k, c]
+        rct_read = lambda k, c: rct_ref[k, c]
+        r, g, b = soft_image(
+            gvals, sph_read, rct_read, o, d, gview, (bh, bw), tiles.unroll, tau
+        )
+        r_ref[:, :] = r
+        g_ref[:, :] = g
+        b_ref[:, :] = b
+
+    fwd_call = pl.pallas_call(
+        fwd_kernel,
+        grid=(Hp // bh, Wp // bw),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bh, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((Hp, Wp), f32)] * 3,
+        interpret=interpret,
+    )
+
+    # ------------------------------------------------------------ backward
+    #
+    # Hand-planned recompute-in-backward. Unlike the hard kernels, soft
+    # visibility and the composite alphas CARRY gradients, so the plan is:
+    #
+    #   replay two-min + per-layer resolve + per-layer vis (values only)
+    #   S-vjp: shade(vis_in_grad=True) + composite as one jax.vjp
+    #        -> d_t, d_planes, d_alpha, d_vis per layer, d_o/d_d/d_gvals
+    #   shadow transpose per layer: occlusion-product transpose (chunked
+    #        EXCLUSIVE products in VMEM scratch — exact, no division, no
+    #        O(N) residuals) -> per-occluder geometry grads + (d_so,
+    #        d_ldir, d_dist), then jax.vjp through shadow_origin/
+    #        light_geometry adds to d_t/d_normals/d_o/d_d/d_gvals
+    #   per-object masked vjps per layer (chunk-skipped): t_rank, attrs
+    #        and alpha routed to the winning object's scalars
+    #   rays vjp closes the camera path.
+    with_vis = cfg.shadows and cfg.shader == "phong" and n_lights > 0
+    n_chunks_s = ns_pad // CHUNK
+
+    def bwd_kernel(off_ref, tau_ref, glob_ref, sph_ref, rct_ref, gr_ref, gg_ref,
+                   gb_ref, dglob_ref, dsph_ref, drct_ref, q_scr, pre_scr):
+        i, j = pl.program_id(0), pl.program_id(1)
+        tau = tau_ref[0, 0]
+        ii, jj = tile_coords(off_ref, i, j, bhb, bwb)
+        shape = (bhb, bwb)
+        gvals = tuple(glob_ref[0, idx] for idx in range(Sg))
+        sph_read = lambda k, c: sph_ref[k, c]
+        rct_read = lambda k, c: rct_ref[k, c]
+        f32_ = jnp.float32
+        zero = jnp.zeros(shape, f32_)
+        zero3 = (zero,) * 3
+
+        def rays_fn(gvals):
+            o, d, _ = rays_for(gvals, ii, jj, shape)
+            return o, d
+
+        (o, d), rays_vjp = jax.vjp(rays_fn, gvals)
+        gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
+
+        # ---- replay (values only) ----
+        t1, k1, t2, k2 = _two_min_loop(
+            sph_read, n_sph, rct_read, n_rct, o, d, shape, ns_pad, tau,
+            tiles.unroll,
+        )
+        t1 = jax.lax.stop_gradient(t1)
+        t2 = jax.lax.stop_gradient(t2)
+        k1 = jax.lax.stop_gradient(k1)
+        k2 = jax.lax.stop_gradient(k2)
+        lives = (t1 < BIG * 0.5, t2 < BIG * 0.5)
+        resolved = []
+        for t_sel, kb in ((t1, k1), (t2, k2)):
+            at_l, alpha_l = _resolve_soft_layer(
+                sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kb,
+                ns_pad, tau,
+            )
+            planes = tuple(
+                jax.lax.stop_gradient(at_l[name]) for name in ATTR_NAMES
+            )
+            resolved.append((planes, jax.lax.stop_gradient(alpha_l)))
+
+        occluded_fn = _occluded_soft_loop(
+            sph_read, n_sph, rct_read, n_rct, tau, tiles.unroll
+        )
+        lights_view = gview["lights"]
+
+        vis_layers = []
+        if with_vis:
+            for (t_sel, _kb), (planes, _a) in zip(((t1, k1), (t2, k2)), resolved):
+                nrm = planes[:3]
+                so = shadow_origin(o, d, t_sel, nrm)
+                vs = []
+                for li in range(n_lights):
+                    ldir, dist = light_geometry(lights_view, li, so)
+                    vs.append(1.0 - occluded_fn(so, ldir, dist))
+                vis_layers.append(tuple(jax.lax.stop_gradient(v) for v in vs))
+        else:
+            vis_layers = [None, None]
+
+        # ---- stage S: shade + composite (one vjp) ----
+        def S(gvals, o, d, t1v, planes1, alpha1, vis1, t2v, planes2, alpha2, vis2):
+            gv = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
+            outs = []
+            for t_sel, planes, alpha, vis, live in (
+                (t1v, planes1, alpha1, vis1, lives[0]),
+                (t2v, planes2, alpha2, vis2, lives[1]),
+            ):
+                at = dict(zip(ATTR_NAMES, planes))
+                a = jnp.where(live, alpha, 0.0)
+                col = shade_from_attrs(
+                    _globals_ns(gv), o, d, cfg_layer, shape, t_sel, live, at,
+                    vis_in=vis, vis_in_grad=True,
+                )
+                outs.append((a, col))
+            (a1, c1), (a2, c2) = outs
+            bg = gv["background"]
+            res = []
+            for ch in range(3):
+                behind = a2 * c2[ch] + (1.0 - a2) * bg[ch]
+                comp = a1 * c1[ch] + (1.0 - a1) * behind
+                res.append(jnp.clip(comp, 0.0, 1.0) if cfg.clip else comp)
+            return tuple(res)
+
+        (planes1, alpha1), (planes2, alpha2) = resolved
+        _, S_vjp = jax.vjp(
+            S, gvals, o, d, t1, planes1, alpha1, vis_layers[0],
+            t2, planes2, alpha2, vis_layers[1],
+        )
+        dcol = (gr_ref[:, :], gg_ref[:, :], gb_ref[:, :])
+        (dg_S, dS_o, dS_d, d_t1, d_pl1, d_a1, d_vis1,
+         d_t2, d_pl2, d_a2, d_vis2) = S_vjp(dcol)
+
+        d_o_acc = list(dS_o)
+        d_d_acc = list(dS_d)
+        dg_acc = list(dg_S)
+        d_t_tot = [d_t1, d_t2]
+        d_pl_tot = [list(d_pl1), list(d_pl2)]
+
+        # ---- zero-init output grads on the first tile ----
+        first = (i == 0) & (j == 0)
+
+        @pl.when(first)
+        def _():
+            for idx in range(Sg):
+                dglob_ref[0, idx] = 0.0
+
+            def z_sph(k, _):
+                for c in range(P_SPH):
+                    dsph_ref[k, c] = 0.0
+                return 0
+
+            def z_rct(k, _):
+                for c in range(P_RCT):
+                    drct_ref[k, c] = 0.0
+                return 0
+
+            jax.lax.fori_loop(0, ns_pad, z_sph, 0)
+            jax.lax.fori_loop(0, nr_pad, z_rct, 0)
+
+        # ---- shadow transpose per layer ----
+        if with_vis:
+            for l_idx, ((t_sel, _kb), (planes, _a), d_vis_l) in enumerate(
+                zip(((t1, k1), (t2, k2)), resolved, (d_vis1, d_vis2))
+            ):
+                nrm = planes[:3]
+
+                def shadow_stage(gvals, o, d, t_sel, nrm):
+                    gv = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
+                    so = shadow_origin(o, d, t_sel, nrm)
+                    geoms = tuple(
+                        light_geometry(gv["lights"], li, so)
+                        for li in range(n_lights)
+                    )
+                    return so, geoms
+
+                (so, geoms), shadow_vjp = jax.vjp(
+                    shadow_stage, gvals, o, d, t_sel, nrm
+                )
+
+                d_so = list(zero3)
+                d_geoms = []
+                for li in range(n_lights):
+                    ldir, dist = geoms[li]
+                    dV = d_vis_l[li]
+                    d_ld = list(zero3)
+                    d_dist = zero
+
+                    # Rect occluders: hard factor R (zero gradient).
+                    R = jnp.ones(shape, f32_)
+
+                    def rct_body(k, R):
+                        pv9 = tuple(rct_read(k, c) for c in range(9))
+                        t = _rect_t_only(pv9, so, ldir)
+                        return R * jnp.where(t < dist, 0.0, 1.0)
+
+                    if n_rct:
+                        R = _unrolled_fori(n_rct, rct_body, R, tiles.unroll)
+
+                    if n_sph:
+                        # Pass 1: per-chunk products Q_c and prefixes.
+                        def chunk_q(ci, running):
+                            def obj_body(k, q):
+                                geom = tuple(sph_read(k, c) for c in range(4))
+                                a = _sphere_shadow_alpha(geom, so, ldir, dist, tau)
+                                return q * (1.0 - a)
+
+                            q_c = jax.lax.fori_loop(
+                                ci * CHUNK, (ci + 1) * CHUNK, obj_body,
+                                jnp.ones(shape, f32_),
+                            )
+                            pre_scr[ci] = running
+                            q_scr[ci] = q_c
+                            return running * q_c
+
+                        jax.lax.fori_loop(0, n_chunks_s, chunk_q,
+                                          jnp.ones(shape, f32_))
+
+                        # Pass 2 (reverse): exteriors + per-object vjps.
+                        def chunk_bwd(rev, carry):
+                            suf, d_so0, d_so1, d_so2, d_ld0, d_ld1, d_ld2, d_dist = carry
+                            ci = n_chunks_s - 1 - rev
+                            q_c = q_scr[ci]
+                            exterior = pre_scr[ci] * suf
+
+                            def live_branch(args):
+                                d_so0, d_so1, d_so2, d_ld0, d_ld1, d_ld2, d_dist = args
+                                k0 = ci * CHUNK
+                                geoms_c = [
+                                    tuple(sph_read(k0 + u, c) for c in range(4))
+                                    for u in range(CHUNK)
+                                ]
+                                alphas = [
+                                    _sphere_shadow_alpha(g, so, ldir, dist, tau)
+                                    for g in geoms_c
+                                ]
+                                one_m = [1.0 - a for a in alphas]
+                                pre = [None] * CHUNK
+                                run = jnp.ones(shape, f32_)
+                                for u in range(CHUNK):
+                                    pre[u] = run
+                                    run = run * one_m[u]
+                                sufs = [None] * CHUNK
+                                run = jnp.ones(shape, f32_)
+                                for u in reversed(range(CHUNK)):
+                                    sufs[u] = run
+                                    run = run * one_m[u]
+                                for u in range(CHUNK):
+                                    d_alpha = -dV * exterior * pre[u] * sufs[u]
+
+                                    def alpha_fn(geom, so, ldir, dist):
+                                        return _sphere_shadow_alpha(
+                                            geom, so, ldir, dist, tau
+                                        )
+
+                                    _, avjp = jax.vjp(
+                                        alpha_fn, geoms_c[u], so, ldir, dist
+                                    )
+                                    dgeom, dso_u, dld_u, ddist_u = avjp(d_alpha)
+                                    for c in range(4):
+                                        dsph_ref[k0 + u, c] = (
+                                            dsph_ref[k0 + u, c] + dgeom[c]
+                                        )
+                                    d_so0 = d_so0 + dso_u[0]
+                                    d_so1 = d_so1 + dso_u[1]
+                                    d_so2 = d_so2 + dso_u[2]
+                                    d_ld0 = d_ld0 + dld_u[0]
+                                    d_ld1 = d_ld1 + dld_u[1]
+                                    d_ld2 = d_ld2 + dld_u[2]
+                                    d_dist = d_dist + ddist_u
+                                return (d_so0, d_so1, d_so2, d_ld0, d_ld1,
+                                        d_ld2, d_dist)
+
+                            # Skip chunks with no soft coverage anywhere
+                            # (Q_c == 1 exactly => every alpha is exactly 0
+                            # => every masked vjp is exactly 0).
+                            any_soft = jnp.max(1.0 - q_c) > 0.0
+                            outs = jax.lax.cond(
+                                any_soft, live_branch, lambda a: a,
+                                (d_so0, d_so1, d_so2, d_ld0, d_ld1, d_ld2,
+                                 d_dist),
+                            )
+                            return (suf * q_c,) + outs
+
+                        # The exterior must include the rect factor R and
+                        # the cotangent is scaled once by it via `suf` init.
+                        carry = (R, d_so[0], d_so[1], d_so[2],
+                                 d_ld[0], d_ld[1], d_ld[2], d_dist)
+                        carry = jax.lax.fori_loop(0, n_chunks_s, chunk_bwd, carry)
+                        (_suf, d_so0, d_so1, d_so2,
+                         d_ld0, d_ld1, d_ld2, d_dist) = carry
+                        d_so = [d_so0, d_so1, d_so2]
+                        d_ld = [d_ld0, d_ld1, d_ld2]
+
+                    d_geoms.append((tuple(d_ld), d_dist))
+
+                dg_sh, d_o_sh, d_d_sh, d_t_sh, d_n_sh = shadow_vjp(
+                    (tuple(d_so), tuple(d_geoms))
+                )
+                for c in range(3):
+                    d_o_acc[c] = d_o_acc[c] + d_o_sh[c]
+                    d_d_acc[c] = d_d_acc[c] + d_d_sh[c]
+                    d_pl_tot[l_idx][c] = d_pl_tot[l_idx][c] + d_n_sh[c]
+                d_t_tot[l_idx] = d_t_tot[l_idx] + d_t_sh
+                dg_acc = [a + b for a, b in zip(dg_acc, dg_sh)]
+
+        # ---- per-object masked vjps per layer (chunk-skipped) ----
+        def layer_obj_backward(kbest_l, d_t, d_planes, d_alpha, acc):
+            def sph_group(acc):
+                def per_object(k, acc2):
+                    d_o_a, d_d_a = acc2
+                    mask = (kbest_l == k).astype(f32_)
+                    pv = tuple(sph_read(k, c) for c in range(P_SPH))
+
+                    def f(pv, o, d):
+                        t_rank, alpha = _sphere_soft_geom(pv[:4], o, d, tau)
+                        _, n_unit, col, coeffs = _sphere_eval(
+                            pv, o, d, t_known=t_rank
+                        )
+                        outs = (t_rank,) + tuple(n_unit) + tuple(col) + tuple(
+                            coeffs
+                        ) + (alpha,)
+                        return tuple(jnp.broadcast_to(x, shape) for x in outs)
+
+                    _, obj_vjp = jax.vjp(f, pv, o, d)
+                    cots = ((d_t * mask,)
+                            + tuple(p * mask for p in d_planes)
+                            + (d_alpha * mask,))
+                    dpv, d_o_k, d_d_k = obj_vjp(cots)
+                    for c in range(P_SPH):
+                        dsph_ref[k, c] = dsph_ref[k, c] + dpv[c]
+                    return (vm.vadd(d_o_a, d_o_k), vm.vadd(d_d_a, d_d_k))
+
+                def chunk_body(ci, acc2):
+                    k0 = ci * CHUNK
+                    in_chunk = ((kbest_l >= k0) & (kbest_l < k0 + CHUNK)).astype(f32_)
+                    return jax.lax.cond(
+                        jnp.max(in_chunk) > 0.0,
+                        lambda a: jax.lax.fori_loop(k0, k0 + CHUNK, per_object, a),
+                        lambda a: a,
+                        acc2,
+                    )
+
+                return jax.lax.fori_loop(0, n_chunks_s, chunk_body, acc)
+
+            def rct_group(acc):
+                def per_object(k, acc2):
+                    d_o_a, d_d_a = acc2
+                    mask = (kbest_l == (ns_pad + k)).astype(f32_)
+                    pv = tuple(rct_read(k, c) for c in range(P_RCT))
+
+                    def f(pv, o, d):
+                        t, n_unit, col, coeffs = _rect_eval(pv, o, d)
+                        outs = (t,) + tuple(n_unit) + tuple(col) + tuple(coeffs)
+                        return tuple(jnp.broadcast_to(x, shape) for x in outs)
+
+                    _, obj_vjp = jax.vjp(f, pv, o, d)
+                    cots = (d_t * mask,) + tuple(p * mask for p in d_planes)
+                    dpv, d_o_k, d_d_k = obj_vjp(cots)
+                    for c in range(P_RCT):
+                        drct_ref[k, c] = drct_ref[k, c] + dpv[c]
+                    return (vm.vadd(d_o_a, d_o_k), vm.vadd(d_d_a, d_d_k))
+
+                def chunk_body(ci, acc2):
+                    k0 = ci * CHUNK
+                    lo = ns_pad + k0
+                    in_chunk = ((kbest_l >= lo) & (kbest_l < lo + CHUNK)).astype(f32_)
+                    return jax.lax.cond(
+                        jnp.max(in_chunk) > 0.0,
+                        lambda a: jax.lax.fori_loop(k0, k0 + CHUNK, per_object, a),
+                        lambda a: a,
+                        acc2,
+                    )
+
+                n_chunks_r = (n_rct + CHUNK - 1) // CHUNK
+                return jax.lax.fori_loop(0, n_chunks_r, chunk_body, acc)
+
+            if n_sph:
+                acc = sph_group(acc)
+            if n_rct:
+                acc = rct_group(acc)
+            return acc
+
+        acc = (zero3, zero3)
+        acc = layer_obj_backward(k1, d_t_tot[0], tuple(d_pl_tot[0]), d_a1, acc)
+        acc = layer_obj_backward(k2, d_t_tot[1], tuple(d_pl_tot[1]), d_a2, acc)
+        d_o_obj, d_d_obj = acc
+
+        # ---- rays transpose + global accumulation ----
+        (dg_rays,) = rays_vjp((
+            vm.vadd(tuple(d_o_acc), d_o_obj),
+            vm.vadd(tuple(d_d_acc), d_d_obj),
+        ))
+        for idx in range(Sg):
+            dglob_ref[0, idx] = (
+                dglob_ref[0, idx] + dg_acc[idx] + dg_rays[idx]
+            )
+
+    bwd_call = pl.pallas_call(
+        bwd_kernel,
+        grid=(Hp // bhb, Wp // bwb),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=[
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Sg), f32),
+            jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
+            jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_chunks_s, bhb, bwb), jnp.float32),
+            pltpu.VMEM((n_chunks_s, bhb, bwb), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    # --------------------------------------------------------- custom_vjp
+    @jax.custom_vjp
+    def fused(gflat, sph, rct, offsets, tau_arr):
+        return tuple(fwd_call(
+            offsets, tau_arr, gflat.reshape(1, Sg),
+            pad_rows(sph, ns_pad, _SPH_PAD_ROW),
+            pad_rows(rct, nr_pad, _RCT_PAD_ROW),
+        ))
+
+    def fused_fwd(gflat, sph, rct, offsets, tau_arr):
+        return fused(gflat, sph, rct, offsets, tau_arr), (
+            gflat, sph, rct, offsets, tau_arr,
+        )
+
+    def fused_bwd(res, cotangents):
+        gflat, sph, rct, offsets, tau_arr = res
+        gr, gg, gb = cotangents
+        dglob, dsph, drct = bwd_call(
+            offsets, tau_arr, gflat.reshape(1, Sg),
+            pad_rows(sph, ns_pad, _SPH_PAD_ROW),
+            pad_rows(rct, nr_pad, _RCT_PAD_ROW),
+            gr, gg, gb,
+        )
+        return (
+            dglob.reshape(Sg),
+            dsph[: sph.shape[0]],
+            drct[: rct.shape[0]],
+            jnp.zeros_like(offsets),
+            jnp.zeros_like(tau_arr),
+        )
+
+    fused.defvjp(fused_fwd, fused_bwd)
+
+    def apply(gflat, sph, rct, offsets, tau_arr):
+        outs = fused(gflat, sph, rct, offsets, tau_arr)
+        r, g, b = outs[0], outs[1], outs[2]
+        return jnp.stack([r[:H, :W], g[:H, :W], b[:H, :W]], axis=-1)
+
+    _CACHE[key] = apply
+    return apply
+
+
+def render_pallas_vec_soft(
+    scene: Scene,
+    cfg: RenderConfig,
+    row0=0.0,
+    col0=0.0,
+    tiles: VecTileConfig | None = None,
+    interpret: bool = False,
+    out_height: int | None = None,
+):
+    """Render the soft-visibility image (RenderConfig.soft_tau > 0) via the
+    object-chunked soft Pallas kernel. Semantics: pipeline_vec._render_soft
+    (allclose-grade parity; see module docstring)."""
+    tiles = tiles or VecTileConfig()
+    apply = _make_fused_vec_soft(scene, cfg, tiles, interpret, out_h=out_height)
+    gflat = flatten_scene(globals_tree(scene))
+    offsets = jnp.stack(
+        [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]
+    ).reshape(1, 2)
+    tau_arr = jnp.asarray(cfg.soft_tau, jnp.float32).reshape(1, 1)
+    return apply(gflat, pack_spheres(scene), pack_rects(scene), offsets, tau_arr)

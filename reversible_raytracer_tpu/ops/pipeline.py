@@ -306,9 +306,30 @@ def occluded(scene: Scene, o: Vec3, ldir: Vec3, dist):
 # ---------------------------------------------------------------------------
 
 
+def shadow_origin(o: Vec3, d: Vec3, t, n) -> Vec3:
+    """Shadow-ray origin: hit point offset along the normal (C8). Factored
+    out so hand-planned backwards (fused_vec_soft) can transpose through
+    the same primitive sequence shade_from_attrs uses."""
+    p = vm.vadd(o, vm.vscale(d, t))
+    return vm.vadd(p, vm.vscale(n, SHADOW_EPS))
+
+
+def light_geometry(lights, li: int, shadow_o: Vec3):
+    """(ldir, dist) from the shadow origin to light ``li`` — the exact
+    primitive sequence of shade_from_attrs's per-light setup (shared with
+    hand-planned backwards)."""
+    lpos = vm.splat(lights.position[li])
+    lvec = vm.vsub(lpos, shadow_o)
+    dist2 = vm.vdot(lvec, lvec)
+    dist = vm.safe_sqrt(dist2)
+    ldir = vm.vscale(lvec, 1.0 / jnp.where(dist > 1e-9, dist, 1.0))
+    return ldir, dist
+
+
 def shade_from_attrs(scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
                      t, hit, at, occluded_fn=None,
-                     vis_in=None, return_vis: bool = False):
+                     vis_in=None, return_vis: bool = False,
+                     vis_in_grad: bool = False):
     """Object-count-independent shading given nearest-hit results.
 
     Shared verbatim by the unrolled path (`shade`) and the object-chunked
@@ -316,6 +337,10 @@ def shade_from_attrs(scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
     with their own object loops. ``scene`` only needs .lights/.ambient/
     .background here; ``occluded_fn(shadow_o, ldir, dist) -> bool`` performs
     the shadow any-hit test (object-dependent, hence injected).
+
+    ``vis_in_grad=True`` lets replayed ``vis_in`` planes carry gradients —
+    required by the SOFT backward (fused_vec_soft), where visibility is
+    continuous; the default stop_gradient matches hard-shadow semantics.
     """
     if cfg.shader == "depth":
         z = jnp.where(hit, 1.0 / (1.0 + t), 0.0)
@@ -328,7 +353,6 @@ def shade_from_attrs(scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
 
     n = (at["nx"], at["ny"], at["nz"])
     base = (at["cr"], at["cg"], at["cb"])
-    p = vm.vadd(o, vm.vscale(d, t))
 
     ambient = vm.splat(scene.ambient)
     col = vm.vscale(vm.vmul(base, ambient), at["ka"])
@@ -336,17 +360,13 @@ def shade_from_attrs(scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
 
     lights = scene.lights
     vis_out = []
-    shadow_o = vm.vadd(p, vm.vscale(n, SHADOW_EPS))
+    shadow_o = shadow_origin(o, d, t, n)
     for li in range(lights.count):
-        lpos = vm.splat(lights.position[li])
         lcol = vm.splat(lights.color[li])
-        lvec = vm.vsub(lpos, shadow_o)
-        dist2 = vm.vdot(lvec, lvec)
-        dist = vm.safe_sqrt(dist2)
-        ldir = vm.vscale(lvec, 1.0 / jnp.where(dist > 1e-9, dist, 1.0))
+        ldir, dist = light_geometry(lights, li, shadow_o)
 
         if vis_in is not None:
-            vis = jax.lax.stop_gradient(vis_in[li])
+            vis = vis_in[li] if vis_in_grad else jax.lax.stop_gradient(vis_in[li])
         elif cfg.shadows and occluded_fn is not None:
             occ = occluded_fn(shadow_o, ldir, dist)
             if occ.dtype == jnp.bool_:

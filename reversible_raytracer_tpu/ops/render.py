@@ -38,10 +38,10 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     """Render the full image with the best available implementation."""
     if impl == "auto":
         if cfg.soft_tau > 0.0:
-            # Soft-visibility rendering exists only in the object-vectorized
-            # jnp path; the Pallas kernels implement the hard reference
-            # semantics (they would silently drop tau).
-            impl = "jnp_vec"
+            # Soft-visibility rendering: the dedicated soft Pallas kernels
+            # on TPU, the object-vectorized jnp path elsewhere (the HARD
+            # Pallas kernels would silently drop tau — they refuse).
+            impl = "pallas_vec_soft" if jax.default_backend() == "tpu" else "jnp_vec"
         elif jax.default_backend() == "tpu":
             # Unrolled fused kernels compile O(N) (fastest for small object
             # counts); the object-chunked kernels compile O(1) — pick by N.
@@ -66,6 +66,10 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
         from .kernels.fused_vec import render_pallas_vec
 
         return render_pallas_vec(scene, cfg)
+    if impl == "pallas_vec_soft":
+        from .kernels.fused_vec_soft import render_pallas_vec_soft
+
+        return render_pallas_vec_soft(scene, cfg)
     raise ValueError(f"unknown impl {impl!r}")
 
 

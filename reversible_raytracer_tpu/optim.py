@@ -377,33 +377,38 @@ def optimize_annealed(
         # descent dynamics (grad_descent.py).
         hard_ocfg = dataclasses.replace(ocfg, optimizer="sgd", lr=0.3, momentum=0.0)
 
-    # Soft (tau > 0) stages can only run through render_jnp_vec (the sole
-    # soft-visibility implementation). The hard tau = 0 polish uses the
-    # object-chunked Pallas kernels on TPU — bit-exact against jnp_vec
-    # there (tests + scripts/vec_tpu_check.py), so the trajectory is
-    # unchanged and the stage runs ~13x faster at config-5 scale.
+    # On TPU every stage runs through fused Pallas kernels: the soft
+    # (tau > 0) stages through fused_vec_soft (hand-planned two-layer soft
+    # backward; allclose-grade vs render_jnp_vec) and the hard tau = 0
+    # polish through fused_vec (bit-exact vs render_jnp_vec there).
+    # Elsewhere both run through render_jnp_vec. Stage targets are rendered
+    # with the SAME renderer as the stage optimization, so the stage loss
+    # floor is exactly zero regardless of implementation.
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         from .ops.kernels.fused_vec import render_pallas_vec
+        from .ops.kernels.fused_vec_soft import render_pallas_vec_soft
 
     all_losses = []
     for tau in taus:
         cfg_t = dataclasses.replace(rcfg, soft_tau=float(tau))
         if tau > 0.0 and soft_size is not None:
             cfg_t = dataclasses.replace(cfg_t, height=soft_size, width=soft_size)
+        if on_tpu:
+            impl_name = "pallas_vec" if tau == 0.0 else "pallas_vec_soft"
+            render_stage = (render_pallas_vec if tau == 0.0
+                            else render_pallas_vec_soft)
+        else:
+            impl_name = "jnp_vec"
+            render_stage = render_jnp_vec
         tgt = target
         if target_scene is not None and tau > 0.0:
-            tgt = render_jnp_vec(target_scene, cfg_t)
+            tgt = render_stage(target_scene, cfg_t)
         stage_ocfg = hard_ocfg if (tau == 0.0 and hard_ocfg is not None) else ocfg
-        hard_fast = on_tpu and tau == 0.0
         scene, losses = optimize_scan(
             scene, tgt, spec, cfg_t, stage_ocfg,
-            render_fn=(
-                (lambda s, c=cfg_t: render_pallas_vec(s, c)) if hard_fast
-                else (lambda s, c=cfg_t: render_jnp_vec(s, c))
-            ),
-            cache_key=("annealed-pallas_vec" if hard_fast else "annealed-jnp_vec",
-                       float(tau), soft_size),
+            render_fn=lambda s, c=cfg_t, r=render_stage: r(s, c),
+            cache_key=(f"annealed-{impl_name}", float(tau), soft_size),
             max_chunk=max_chunk,
         )
         all_losses.append(losses)
