@@ -296,7 +296,35 @@ def main():
         "value": round(value),
         "unit": "rays/s",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }), flush=True)
+
+    # --- soft-visibility kernels (annealed-inversion hot path) ---
+    # Measured AFTER the driver JSON is printed and guarded: the soft fwd
+    # kernel's server-side Mosaic compile is minutes-long when the compile
+    # cache is cold, and must not sink the headline on a stall.
+    if on_tpu:
+        try:
+            import dataclasses as _dc
+
+            from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+                render_pallas_vec_soft,
+            )
+
+            scene_s, _, _ = configs.config5_many_spheres(512, n_spheres=64)
+            cfg_s = _dc.replace(cfg, soft_tau=0.05)
+            tgt_s2 = jnp.zeros((H, W, 3), jnp.float32)
+            t0 = time.perf_counter()
+            ts = _scan_steps_grad(
+                lambda s: render_pallas_vec_soft(s, cfg_s), scene_s, tgt_s2,
+                10, 60, k=3,
+            )
+            _log(f"pallas soft 65-obj 512^2 fwd+bwd: {ts*1e3:.2f} ms/step "
+                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+            details["soft_65obj_512_fwdbwd_ms"] = ts * 1e3
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+        except Exception as e:  # noqa: BLE001 — bench row is best-effort
+            _log(f"soft bench row skipped: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":
