@@ -68,6 +68,12 @@ def _band_render_fn(cfg: RenderConfig, band: int, impl: str):
         from ..ops.kernels.fused_vec import render_pallas_vec
 
         return lambda scene, row0: render_pallas_vec(scene, cfg, row0=row0, out_height=band)
+    if impl == "pallas_vec_soft":
+        from ..ops.kernels.fused_vec_soft import render_pallas_vec_soft
+
+        return lambda scene, row0: render_pallas_vec_soft(
+            scene, cfg, row0=row0, out_height=band
+        )
     if impl == "jnp_vec":
         from ..ops.pipeline_vec import render_jnp_vec
 

@@ -106,3 +106,27 @@ def test_soft_requires_tau():
     cfg = RenderConfig(height=32, width=32, soft_tau=0.0)
     with pytest.raises(ValueError):
         render_pallas_vec_soft(scene, cfg, interpret=True)
+
+
+def test_soft_band_offsets():
+    scene, _, _ = configs.config5_many_spheres(64, n_spheres=8)
+    cfg = RenderConfig(height=64, width=64, shadows=True, soft_tau=0.05)
+    full = np.asarray(render_pallas_vec_soft(scene, cfg, interpret=True))
+    band = np.asarray(
+        render_pallas_vec_soft(scene, cfg, row0=16.0, out_height=16, interpret=True)
+    )
+    np.testing.assert_array_equal(band, full[16:32])
+
+
+def test_soft_sharded_band_rendering():
+    """Soft rendering under the row-band shard_map (jnp_vec path on the
+    fake CPU mesh; the pallas_vec_soft band contract is pinned by
+    test_soft_band_offsets and shares _band_render_fn dispatch)."""
+    from reversible_raytracer_tpu.parallel import make_ray_mesh, render_sharded
+
+    scene, _, _ = configs.config5_many_spheres(64, n_spheres=8)
+    cfg = RenderConfig(height=64, width=64, shadows=True, soft_tau=0.05)
+    mesh = make_ray_mesh(8)
+    a = np.asarray(render_sharded(scene, cfg, mesh, impl="jnp_vec"))
+    b = np.asarray(render_jnp_vec(scene, cfg))
+    np.testing.assert_array_equal(a, b)
