@@ -27,7 +27,7 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4])
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5])
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--outdir", default="examples/artifacts")
@@ -39,7 +39,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     # Small-but-recognizable defaults off-TPU; native config sizes on TPU.
-    size_default = {1: 64, 2: 128, 3: 128, 4: 128} if not on_tpu else {}
+    size_default = {1: 64, 2: 128, 3: 128, 4: 128, 5: 96} if not on_tpu else {}
     iters = args.iters or (400 if on_tpu else 120)
 
     for num in args.configs:
@@ -53,15 +53,29 @@ def main():
              "-o", os.path.join(out, "target.png")])
         # start.png: zero-iteration "inversion" renders the perturbed scene.
         cli(["invert", "--config", str(num), *size_args, "--iters", "1",
-             "--lr", "0", "--log-every", "0",
+             "--lr", "0", "--log-every", "0", "--perturb",
+             "0.03" if num == 5 else "0.1",
              "-o", os.path.join(out, "start.png")])
-        cli(["invert", "--config", str(num), *size_args,
-             "--iters", str(iters), "--log-every", str(max(iters // 10, 1)),
-             "--metrics", os.path.join(out, "metrics.jsonl"),
-             "--frame-every", str(max(iters // 40, 1)),
-             "--frames-dir", frames,
-             "--gif", os.path.join(out, "convergence.gif"),
-             "-o", os.path.join(out, "final.png")])
+        if num == 5:
+            # The flagship joint inversion runs the soft-visibility anneal
+            # (docs/OPTIMIZATION_NOTES.md recipe; on-device scan stages, so
+            # no per-iteration frames/GIF — target/start/final + metrics).
+            anneal = (["--anneal", "0.08,0.03,0.01,0", "--anneal-size", "512"]
+                      if on_tpu else ["--anneal", "0.08,0.03,0"])
+            n_it = args.iters or (300 if on_tpu else 120)
+            cli(["invert", "--config", "5", *size_args,
+                 "--iters", str(n_it), "--lr", "2e-3", "--perturb", "0.03",
+                 *anneal,
+                 "--metrics", os.path.join(out, "metrics.jsonl"),
+                 "-o", os.path.join(out, "final.png")])
+        else:
+            cli(["invert", "--config", str(num), *size_args,
+                 "--iters", str(iters), "--log-every", str(max(iters // 10, 1)),
+                 "--metrics", os.path.join(out, "metrics.jsonl"),
+                 "--frame-every", str(max(iters // 40, 1)),
+                 "--frames-dir", frames,
+                 "--gif", os.path.join(out, "convergence.gif"),
+                 "-o", os.path.join(out, "final.png")])
         print(f"config {num}: artifacts in {out}/")
 
 

@@ -51,12 +51,16 @@ def _render_fn(cfg, impl, n_obj=None):
     import jax
 
     if impl == "auto":
+        small = n_obj is None or n_obj <= 24
         if jax.default_backend() == "tpu":
             # Unrolled kernels compile O(N); chunked kernels O(1) — pick by N
             # (same policy as ops.render.render).
-            impl = "pallas" if (n_obj is None or n_obj <= 24) else "pallas_vec"
+            impl = "pallas" if small else "pallas_vec"
         else:
-            impl = "jnp"
+            # Same O(N)-trace concern off-TPU: the unrolled jnp pipeline's
+            # trace/compile grows with N — use the object-vectorized path
+            # for large scenes.
+            impl = "jnp" if small else "jnp_vec"
     if impl == "pallas":
         from .ops.kernels.fused import render_pallas
 
@@ -107,10 +111,12 @@ def cmd_invert(args):
         initialize(args.coordinator, args.num_processes, args.process_id)
 
     scene, spec, cfg = _build(args)
-    if getattr(args, "anneal", None) and args.impl == "auto":
-        # The annealed path optimizes through jnp_vec; rendering the target
-        # with it too avoids a multi-minute Pallas kernel compile that would
-        # be used for exactly one image.
+    if getattr(args, "anneal", None) and args.impl == "auto" \
+            and jax.default_backend() != "tpu":
+        # Off-TPU the annealed path optimizes through jnp_vec; rendering
+        # the target with it too keeps everything on one implementation.
+        # On TPU the anneal's hard polish compiles the pallas_vec kernel
+        # anyway, so the auto-dispatched target render SHARES that compile.
         args.impl = "jnp_vec"
     render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count)
 

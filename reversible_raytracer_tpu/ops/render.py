@@ -51,7 +51,8 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
             n_obj = scene.spheres.count + scene.rects.count
             impl = "pallas" if n_obj <= 24 else "pallas_vec"
         else:
-            impl = "jnp"
+            n_obj = scene.spheres.count + scene.rects.count
+            impl = "jnp" if n_obj <= 24 else "jnp_vec"
     if impl == "jnp":
         return render_jnp(scene, cfg)
     if impl == "jnp_vec":

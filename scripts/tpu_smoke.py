@@ -76,6 +76,36 @@ def main():
     failures += (not ok)
     print(f"fused_vec 65-obj @256²: fwd_diff={fwd_diff:.2e} grads_finite={finite} "
           f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
+
+    # Soft-visibility kernels (fused_vec_soft) vs the jnp soft path:
+    # forward observed bit-exact on TPU (same contraction choices); grads
+    # finite. The strict masked grad comparison runs in CI interpret mode
+    # (tests/test_fused_vec_soft.py). NOTE: cold soft-fwd compiles are
+    # minutes-long; the compile cache usually holds after a bench run.
+    import dataclasses
+
+    from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+        render_pallas_vec_soft,
+    )
+
+    cfg_s = dataclasses.replace(cfg, soft_tau=0.05)
+    t0 = time.time()
+    img_p = np.asarray(jax.jit(lambda s: render_pallas_vec_soft(s, cfg_s))(scene))
+    img_v = np.asarray(jax.jit(lambda s: render_jnp_vec(s, cfg_s))(scene))
+    fwd_diff = np.abs(img_p - img_v).max()
+    target = jnp.asarray(img_v)
+    gp = jax.jit(
+        jax.grad(lambda s: mse_loss(render_pallas_vec_soft(s, cfg_s), target))
+    )(start)
+    finite = all(
+        bool(np.isfinite(np.asarray(l)).all())
+        for l in jax.tree_util.tree_leaves(gp) if np.asarray(l).size
+    )
+    ok = fwd_diff <= 1e-6 and finite
+    failures += (not ok)
+    print(f"fused_vec_soft 65-obj @256² tau=0.05: fwd_diff={fwd_diff:.2e} "
+          f"grads_finite={finite} [{'OK' if ok else 'FAIL'}] "
+          f"({time.time()-t0:.0f}s)", flush=True)
     sys.exit(1 if failures else 0)
 
 
