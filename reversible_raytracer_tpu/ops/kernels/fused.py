@@ -286,6 +286,188 @@ def _make_fused(
     return apply
 
 
+def unflatten_scene(scene_like: Scene, flat):
+    """Inverse of `flatten_scene`: flat (S,) vector -> pytree with the
+    structure and leaf shapes of ``scene_like`` (used to deliver the fused
+    step kernel's gradient scalars as a Scene-shaped cotangent)."""
+    treedef, meta, S = scene_layout(scene_like)
+    leaves = []
+    for start, shape in meta:
+        size = int(np.prod(shape)) if shape else 1
+        leaf = jax.lax.dynamic_slice(flat, (start,), (size,))
+        leaves.append(leaf.reshape(shape) if shape else leaf[0])
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+_LG_CACHE: dict = {}
+
+
+def _make_loss_grad(
+    scene_like: Scene,
+    cfg: RenderConfig,
+    tiles: TileConfig,
+    interpret: bool,
+    out_h: int | None = None,
+):
+    """Build (and cache) the fused TRAINING-STEP kernel: one Pallas kernel
+    computes the squared-error loss AND the scene-parameter gradients.
+
+    Rationale (the round-2 step-time optimization): the optimizer loop's
+    per-step work is `value_and_grad(loss(render(scene), target))`. With the
+    separate kernel pair that costs a forward kernel (~60 us at 512^2) plus
+    a backward kernel that REPLAYS the forward anyway (recompute-in-backward,
+    ~106 us) — the image is materialized to HBM only to be subtracted from
+    the target and fed back as a cotangent. This kernel fuses the chain: per
+    tile it replays `render_tile` under `jax.vjp`, forms the residual
+    against the target tile in VMEM, reduces the tile's squared-error sum,
+    and pulls the cotangent straight back through the vjp — no image ever
+    touches HBM, and the forward kernel disappears from the step.
+
+    Contract: returns (sq_sum, dflat) where sq_sum = sum of squared
+    residuals over the H x W x 3 image and dflat are d(w * sq_sum)/d(scene
+    scalars) for the runtime weight w (SMEM scalar; mse passes 1/(H*W*3),
+    sum-loss passes 1, shard bands pass the full-image normalization). One
+    compile serves every loss scaling.
+
+    Same subgradient semantics as `jax.grad` of the jnp path by
+    construction: the vjp traces the shared `render_tile`
+    (ops/pipeline.py), exactly like the separate backward kernel.
+    """
+    out_h = cfg.height if out_h is None else out_h
+    if cfg.soft_tau > 0.0:
+        raise NotImplementedError(
+            "fused step kernel implements the hard reference semantics; "
+            "soft_tau training steps run through fused_vec_soft"
+        )
+    key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
+    hit = _LG_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    treedef, meta, S = scene_layout(scene_like)
+    H, W = out_h, cfg.width
+    bhb = min(tiles.bh_bwd, _round_up(H, 8))
+    bwb = min(tiles.bw_bwd, _round_up(W, 128))
+    Hp = _round_up(H, bhb)
+    Wp = _round_up(W, bwb)
+    f32 = jnp.float32
+
+    def kernel(meta_ref, scene_ref, tr_ref, tg_ref, tb_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        row0 = meta_ref[0, 0] + (i * bhb).astype(f32)
+        col0 = meta_ref[0, 1] + (j * bwb).astype(f32)
+        w = meta_ref[0, 2]
+        vals = tuple(scene_ref[0, idx] for idx in range(S))
+
+        def f(*scalars):
+            view = _scalar_view(treedef, meta, lambda idx: scalars[idx])
+            return render_tile(view, cfg, row0, col0, bhb, bwb)
+
+        (r, g, b), vjp = jax.vjp(f, *vals)
+
+        # Zero out canvas padding (tiles beyond the H x W image) exactly:
+        # the 0/1 mask multiplies the residual, so padded pixels contribute
+        # nothing to the loss or the pulled-back gradients.
+        ri = jax.lax.broadcasted_iota(jnp.int32, (bhb, bwb), 0) + i * bhb
+        ci = jax.lax.broadcasted_iota(jnp.int32, (bhb, bwb), 1) + j * bwb
+        mask = ((ri < H) & (ci < W)).astype(f32)
+        dr = (r - tr_ref[:, :]) * mask
+        dg = (g - tg_ref[:, :]) * mask
+        db = (b - tb_ref[:, :]) * mask
+
+        sq = jnp.sum(dr * dr) + jnp.sum(dg * dg) + jnp.sum(db * db)
+        two_w = 2.0 * w
+        dvals = vjp((two_w * dr, two_w * dg, two_w * db))
+
+        first = (i == 0) & (j == 0)
+
+        @pl.when(first)
+        def _():
+            out_ref[0, 0] = sq
+            for idx in range(S):
+                out_ref[0, 1 + idx] = dvals[idx]
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[0, 0] = out_ref[0, 0] + sq
+            for idx in range(S):
+                out_ref[0, 1 + idx] = out_ref[0, 1 + idx] + dvals[idx]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(Hp // bhb, Wp // bwb),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, 1 + S), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1 + S), f32),
+        interpret=interpret,
+    )
+
+    def apply(flat, meta_row, tr, tg, tb):
+        out = call(meta_row, flat.reshape(1, S), tr, tg, tb)
+        return out[0, 0], out[0, 1:]
+
+    _LG_CACHE[key] = apply
+    return apply
+
+
+def loss_grad_pallas(
+    scene: Scene,
+    cfg: RenderConfig,
+    target,
+    loss: str = "mse",
+    row0=0.0,
+    col0=0.0,
+    tiles: TileConfig | None = None,
+    interpret: bool = False,
+    out_height: int | None = None,
+    norm: float | None = None,
+):
+    """Fused training step: (loss, grads) of ``loss(render(scene), target)``
+    in ONE kernel launch (no forward kernel, no image in HBM — see
+    `_make_loss_grad`). Drop-in for `jax.value_and_grad` of the render loss.
+
+    ``target``: (H, W, 3) image (H = out_height or cfg.height). ``norm``
+    overrides the loss normalization (shard bands pass the full-image
+    1/(H_full*W*3) while rendering only their band). Returns grads as a
+    Scene-structured pytree.
+    """
+    H = out_height or cfg.height
+    if tiles is None:
+        n_obj = scene.spheres.count + scene.rects.count
+        tiles = TileConfig.for_shape(H, cfg.width, n_obj)
+    apply = _make_loss_grad(scene, cfg, tiles, interpret, out_h=out_height)
+
+    bhb = min(tiles.bh_bwd, _round_up(H, 8))
+    bwb = min(tiles.bw_bwd, _round_up(cfg.width, 128))
+    Hp, Wp = _round_up(H, bhb), _round_up(cfg.width, bwb)
+
+    if norm is None:
+        norm = 1.0 / (cfg.height * cfg.width * 3) if loss == "mse" else 1.0
+    target = jnp.asarray(target, jnp.float32)
+    pads = ((0, Hp - H), (0, Wp - cfg.width))
+    tr = jnp.pad(target[..., 0], pads)
+    tg = jnp.pad(target[..., 1], pads)
+    tb = jnp.pad(target[..., 2], pads)
+
+    flat = flatten_scene(scene)
+    meta_row = jnp.stack(
+        [
+            jnp.asarray(row0, jnp.float32),
+            jnp.asarray(col0, jnp.float32),
+            jnp.asarray(norm, jnp.float32),
+        ]
+    ).reshape(1, 3)
+    sq, dflat = apply(flat, meta_row, tr, tg, tb)
+    return norm * sq, unflatten_scene(scene, dflat)
+
+
 def render_pallas(
     scene: Scene,
     cfg: RenderConfig,

@@ -74,6 +74,44 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     raise ValueError(f"unknown impl {impl!r}")
 
 
+def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
+                     loss: str = "mse"):
+    """Return ``f(scene, target) -> (loss, grads)`` — the training step's
+    value-and-grad, fused into ONE Pallas kernel where possible.
+
+    On TPU with the unrolled kernel family (small object count, hard
+    semantics, mse/sum loss) this dispatches to
+    `kernels.fused.loss_grad_pallas`: no forward kernel, no image in HBM —
+    the per-step cost drops from fwd + replaying-bwd to a single fused
+    launch. Everywhere else it falls back to ``jax.value_and_grad`` over
+    `render` (identical semantics; the fused kernel's vjp traces the same
+    `render_tile`).
+    """
+    n_obj = scene_like.spheres.count + scene_like.rects.count
+    fused_ok = (
+        jax.default_backend() == "tpu"
+        and cfg.soft_tau == 0.0
+        and n_obj <= 24
+        and loss in ("mse", "sum")
+        and impl in ("auto", "pallas", "pallas_step")
+    )
+    if fused_ok:
+        from .kernels.fused import loss_grad_pallas
+
+        return lambda scene, target: loss_grad_pallas(
+            scene, cfg, target, loss=loss
+        )
+
+    lossf = {"mse": mse_loss, "sum": sum_squared_loss}[loss]
+
+    def vag(scene, target):
+        return jax.value_and_grad(
+            lambda s: lossf(render(s, cfg, impl), target)
+        )(scene)
+
+    return vag
+
+
 def mse_loss(image, target):
     """Mean squared error over pixels (the reference used a sum; mean keeps
     the loss scale resolution-independent — learning rates transfer across

@@ -132,12 +132,16 @@ def make_step(
     spec: ParamSpec,
     ocfg: OptConfig,
     render_fn=None,
+    vag_fn=None,
 ):
     """Build the jitted single optimization step.
 
     ``render_fn(scene) -> (H, W, 3)`` defaults to the pure-jnp renderer;
     pass the Pallas renderer or a shard_map-wrapped renderer for TPU/mesh
-    execution. Returns ``step(scene, opt_state, target) ->
+    execution. ``vag_fn(scene, target) -> (loss, grads)`` overrides the
+    whole value-and-grad (the fused single-kernel training step,
+    `ops.render.loss_and_grad_fn`); when given, ``render_fn`` and the
+    configured loss are unused. Returns ``step(scene, opt_state, target) ->
     (scene, opt_state, loss, grad_norm)``.
     """
     if render_fn is None:
@@ -150,7 +154,10 @@ def make_step(
 
     @jax.jit
     def step(scene: Scene, opt_state, target):
-        l, grads = jax.value_and_grad(loss)(scene, target)
+        if vag_fn is not None:
+            l, grads = vag_fn(scene, target)
+        else:
+            l, grads = jax.value_and_grad(loss)(scene, target)
         grads = mask_grads(grads, spec)
         gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, scene)
@@ -176,15 +183,17 @@ def optimize(
     checkpoint_path: str | None = None,
     truth: Scene | None = None,
     resume: str | None = None,
+    vag_fn=None,
 ):
     """Host-driven optimization loop with observability (SURVEY.md §5.5).
 
+    ``vag_fn``: optional fused value-and-grad override (see make_step).
     Returns (final_scene, history list of dicts).
     """
     from .utils import checkpoint as ckpt
     from .utils.imageio import save_png
 
-    step, tx = make_step(rcfg, spec, ocfg, render_fn)
+    step, tx = make_step(rcfg, spec, ocfg, render_fn, vag_fn=vag_fn)
     opt_state = tx.init(scene)
     start_iter = 0
     if resume is not None:
@@ -225,6 +234,7 @@ def optimize_scan(
     render_fn=None,
     cache_key=None,
     max_chunk: "int | None" = None,
+    vag_fn=None,
 ):
     """Whole optimization loop on-device via lax.scan: one dispatch total
     (or ``ceil(iters / max_chunk)`` dispatches when ``max_chunk`` is set).
@@ -237,6 +247,10 @@ def optimize_scan(
     to reuse the compiled runner across calls — otherwise each call builds a
     fresh jit closure and RECOMPILES the whole scan (~seconds), which
     silently dominates repeated-call timings.
+
+    ``vag_fn(scene, target) -> (loss, grads)`` overrides the per-step value
+    -and-grad with the fused single-kernel training step (see make_step);
+    give it its own ``cache_key`` (e.g. "pallas-step").
 
     ``max_chunk``: cap on scan length per device dispatch. The axon PJRT
     tunnel kills the worker on very long single executions (observed: a
@@ -258,9 +272,15 @@ def optimize_scan(
         def run(scene: Scene, opt_state, target):
             def body(carry, _):
                 scene, opt_state = carry
-                l, grads = jax.value_and_grad(
-                    lambda s: loss_of(render_fn(s), target)
-                )(scene)
+                if vag_fn is not None:
+                    # Fused single-kernel value-and-grad (ops.render.
+                    # loss_and_grad_fn): loss + scene grads in one Pallas
+                    # launch — no forward kernel, no image in HBM.
+                    l, grads = vag_fn(scene, target)
+                else:
+                    l, grads = jax.value_and_grad(
+                        lambda s: loss_of(render_fn(s), target)
+                    )(scene)
                 grads = mask_grads(grads, spec)
                 updates, opt_state = tx_b.update(grads, opt_state, scene)
                 scene = optax.apply_updates(scene, updates)

@@ -1,0 +1,132 @@
+"""Fused training-step kernel (loss + gradients in one Pallas launch).
+
+`loss_grad_pallas` (ops/kernels/fused.py) replaces the per-step
+value_and_grad chain (fwd kernel -> HBM image -> residual -> bwd kernel)
+with a single kernel that forms the residual against the target tile in
+VMEM and pulls the cotangent straight back through the in-kernel vjp.
+
+Fidelity triangulation (SURVEY.md §4.2):
+- vs value_and_grad of mse(render_pallas interpret): both trace the SAME
+  `render_tile` under the same interpret-mode arithmetic, so agreement is
+  strict (~1e-5 of group scale) — tiling of the loss reduction is the only
+  difference and it is elementwise before the reduce.
+- vs value_and_grad of mse(render_jnp): XLA's fused graph makes different
+  FMA contraction choices, flipping a handful of boundary pixels' hit
+  decisions — 1% group tolerance, same as the render-kernel grad tests
+  (tests/test_cli_and_io.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from test_fused_vec import _edge_mask  # noqa: F401  (methodology import)
+
+from reversible_raytracer_tpu.models import configs
+from reversible_raytracer_tpu.ops.kernels.fused import loss_grad_pallas
+from reversible_raytracer_tpu.ops.pipeline import RenderConfig
+from reversible_raytracer_tpu.ops.render import (
+    mse_loss,
+    render_jnp,
+    sum_squared_loss,
+)
+
+
+def _tree_cmp(ga, gb, rel):
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ga)[0],
+        jax.tree_util.tree_flatten_with_path(gb)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=rel * scale, err_msg=str(path))
+
+
+def test_loss_grad_matches_jnp_vag():
+    scene, spec, _ = configs.config2_four_spheres()
+    # Unaligned H/W exercises the canvas-pad masking (padded pixels must
+    # contribute exactly zero loss and gradient).
+    cfg = RenderConfig(height=40, width=72, shadows=True)
+    start = configs.perturb(scene, spec, scale=0.1, seed=4)
+    target = jnp.asarray(np.asarray(render_jnp(scene, cfg)))
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_jnp(s, cfg), target)
+    )(start)
+    l_f, g_f = loss_grad_pallas(start, cfg, target, loss="mse", interpret=True)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-5 * max(float(l_ref), 1e-9)
+    _tree_cmp(g_ref, g_f, 1e-2)
+
+
+def test_loss_grad_matches_pallas_vag_strict():
+    from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+
+    scene, spec, _ = configs.config2_four_spheres()
+    cfg = RenderConfig(height=40, width=72, shadows=True)
+    start = configs.perturb(scene, spec, scale=0.1, seed=4)
+    target = jnp.asarray(np.asarray(render_jnp(scene, cfg)))
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas(s, cfg, interpret=True), target)
+    )(start)
+    l_f, g_f = loss_grad_pallas(start, cfg, target, loss="mse", interpret=True)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-5 * max(float(l_ref), 1e-9)
+    _tree_cmp(g_ref, g_f, 1e-5)
+
+
+def test_sum_loss_scaling():
+    scene, spec, _ = configs.config1_single_sphere()
+    cfg = RenderConfig(height=32, width=32, shadows=False)
+    start = configs.perturb(scene, spec, scale=0.1, seed=1)
+    target = jnp.zeros((32, 32, 3), jnp.float32)
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: sum_squared_loss(render_jnp(s, cfg), target)
+    )(start)
+    l_f, g_f = loss_grad_pallas(start, cfg, target, loss="sum", interpret=True)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-4 * max(float(l_ref), 1e-9)
+    _tree_cmp(g_ref, g_f, 1e-2)
+
+
+def test_spp4():
+    scene, spec, _ = configs.config1_single_sphere()
+    cfg = RenderConfig(height=24, width=32, shadows=True, spp=4)
+    start = configs.perturb(scene, spec, scale=0.1, seed=2)
+    target = jnp.asarray(np.asarray(render_jnp(scene, cfg)))
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_jnp(s, cfg), target)
+    )(start)
+    l_f, g_f = loss_grad_pallas(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-5 * max(float(l_ref), 1e-9)
+    _tree_cmp(g_ref, g_f, 1e-2)
+
+
+def test_optimize_scan_with_fused_step():
+    """optimize_scan(vag_fn=...) drives the same trajectory as the default
+    value_and_grad body (config-1, few steps, interpret kernels)."""
+    from reversible_raytracer_tpu.optim import OptConfig, optimize_scan
+
+    scene, spec, _ = configs.config1_single_sphere()
+    cfg = RenderConfig(height=32, width=32, shadows=False)
+    target = jnp.asarray(np.asarray(render_jnp(scene, cfg)))
+    start = configs.perturb(scene, spec, scale=0.05, seed=3)
+    ocfg = OptConfig(iters=5, lr=1e-2)
+
+    ref_scene, ref_losses = optimize_scan(start, target, spec, cfg, ocfg)
+    vag = lambda s, t: loss_grad_pallas(s, cfg, t, interpret=True)
+    f_scene, f_losses = optimize_scan(
+        start, target, spec, cfg, ocfg, vag_fn=vag, cache_key="interp-step"
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_losses), np.asarray(f_losses), rtol=2e-2
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref_scene)[0],
+        jax.tree_util.tree_flatten_with_path(f_scene)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        np.testing.assert_allclose(a, b, atol=5e-3, err_msg=str(path))
