@@ -107,6 +107,28 @@ def _scan_steps_grad(render_fn, scene, target, n1=20, n2=120, k=1):
     return med
 
 
+def _vag_total(vag_fn, scene, target, iters):
+    """Scan total for a fused value-and-grad step (loss+grads in one
+    kernel): same carry dependence as _grad_total (params move by lr*grads
+    with lr=0 so XLA cannot hoist the step out of the loop)."""
+
+    @jax.jit
+    def run(s0, lr):
+        def body(s, _):
+            l, g = vag_fn(s, target)
+            s = jax.tree_util.tree_map(lambda x, gg: x - lr * gg, s, g)
+            return s, l
+
+        _, ls = jax.lax.scan(body, s0, None, length=iters)
+        return jnp.sum(ls)
+
+    lr = jnp.float32(0.0)
+    float(run(scene, lr))
+    t0 = time.perf_counter()
+    float(run(scene, lr))
+    return time.perf_counter() - t0
+
+
 def _host_dispatch(fn, *args, n=30):
     jax.block_until_ready(fn(*args))
     jax.block_until_ready(fn(*args))
@@ -173,13 +195,36 @@ def main():
     details["fwd_rays_per_s_jnp"] = rays / t_jnp_fwd
 
     # --- forward+backward (median-of-k; the headline) ---
+    #
+    # The per-step computation of record is value_and_grad of the render
+    # loss (what the optimizer loop runs). On TPU the production path is
+    # the FUSED training-step kernel (ops/kernels/fused.loss_grad_pallas:
+    # loss + scene grads in one launch, no forward kernel, no image in
+    # HBM); the two-kernel fwd + replaying-bwd chain is also measured and
+    # recorded for the kernel-level breakdown. The jnp baseline computes
+    # the identical (loss, grads) contract via XLA autodiff.
     t0 = time.perf_counter()
-    t_fast, g_lo, g_hi = _median_slope(
+    t_two, g2_lo, g2_hi = _median_slope(
         lambda n: _grad_total(render_fast, scene, target, n), *grad_pts, k=k_rep
     )
-    _log(f"{fast_name} fwd+bwd: {t_fast*1e3:.3f} ms/step "
-         f"[{g_lo*1e3:.3f}..{g_hi*1e3:.3f}] "
-         f"({rays/t_fast/1e9:.3f} Grays/s) [compile+bench {time.perf_counter()-t0:.0f}s]")
+    _log(f"{fast_name} fwd+bwd (two-kernel): {t_two*1e3:.3f} ms/step "
+         f"[{g2_lo*1e3:.3f}..{g2_hi*1e3:.3f}] "
+         f"({rays/t_two/1e9:.3f} Grays/s) [compile+bench {time.perf_counter()-t0:.0f}s]")
+    if on_tpu:
+        from reversible_raytracer_tpu.ops.render import loss_and_grad_fn
+
+        vag = loss_and_grad_fn(scene, cfg)
+        t0 = time.perf_counter()
+        t_fast, g_lo, g_hi = _median_slope(
+            lambda n: _vag_total(vag, scene, target, n), *grad_pts, k=k_rep
+        )
+        _log(f"{fast_name} fwd+bwd (fused step): {t_fast*1e3:.3f} ms/step "
+             f"[{g_lo*1e3:.3f}..{g_hi*1e3:.3f}] "
+             f"({rays/t_fast/1e9:.3f} Grays/s) "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["fwdbwd_ms_two_kernel"] = t_two * 1e3
+    else:
+        t_fast, g_lo, g_hi = t_two, g2_lo, g2_hi
     t_jnp = _scan_steps_grad(lambda s: render_jnp(s, cfg), scene, target, *grad_pts, k=k_rep)
     _log(f"jnp    fwd+bwd: {t_jnp*1e3:.3f} ms/step ({rays/t_jnp/1e9:.3f} Grays/s)")
     value = rays / t_fast
@@ -207,7 +252,8 @@ def main():
     ) / (32 * 32)
     details["per_kernel_ms"] = {
         "fwd_kernel": t_fast_fwd * 1e3,
-        "bwd_kernel": max(t_fast - t_fast_fwd, 0.0) * 1e3,
+        "bwd_kernel": max(t_two - t_fast_fwd, 0.0) * 1e3,
+        "fused_step_kernel": t_fast * 1e3,
     }
     details["flops_per_ray"] = {"fwd": fl_fwd, "fwd_bwd": fl_fb}
     details["vpu_sol_pct"] = {
@@ -228,14 +274,17 @@ def main():
     # lr: sweep-validated on v5e — above ~5e-3 the optimizer can pop out of
     # the basin after converging (stiff specular/visibility landscape).
     ocfg = OptConfig(iters=400, lr=5e-3, schedule="cosine")
+    conv_kw = (
+        dict(vag_fn=vag, cache_key=f"{fast_name}-step")
+        if on_tpu
+        else dict(render_fn=render_fast, cache_key=fast_name)
+    )
     t0 = time.perf_counter()
-    final, losses = optimize_scan(start, tgt_img, spec, cfg, ocfg,
-                                  render_fn=render_fast, cache_key=fast_name)
+    final, losses = optimize_scan(start, tgt_img, spec, cfg, ocfg, **conv_kw)
     jax.block_until_ready(losses)
     t_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    final, losses = optimize_scan(start, tgt_img, spec, cfg, ocfg,
-                                  render_fn=render_fast, cache_key=fast_name)
+    final, losses = optimize_scan(start, tgt_img, spec, cfg, ocfg, **conv_kw)
     jax.block_until_ready(losses)
     t_warm = time.perf_counter() - t0
     err = float(param_error(final, scene, spec))
@@ -251,9 +300,10 @@ def main():
         import dataclasses
 
         cfg4 = dataclasses.replace(cfg, spp=4)
+        vag4 = loss_and_grad_fn(scene, cfg4)
         t0 = time.perf_counter()
-        t_spp4 = _scan_steps_grad(
-            lambda s: render_pallas(s, cfg4), scene, target, 10, 60, k=3
+        t_spp4, _, _ = _median_slope(
+            lambda n: _vag_total(vag4, scene, target, n), 10, 60, k=3
         )
         _log(f"pallas spp=4 fwd+bwd: {t_spp4*1e3:.3f} ms/step "
              f"({t_spp4/t_fast:.2f}x the spp=1 step) "
@@ -263,27 +313,27 @@ def main():
     # --- config-5 scale: object-chunked kernels at 513 objects, 512^2,
     # and at the BASELINE config-5 driver shape (64 spheres + plane, 1024^2)
     if on_tpu:
-        from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
-
         scene5, _, _ = configs.config5_many_spheres(512, n_spheres=512)
         cfg5 = RenderConfig(height=512, width=512, shadows=True)
         tgt5 = jnp.zeros((512, 512, 3), jnp.float32)
+        vag5 = loss_and_grad_fn(scene5, cfg5)
         t0 = time.perf_counter()
-        t5 = _scan_steps_grad(
-            lambda s: render_pallas_vec(s, cfg5), scene5, tgt5, 10, 60, k=3
+        t5, _, _ = _median_slope(
+            lambda n: _vag_total(vag5, scene5, tgt5, n), 10, 60, k=3
         )
-        _log(f"pallas_vec 513-obj 512^2 fwd+bwd: {t5*1e3:.2f} ms/step "
+        _log(f"pallas_vec 513-obj 512^2 fused step: {t5*1e3:.2f} ms/step "
              f"[compile+bench {time.perf_counter()-t0:.0f}s]")
         details["config5_513obj_fwdbwd_ms"] = t5 * 1e3
 
         scene5k, _, _ = configs.config5_many_spheres(1024, n_spheres=64)
         cfg5k = RenderConfig(height=1024, width=1024, shadows=True)
         tgt5k = jnp.zeros((1024, 1024, 3), jnp.float32)
+        vag5k = loss_and_grad_fn(scene5k, cfg5k)
         t0 = time.perf_counter()
-        t5k = _scan_steps_grad(
-            lambda s: render_pallas_vec(s, cfg5k), scene5k, tgt5k, 10, 60, k=3
+        t5k, _, _ = _median_slope(
+            lambda n: _vag_total(vag5k, scene5k, tgt5k, n), 10, 60, k=3
         )
-        _log(f"pallas_vec 65-obj 1024^2 fwd+bwd: {t5k*1e3:.2f} ms/step "
+        _log(f"pallas_vec 65-obj 1024^2 fused step: {t5k*1e3:.2f} ms/step "
              f"({1024*1024/t5k/1e6:.0f} Mrays/s) "
              f"[compile+bench {time.perf_counter()-t0:.0f}s]")
         details["config5_65obj_1024_fwdbwd_ms"] = t5k * 1e3

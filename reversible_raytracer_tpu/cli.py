@@ -165,10 +165,13 @@ def cmd_invert(args):
         from .parallel import make_ray_mesh, optimize_sharded_scan
 
         mesh = make_ray_mesh()
+        sh_impl = impl if impl in ("pallas", "pallas_vec", "jnp_vec") else "jnp"
+        if sh_impl == "pallas" and jax.default_backend() == "tpu" \
+                and cfg.soft_tau == 0.0:
+            sh_impl = "pallas_step"  # fused per-band loss+grad kernel
         t0 = time.perf_counter()
         final, losses = optimize_sharded_scan(
-            start, target, mesh, cfg, spec, ocfg,
-            impl=impl if impl in ("pallas", "pallas_vec", "jnp_vec") else "jnp",
+            start, target, mesh, cfg, spec, ocfg, impl=sh_impl,
         )
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
@@ -176,9 +179,18 @@ def cmd_invert(args):
                    mesh=str(dict(mesh.shape)))
         history = [{"loss": float(losses[-1])}]
     else:
+        vag = None
+        if impl == "pallas" and jax.default_backend() == "tpu" \
+                and cfg.soft_tau == 0.0:
+            # Fused single-kernel training step (loss + grads in one
+            # launch) — the per-step fast path on TPU.
+            from .ops.render import loss_and_grad_fn
+
+            vag = loss_and_grad_fn(scene, cfg, impl="pallas", loss=args.loss)
         t0 = time.perf_counter()
         final, history = optimize(
             start, target, spec, cfg, ocfg, render_fn=render, logger=logger,
+            vag_fn=vag,
             log_every=args.log_every, frame_every=args.frame_every,
             frame_dir=args.frames_dir, checkpoint_every=args.checkpoint_every,
             checkpoint_path=args.checkpoint, truth=truth, resume=args.resume,

@@ -379,8 +379,22 @@ def _make_fused_vec_soft(
     with_vis = cfg.shadows and cfg.shader == "phong" and n_lights > 0
     n_chunks_s = ns_pad // CHUNK
 
-    def bwd_kernel(off_ref, tau_ref, glob_ref, sph_ref, rct_ref, gr_ref, gg_ref,
-                   gb_ref, dglob_ref, dsph_ref, drct_ref, q_scr, pre_scr):
+    def make_bwd_kernel(step_mode: bool):
+        """One body, two kernels. step_mode=False: the render backward —
+        a/b/c refs are COTANGENT tiles. step_mode=True: the fused TRAINING
+        STEP — a/b/c refs are TARGET tiles, the S-stage's primal colors are
+        kept, the cotangent is formed in-kernel from the residual, and a
+        squared-error accumulator is emitted (the soft forward kernel
+        disappears from the optimizer step)."""
+        return _bwd_kernel_impl(step_mode)
+
+    def _bwd_kernel_impl(step_mode):
+      def bwd_kernel(off_ref, tau_ref, glob_ref, sph_ref, rct_ref, gr_ref, gg_ref,
+                     gb_ref, *rest):
+        if step_mode:
+            loss_ref, dglob_ref, dsph_ref, drct_ref, q_scr, pre_scr = rest
+        else:
+            dglob_ref, dsph_ref, drct_ref, q_scr, pre_scr = rest
         i, j = pl.program_id(0), pl.program_id(1)
         tau = tau_ref[0, 0]
         ii, jj = tile_coords(off_ref, i, j, bhb, bwb)
@@ -463,11 +477,24 @@ def _make_fused_vec_soft(
             return tuple(res)
 
         (planes1, alpha1), (planes2, alpha2) = resolved
-        _, S_vjp = jax.vjp(
+        S_out, S_vjp = jax.vjp(
             S, gvals, o, d, t1, planes1, alpha1, vis_layers[0],
             t2, planes2, alpha2, vis_layers[1],
         )
-        dcol = (gr_ref[:, :], gg_ref[:, :], gb_ref[:, :])
+        if step_mode:
+            w = off_ref[0, 2]
+            ri_ = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * bhb
+            ci_ = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + j * bwb
+            pmask = ((ri_ < H) & (ci_ < W)).astype(f32_)
+            res_r = (S_out[0] - gr_ref[:, :]) * pmask
+            res_g = (S_out[1] - gg_ref[:, :]) * pmask
+            res_b = (S_out[2] - gb_ref[:, :]) * pmask
+            sq = (jnp.sum(res_r * res_r) + jnp.sum(res_g * res_g)
+                  + jnp.sum(res_b * res_b))
+            two_w = 2.0 * w
+            dcol = (two_w * res_r, two_w * res_g, two_w * res_b)
+        else:
+            dcol = (gr_ref[:, :], gg_ref[:, :], gb_ref[:, :])
         (dg_S, dS_o, dS_d, d_t1, d_pl1, d_a1, d_vis1,
          d_t2, d_pl2, d_a2, d_vis2) = S_vjp(dcol)
 
@@ -482,6 +509,8 @@ def _make_fused_vec_soft(
 
         @pl.when(first)
         def _():
+            if step_mode:
+                loss_ref[0, 0] = 0.0
             for idx in range(Sg):
                 dglob_ref[0, idx] = 0.0
 
@@ -497,6 +526,9 @@ def _make_fused_vec_soft(
 
             jax.lax.fori_loop(0, ns_pad, z_sph, 0)
             jax.lax.fori_loop(0, nr_pad, z_rct, 0)
+
+        if step_mode:
+            loss_ref[0, 0] = loss_ref[0, 0] + sq
 
         # ---- shadow transpose per layer ----
         if with_vis:
@@ -736,8 +768,10 @@ def _make_fused_vec_soft(
                 dglob_ref[0, idx] + dg_acc[idx] + dg_rays[idx]
             )
 
+      return bwd_kernel
+
     bwd_call = pl.pallas_call(
-        bwd_kernel,
+        make_bwd_kernel(False),
         grid=(Hp // bhb, Wp // bwb),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -755,6 +789,40 @@ def _make_fused_vec_soft(
             pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((1, Sg), f32),
+            jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
+            jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_chunks_s, bhb, bwb), jnp.float32),
+            pltpu.VMEM((n_chunks_s, bhb, bwb), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    # Fused training step: target tiles in, (sq_sum, grads) out — the soft
+    # optimizer step drops its forward kernel entirely.
+    step_call = pl.pallas_call(
+        make_bwd_kernel(True),
+        grid=(Hp // bhb, Wp // bwb),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((1, Sg), f32),
             jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
             jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
@@ -804,8 +872,18 @@ def _make_fused_vec_soft(
         r, g, b = outs[0], outs[1], outs[2]
         return jnp.stack([r[:H, :W], g[:H, :W], b[:H, :W]], axis=-1)
 
-    _CACHE[key] = apply
-    return apply
+    def apply_step(gflat, sph, rct, meta_row, tau_arr, tr, tg, tb):
+        sq, dglob, dsph, drct = step_call(
+            meta_row, tau_arr, gflat.reshape(1, Sg),
+            pad_rows(sph, ns_pad, _SPH_PAD_ROW),
+            pad_rows(rct, nr_pad, _RCT_PAD_ROW),
+            tr, tg, tb,
+        )
+        return sq[0, 0], dglob.reshape(Sg), dsph, drct
+
+    entry = (apply, apply_step, (Hp, Wp, ns_pad, nr_pad))
+    _CACHE[key] = entry
+    return entry
 
 
 def render_pallas_vec_soft(
@@ -821,10 +899,65 @@ def render_pallas_vec_soft(
     object-chunked soft Pallas kernel. Semantics: pipeline_vec._render_soft
     (allclose-grade parity; see module docstring)."""
     tiles = tiles or VecTileConfig()
-    apply = _make_fused_vec_soft(scene, cfg, tiles, interpret, out_h=out_height)
+    apply, _, _ = _make_fused_vec_soft(scene, cfg, tiles, interpret, out_h=out_height)
     gflat = flatten_scene(globals_tree(scene))
     offsets = jnp.stack(
         [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]
     ).reshape(1, 2)
     tau_arr = jnp.asarray(cfg.soft_tau, jnp.float32).reshape(1, 1)
     return apply(gflat, pack_spheres(scene), pack_rects(scene), offsets, tau_arr)
+
+
+def loss_grad_pallas_vec_soft(
+    scene: Scene,
+    cfg: RenderConfig,
+    target,
+    loss: str = "mse",
+    row0=0.0,
+    col0=0.0,
+    tiles: VecTileConfig | None = None,
+    interpret: bool = False,
+    out_height: int | None = None,
+    norm: float | None = None,
+):
+    """Fused SOFT training step: (loss, grads) of ``loss(
+    render_pallas_vec_soft(scene), target)`` in ONE kernel launch — the
+    annealed inversion's per-stage step cost drops by the whole soft
+    forward kernel. Same contract as fused.loss_grad_pallas; tau stays a
+    runtime scalar so the anneal sweep shares one compile."""
+    tiles = tiles or VecTileConfig()
+    H = out_height or cfg.height
+    _, apply_step, (Hp, Wp, _, _) = _make_fused_vec_soft(
+        scene, cfg, tiles, interpret, out_h=out_height
+    )
+    if norm is None:
+        norm = 1.0 / (cfg.height * cfg.width * 3) if loss == "mse" else 1.0
+    target = jnp.asarray(target, jnp.float32)
+    pads = ((0, Hp - H), (0, Wp - cfg.width))
+    tr = jnp.pad(target[..., 0], pads)
+    tg = jnp.pad(target[..., 1], pads)
+    tb = jnp.pad(target[..., 2], pads)
+    meta_row = jnp.stack(
+        [
+            jnp.asarray(row0, jnp.float32),
+            jnp.asarray(col0, jnp.float32),
+            jnp.asarray(norm, jnp.float32),
+        ]
+    ).reshape(1, 3)
+    tau_arr = jnp.asarray(cfg.soft_tau, jnp.float32).reshape(1, 1)
+
+    def pack_all(scene):
+        return (
+            flatten_scene(globals_tree(scene)),
+            pack_spheres(scene),
+            pack_rects(scene),
+        )
+
+    (gflat, sph, rct), pack_vjp = jax.vjp(pack_all, scene)
+    sq, dglob, dsph, drct = apply_step(
+        gflat, sph, rct, meta_row, tau_arr, tr, tg, tb
+    )
+    (grads,) = pack_vjp(
+        (dglob, dsph[: scene.spheres.count], drct[: scene.rects.count])
+    )
+    return norm * sq, grads

@@ -91,14 +91,21 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
     fused_ok = (
         jax.default_backend() == "tpu"
         and cfg.soft_tau == 0.0
-        and n_obj <= 24
         and loss in ("mse", "sum")
-        and impl in ("auto", "pallas", "pallas_step")
+        and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
     )
-    if fused_ok:
+    if fused_ok and (n_obj <= 24 or impl == "pallas") and cfg.spp in (1, 4):
         from .kernels.fused import loss_grad_pallas
 
         return lambda scene, target: loss_grad_pallas(
+            scene, cfg, target, loss=loss
+        )
+    if fused_ok and cfg.spp == 1:
+        # Large object counts: the object-chunked step kernel (O(1)
+        # compile in N, chunk-skipped backward).
+        from .kernels.fused_vec import loss_grad_pallas_vec
+
+        return lambda scene, target: loss_grad_pallas_vec(
             scene, cfg, target, loss=loss
         )
 

@@ -425,10 +425,24 @@ def optimize_annealed(
         if target_scene is not None and tau > 0.0:
             tgt = render_stage(target_scene, cfg_t)
         stage_ocfg = hard_ocfg if (tau == 0.0 and hard_ocfg is not None) else ocfg
+        if on_tpu:
+            # Fused training-step kernels: per-stage loss+grads in ONE
+            # launch (the stage's forward kernel disappears). tau is a
+            # runtime SMEM scalar, so every soft stage shares one compile.
+            from .ops.kernels.fused_vec import loss_grad_pallas_vec
+            from .ops.kernels.fused_vec_soft import loss_grad_pallas_vec_soft
+
+            step_fn = (loss_grad_pallas_vec if tau == 0.0
+                       else loss_grad_pallas_vec_soft)
+            vag = lambda s, t, c=cfg_t, f=step_fn: f(s, c, t, loss=stage_ocfg.loss)
+        else:
+            vag = None
         scene, losses = optimize_scan(
             scene, tgt, spec, cfg_t, stage_ocfg,
             render_fn=lambda s, c=cfg_t, r=render_stage: r(s, c),
-            cache_key=(f"annealed-{impl_name}", float(tau), soft_size),
+            vag_fn=vag,
+            cache_key=(f"annealed-{impl_name}-step" if vag else
+                       f"annealed-{impl_name}", float(tau), soft_size),
             max_chunk=max_chunk,
         )
         all_losses.append(losses)

@@ -81,6 +81,85 @@ def _band_render_fn(cfg: RenderConfig, band: int, impl: str):
     return lambda scene, row0: render_jnp(scene, cfg, row0=row0, height=band)
 
 
+def _band_vag_fn(rcfg: RenderConfig, band: int, loss: str = "mse",
+                 interpret: bool = False):
+    """Per-device FUSED training step for one row band (impl
+    "pallas_step"): `loss_grad_pallas` computes the band's squared-error
+    sum and scene gradients in ONE kernel launch — no band image in HBM.
+    `norm` pre-scales by the GLOBAL loss normalization, so psum-ing the
+    per-band (loss, grads) over the rays axis yields exactly the global
+    value_and_grad (the P2 gradient all-reduce, now explicit)."""
+    from ..ops.kernels.fused import loss_grad_pallas
+
+    denom = float(rcfg.height * rcfg.width * 3) if loss == "mse" else 1.0
+
+    def vag(scene, target_band, row0):
+        return loss_grad_pallas(
+            scene, rcfg, target_band, loss=loss, row0=row0,
+            out_height=band, norm=1.0 / denom, interpret=interpret,
+        )
+
+    return vag
+
+
+def _sharded_loss_and_grads(mesh: Mesh, rcfg: RenderConfig, band: int,
+                            loss: str, impl: str):
+    """Build the shard_mapped (loss, grads) fn for one step: either the
+    fused band step ("pallas_step") with explicit psums, or autodiff of the
+    psum'd band loss (every other impl — the psum's transpose IS the
+    gradient all-reduce)."""
+    denom = float(rcfg.height * rcfg.width * 3) if loss == "mse" else 1.0
+
+    if impl == "pallas_step":
+        band_vag = _band_vag_fn(
+            rcfg, band, loss, interpret=jax.default_backend() != "tpu"
+        )
+
+        # check_vma=False: pallas_call out_shapes carry no varying-mesh-
+        # axes annotation, which JAX 0.9's vma checker rejects inside
+        # shard_map; correctness is carried by the explicit psums below.
+        @partial(jax.shard_map, mesh=mesh, check_vma=False,
+                 in_specs=(P(), P(RAYS_AXIS)), out_specs=(P(), P()))
+        def loss_and_grads(scene, target_band):
+            row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
+            sq, grads = band_vag(scene, target_band, row0)
+            l = jax.lax.psum(sq, RAYS_AXIS)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, RAYS_AXIS), grads
+            )
+            return l, grads
+
+        return loss_and_grads
+
+    render_band = _band_render_fn(rcfg, band, impl)
+
+    def local_loss(scene, target_band, row0):
+        img = render_band(scene, row0)
+        d = img - target_band
+        return jnp.sum(d * d) / denom
+
+    # P2: autodiff runs on the LOCAL band loss; one explicit psum then
+    # all-reduces the loss and the (tiny, replicated-scene) gradient pytree
+    # over ICI/DCN. check_vma=False is required because the band renderer
+    # may be a pallas_call (impl "pallas"/"pallas_vec"/soft) whose
+    # out_shapes carry no varying-mesh-axes annotation — and without vma
+    # tracking shard_map cannot insert the replicated-input transpose psum
+    # itself, hence the explicit form. (The forward-psum formulation whose
+    # AD transpose IS the all-reduce is exercised under full vma checking
+    # in tests/test_sharding.py::test_sharded_psum_grads_match_single_device.)
+    @partial(jax.shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P(), P(RAYS_AXIS)), out_specs=(P(), P()))
+    def loss_and_grads(scene, target_band):
+        row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
+        l_loc, g_loc = jax.value_and_grad(local_loss)(scene, target_band, row0)
+        return (
+            jax.lax.psum(l_loc, RAYS_AXIS),
+            jax.tree_util.tree_map(lambda g: jax.lax.psum(g, RAYS_AXIS), g_loc),
+        )
+
+    return loss_and_grads
+
+
 def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh, impl: str = "jnp"):
     """Full image rendered cooperatively: device i renders rows
     [i*band, (i+1)*band). Output is row-sharded over the mesh (a host
@@ -93,6 +172,7 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh, impl: str = "jnp
     @partial(
         jax.shard_map,
         mesh=mesh,
+        check_vma=False,  # pallas band renderers lack vma annotations
         in_specs=(P(),),
         out_specs=P(RAYS_AXIS),
     )
@@ -125,30 +205,8 @@ def make_sharded_step(
     n = mesh.shape[RAYS_AXIS]
     assert rcfg.height % n == 0
     band = rcfg.height // n
-    render_band = _band_render_fn(rcfg, band, impl)
     tx = make_optimizer(ocfg)
-    # Normalizer so the psum of per-band sums equals the global loss.
-    denom = float(rcfg.height * rcfg.width * 3) if ocfg.loss == "mse" else 1.0
-
-    def global_loss(scene: Scene, target_band):
-        row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
-        img = render_band(scene, row0)
-        d = img - target_band
-        # P2: the psum in the FORWARD makes the loss global; its transpose
-        # (plus the transpose of the scene's replication) is the gradient
-        # all-reduce over ICI/DCN — JAX 0.9 shard_map inserts it
-        # automatically for replicated inputs, so no manual grad psum
-        # (doing both double-counts by the mesh size).
-        return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(RAYS_AXIS)),
-        out_specs=(P(), P()),
-    )
-    def loss_and_grads(scene, target_band):
-        return jax.value_and_grad(global_loss)(scene, target_band)
+    loss_and_grads = _sharded_loss_and_grads(mesh, rcfg, band, ocfg.loss, impl)
 
     target_sharding = NamedSharding(mesh, P(RAYS_AXIS))
     replicated = NamedSharding(mesh, P())
@@ -193,19 +251,10 @@ def optimize_sharded_scan(
     band = rcfg.height // n
 
     def build():
-        render_band = _band_render_fn(rcfg, band, impl)
         tx = make_optimizer(ocfg)
-        denom = float(rcfg.height * rcfg.width * 3) if ocfg.loss == "mse" else 1.0
-
-        def global_loss(scene, target_band):
-            row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
-            img = render_band(scene, row0)
-            d = img - target_band
-            return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
-
-        @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(RAYS_AXIS)), out_specs=(P(), P()))
-        def loss_and_grads(scene, target_band):
-            return jax.value_and_grad(global_loss)(scene, target_band)
+        loss_and_grads = _sharded_loss_and_grads(
+            mesh, rcfg, band, ocfg.loss, impl
+        )
 
         @jax.jit
         def run(scene, target):
@@ -290,19 +339,24 @@ def make_batched_step(
         row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
         img = render_band(scene, row0)
         d = img - target_band
-        # Forward psum over rays => AD produces the grad all-reduce (see
-        # make_sharded_step). Scenes never communicate across BATCH_AXIS.
-        return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
+        return jnp.sum(d * d) / denom
 
+    # Local-band AD + ONE explicit psum over rays for the whole batch of
+    # (loss, grads); scenes never communicate across BATCH_AXIS.
+    # check_vma=False: see _sharded_loss_and_grads.
     @partial(
         jax.shard_map,
         mesh=mesh,
+        check_vma=False,
         in_specs=(P(BATCH_AXIS), P(BATCH_AXIS, RAYS_AXIS)),
         out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
     )
     def loss_and_grads(scenes_local, targets_local):
         # scenes_local: leaves with leading dim B/nb; targets (B/nb, band, W, 3)
-        return jax.vmap(jax.value_and_grad(one_scene_loss))(scenes_local, targets_local)
+        l, g = jax.vmap(jax.value_and_grad(one_scene_loss))(scenes_local, targets_local)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, RAYS_AXIS), (l, g)
+        )
 
     @jax.jit
     def step(scenes, opt_state, targets):
@@ -346,16 +400,21 @@ def optimize_batched_scan(
         row0 = (jax.lax.axis_index(RAYS_AXIS) * band).astype(jnp.float32)
         img = render_band(scene, row0)
         d = img - target_band
-        return jax.lax.psum(jnp.sum(d * d), RAYS_AXIS) / denom
+        return jnp.sum(d * d) / denom
 
+    # Local-band AD + explicit psum (see make_batched_step).
     @partial(
         jax.shard_map,
         mesh=mesh,
+        check_vma=False,
         in_specs=(P(BATCH_AXIS), P(BATCH_AXIS, RAYS_AXIS)),
         out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
     )
     def loss_and_grads(scenes_local, targets_local):
-        return jax.vmap(jax.value_and_grad(one_scene_loss))(scenes_local, targets_local)
+        l, g = jax.vmap(jax.value_and_grad(one_scene_loss))(scenes_local, targets_local)
+        return jax.tree_util.tree_map(
+            lambda x: jax.lax.psum(x, RAYS_AXIS), (l, g)
+        )
 
     @jax.jit
     def run(scenes, targets):

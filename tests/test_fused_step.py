@@ -103,6 +103,81 @@ def test_spp4():
     _tree_cmp(g_ref, g_f, 1e-2)
 
 
+def test_vec_step_strict_vs_pallas_vec_ad():
+    """Object-chunked step kernel vs autodiff of render_pallas_vec (same
+    kernel family, same replay semantics): strict agreement."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+        render_pallas_vec,
+    )
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, spec, _ = configs.config5_many_spheres(64, n_spheres=33)
+    cfg = RenderConfig(height=40, width=72, shadows=True)
+    start = configs.perturb(scene, spec, scale=0.05, seed=3)
+    target = jnp.asarray(np.asarray(render_jnp_vec(scene, cfg)))
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec(s, cfg, interpret=True), target)
+    )(start)
+    l_f, g_f = loss_grad_pallas_vec(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-5 * max(float(l_ref), 1e-9)
+    _tree_cmp(g_ref, g_f, 1e-5)
+
+
+def test_vec_step_vs_jnp_vec():
+    """Same step vs XLA autodiff of the jnp_vec path: 3% group tolerance
+    (dense boundary-pixel population at this scene/image scale — same
+    class as tests/test_fused_vec.py's full-image comparisons; the strict
+    check above pins the kernel's own correctness)."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import loss_grad_pallas_vec
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, spec, _ = configs.config5_many_spheres(64, n_spheres=33)
+    cfg = RenderConfig(height=40, width=72, shadows=True)
+    start = configs.perturb(scene, spec, scale=0.05, seed=3)
+    target = jnp.asarray(np.asarray(render_jnp_vec(scene, cfg)))
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_jnp_vec(s, cfg), target)
+    )(start)
+    l_f, g_f = loss_grad_pallas_vec(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-4 * max(float(l_ref), 1e-9)
+    _tree_cmp(g_ref, g_f, 3e-2)
+
+
+def test_soft_step_strict_vs_soft_kernel_ad():
+    """Soft training-step kernel vs autodiff of render_pallas_vec_soft:
+    the only difference is where the color cotangent comes from (in-kernel
+    residual vs custom_vjp cotangent refs), so agreement is strict."""
+    import dataclasses
+
+    from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+        loss_grad_pallas_vec_soft,
+        render_pallas_vec_soft,
+    )
+
+    scene, spec, _ = configs.config5_many_spheres(64, n_spheres=17)
+    cfg = RenderConfig(height=40, width=72, shadows=True, soft_tau=0.05)
+    start = configs.perturb(scene, spec, scale=0.05, seed=3)
+    target = jnp.asarray(
+        np.asarray(render_pallas_vec_soft(scene, cfg, interpret=True))
+    )
+
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec_soft(s, cfg, interpret=True), target)
+    )(start)
+    l_f, g_f = loss_grad_pallas_vec_soft(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-5 * max(float(l_ref), 1e-9)
+    _tree_cmp(g_ref, g_f, 1e-4)
+
+    # tau is a runtime scalar: a second tau must NOT rebuild the kernel
+    # (the anneal sweep shares one compile) and must change the result.
+    cfg2 = dataclasses.replace(cfg, soft_tau=0.02)
+    l2, _ = loss_grad_pallas_vec_soft(start, cfg2, target, interpret=True)
+    assert abs(float(l2) - float(l_f)) > 0.0
+
+
 def test_optimize_scan_with_fused_step():
     """optimize_scan(vag_fn=...) drives the same trajectory as the default
     value_and_grad body (config-1, few steps, interpret kernels)."""

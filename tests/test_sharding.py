@@ -107,6 +107,42 @@ def test_sharded_psum_grads_match_single_device():
         np.testing.assert_allclose(a, b, atol=1e-4 * scale + 1e-8, err_msg=str(path))
 
 
+def test_sharded_fused_step_matches_autodiff_path():
+    """impl="pallas_step" (per-band fused loss+grad kernel + explicit psum)
+    computes the SAME (loss, grads) as autodiff of the psum'd band loss.
+    Runs the real kernel in interpret mode on the 8-device fake mesh — the
+    sharded fused path is exercised end-to-end, not just asserted."""
+    from reversible_raytracer_tpu.parallel.shard import _sharded_loss_and_grads
+
+    scene, spec, _ = configs.config2_four_spheres()
+    cfg = RenderConfig(height=64, width=64, shadows=True)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.15, seed=9)
+    mesh = make_ray_mesh(8)
+    band = cfg.height // 8
+
+    lg_ref = _sharded_loss_and_grads(mesh, cfg, band, "mse", "jnp")
+    lg_fused = _sharded_loss_and_grads(mesh, cfg, band, "mse", "pallas_step")
+    l_ref, g_ref = lg_ref(start, target)
+    l_fused, g_fused = lg_fused(start, target)
+    # 1e-5 relative: the fused path sums squared residuals per tile then
+    # psums raw band sums, vs the autodiff path's per-band mean — different
+    # f32 reduction orders at the ~1-ulp level.
+    assert abs(float(l_ref) - float(l_fused)) < 1e-5 * max(float(l_ref), 1e-9)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g_fused)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        scale = max(np.abs(a).max(), 1e-8)
+        # Interpret-mode kernels vs the XLA jnp graph: boundary-pixel flips
+        # bound the agreement at the same 1% group scale as the
+        # single-device kernel grad tests.
+        np.testing.assert_allclose(a, b, atol=1e-2 * scale, err_msg=str(path))
+
+
 def test_sharded_convergence():
     """Config-1 inverse render distributed over 8 fake devices converges.
 
