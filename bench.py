@@ -357,18 +357,18 @@ def main():
             import dataclasses as _dc
 
             from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
-                render_pallas_vec_soft,
+                loss_grad_pallas_vec_soft,
             )
 
             scene_s, _, _ = configs.config5_many_spheres(512, n_spheres=64)
             cfg_s = _dc.replace(cfg, soft_tau=0.05)
             tgt_s2 = jnp.zeros((H, W, 3), jnp.float32)
+            vag_s = lambda s, t: loss_grad_pallas_vec_soft(s, cfg_s, t)
             t0 = time.perf_counter()
-            ts = _scan_steps_grad(
-                lambda s: render_pallas_vec_soft(s, cfg_s), scene_s, tgt_s2,
-                10, 60, k=3,
+            ts, _, _ = _median_slope(
+                lambda n: _vag_total(vag_s, scene_s, tgt_s2, n), 10, 60, k=3
             )
-            _log(f"pallas soft 65-obj 512^2 fwd+bwd: {ts*1e3:.2f} ms/step "
+            _log(f"pallas soft 65-obj 512^2 fused step: {ts*1e3:.2f} ms/step "
                  f"[compile+bench {time.perf_counter()-t0:.0f}s]")
             details["soft_65obj_512_fwdbwd_ms"] = ts * 1e3
             with open("bench_details.json", "w") as fh:

@@ -81,6 +81,19 @@ def main():
             g = step(scene)
         float(jax.tree_util.tree_leaves(g)[0].ravel()[0])
 
+    # Second trace: the FUSED TRAINING-STEP kernel (loss+grads in one
+    # launch — the production optimizer step since round 2).
+    from reversible_raytracer_tpu.ops.render import loss_and_grad_fn
+
+    vag = jax.jit(loss_and_grad_fn(scene, cfg))
+    l, g = vag(scene, target)
+    float(l)
+    step_dir = args.outdir + "_fusedstep"
+    with profiling.trace(step_dir):
+        for _ in range(5):
+            l, g = vag(scene, target)
+        float(l)
+
     top, err = parse_xplane(args.outdir)
     n = 5
     out = {"n_steps_traced": n}
@@ -104,6 +117,16 @@ def main():
                 labeled["glue_us_per_step"] += us / n
         out["measured"] = {k: round(v, 1) for k, v in labeled.items()}
         out["per_op_us_total_top15"] = {k[:80]: round(v, 1) for k, v in top}
+
+    top_s, err_s = parse_xplane(step_dir)
+    if err_s:
+        out["fused_step_error"] = err_s
+    else:
+        step_us = sum(us for name, us in top_s if "custom-call" in name) / n
+        out["fused_step_kernel_us_per_step"] = round(step_us, 1)
+        out["fused_step_per_op_us_top15"] = {
+            k[:80]: round(v, 1) for k, v in top_s
+        }
     out["overlap_note"] = (
         "single-chip box: no collectives exist in this trace; the psum/"
         "backward overlap claim requires a real pod slice to measure"
