@@ -52,6 +52,35 @@ def main():
               f"finite={finite} [{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)",
               flush=True)
 
+    # Fused TRAINING-STEP kernel (loss+grads in one launch) vs the
+    # two-kernel value_and_grad of render_pallas: same trace of render_tile
+    # with the MSE cotangent formed in-kernel instead of on the host, so
+    # compiled agreement is expected to be (near-)bit-exact.
+    from reversible_raytracer_tpu.ops.kernels.fused import loss_grad_pallas
+
+    scene, spec, _ = configs.config2_four_spheres()
+    cfg = RenderConfig(height=512, width=512, shadows=True)
+    t0 = time.time()
+    target = jax.jit(lambda s: render_pallas(s, cfg))(scene)
+    start = configs.perturb(scene, spec, scale=0.1, seed=2)
+    l2, g2 = jax.jit(
+        jax.value_and_grad(lambda s: mse_loss(render_pallas(s, cfg), target))
+    )(start)
+    l1, g1 = jax.jit(lambda s: loss_grad_pallas(s, cfg, target))(start)
+    ldiff = abs(float(l1) - float(l2)) / max(float(l2), 1e-12)
+    gdiff, finite = 0.0, True
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.size:
+            scale = max(float(np.abs(b).max()), 1e-10)
+            gdiff = max(gdiff, float(np.abs(a - b).max()) / scale)
+            finite &= bool(np.isfinite(a).all())
+    ok = ldiff <= 1e-5 and gdiff <= 1e-5 and finite
+    failures += (not ok)
+    print(f"fused step 4-sphere @512²: loss_rel={ldiff:.2e} grad_rel={gdiff:.2e} "
+          f"finite={finite} [{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)",
+          flush=True)
+
     # Object-chunked kernels (fused_vec) vs the object-vectorized jnp path:
     # forward expected bit-exact; grads finite and close (the hand-planned
     # masked-vjp backward differs from XLA autodiff only at boundary-pixel
