@@ -105,9 +105,9 @@ def _band_vag_fn(rcfg: RenderConfig, band: int, loss: str = "mse",
 def _sharded_loss_and_grads(mesh: Mesh, rcfg: RenderConfig, band: int,
                             loss: str, impl: str):
     """Build the shard_mapped (loss, grads) fn for one step: either the
-    fused band step ("pallas_step") with explicit psums, or autodiff of the
-    psum'd band loss (every other impl — the psum's transpose IS the
-    gradient all-reduce)."""
+    fused band step ("pallas_step") or autodiff of the local band loss
+    (every other impl); both all-reduce the loss and the tiny scene-grad
+    pytree with ONE explicit psum over the rays axis (P2)."""
     denom = float(rcfg.height * rcfg.width * 3) if loss == "mse" else 1.0
 
     if impl == "pallas_step":
