@@ -94,7 +94,10 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
         and loss in ("mse", "sum")
         and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
     )
-    if fused_ok and (n_obj <= 24 or impl == "pallas") and cfg.spp in (1, 4):
+    want_unrolled = (
+        impl == "pallas" or (impl != "pallas_vec" and n_obj <= 24)
+    )
+    if fused_ok and want_unrolled and cfg.spp in (1, 4):
         from .kernels.fused import loss_grad_pallas
 
         return lambda scene, target: loss_grad_pallas(
@@ -110,10 +113,13 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
         )
 
     lossf = {"mse": mse_loss, "sum": sum_squared_loss}[loss]
+    # "pallas_step" names the fused step, not a render impl — fall back to
+    # auto dispatch when the fused kernel is unavailable (e.g. off-TPU).
+    render_impl = "auto" if impl == "pallas_step" else impl
 
     def vag(scene, target):
         return jax.value_and_grad(
-            lambda s: lossf(render(s, cfg, impl), target)
+            lambda s: lossf(render(s, cfg, render_impl), target)
         )(scene)
 
     return vag

@@ -146,6 +146,76 @@ def test_vec_step_vs_jnp_vec():
     _tree_cmp(g_ref, g_f, 3e-2)
 
 
+def test_loss_and_grad_fn_dispatch(monkeypatch):
+    """Dispatch table of ops.render.loss_and_grad_fn under a faked TPU
+    backend: explicit impl choices are honored, auto picks by object
+    count, unsupported combos fall back to value_and_grad."""
+    import sys
+
+    import reversible_raytracer_tpu.ops.render  # noqa: F401  (ensure loaded)
+
+    R = sys.modules["reversible_raytracer_tpu.ops.render"]
+
+    small, _, _ = configs.config2_four_spheres()  # 5 objects
+    big, _, _ = configs.config5_many_spheres(64, n_spheres=33)  # 34 objects
+    cfg = RenderConfig(height=32, width=32, shadows=True)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def kind(fn):
+        if "vag" in getattr(fn, "__qualname__", ""):
+            return "fallback"
+        cells = [
+            getattr(c.cell_contents, "__name__", "")
+            for c in (fn.__closure__ or ())
+        ]
+        return "vec" if "loss_grad_pallas_vec" in cells else "unrolled"
+
+    assert kind(R.loss_and_grad_fn(small, cfg)) == "unrolled"
+    assert kind(R.loss_and_grad_fn(big, cfg)) == "vec"
+    assert kind(R.loss_and_grad_fn(small, cfg, impl="pallas_vec")) == "vec"
+    assert kind(R.loss_and_grad_fn(big, cfg, impl="pallas")) == "unrolled"
+    import dataclasses
+    cfg4 = dataclasses.replace(cfg, spp=4)
+    assert kind(R.loss_and_grad_fn(small, cfg4)) == "unrolled"  # spp=4 ok unrolled
+    assert kind(R.loss_and_grad_fn(big, cfg4)) == "fallback"  # vec: spp=1 only
+    soft = dataclasses.replace(cfg, soft_tau=0.05)
+    assert kind(R.loss_and_grad_fn(small, soft)) == "fallback"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert kind(R.loss_and_grad_fn(small, cfg)) == "fallback"
+
+
+def test_make_step_with_vag_fn():
+    """The host-loop step (optim.make_step) with the fused-step override
+    matches the default value_and_grad step."""
+    from reversible_raytracer_tpu.optim import OptConfig, make_step
+
+    scene, spec, _ = configs.config1_single_sphere()
+    cfg = RenderConfig(height=32, width=32, shadows=False)
+    target = jnp.asarray(np.asarray(render_jnp(scene, cfg)))
+    start = configs.perturb(scene, spec, scale=0.05, seed=3)
+    ocfg = OptConfig(iters=2, lr=1e-2)
+
+    step_ref, tx_ref = make_step(cfg, spec, ocfg)
+    vag = lambda s, t: loss_grad_pallas(s, cfg, t, interpret=True)
+    step_f, tx_f = make_step(cfg, spec, ocfg, vag_fn=vag)
+
+    s_r, o_r = start, tx_ref.init(start)
+    s_f, o_f = start, tx_f.init(start)
+    for _ in range(2):
+        s_r, o_r, l_r, _ = step_ref(s_r, o_r, target)
+        s_f, o_f, l_f, _ = step_f(s_f, o_f, target)
+    assert abs(float(l_r) - float(l_f)) <= 1e-4 * max(float(l_r), 1e-9)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_r)[0],
+        jax.tree_util.tree_flatten_with_path(s_f)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        np.testing.assert_allclose(a, b, atol=5e-3, err_msg=str(path))
+
+
 def test_soft_step_strict_vs_soft_kernel_ad():
     """Soft training-step kernel vs autodiff of render_pallas_vec_soft:
     the only difference is where the color cotangent comes from (in-kernel
