@@ -253,8 +253,9 @@ def main():
     details["per_kernel_ms"] = {
         "fwd_kernel": t_fast_fwd * 1e3,
         "bwd_kernel": max(t_two - t_fast_fwd, 0.0) * 1e3,
-        "fused_step_kernel": t_fast * 1e3,
     }
+    if on_tpu:  # only measured there — off-TPU t_fast aliases t_two
+        details["per_kernel_ms"]["fused_step_kernel"] = t_fast * 1e3
     details["flops_per_ray"] = {"fwd": fl_fwd, "fwd_bwd": fl_fb}
     details["vpu_sol_pct"] = {
         "fwd": 100 * rays * fl_fwd / t_fast_fwd / V5E_VPU_PEAK_FLOPS,

@@ -52,9 +52,13 @@ def main():
         cli(["render", "--config", str(num), *size_args,
              "-o", os.path.join(out, "target.png")])
         # start.png: zero-iteration "inversion" renders the perturbed scene.
+        # The perturbation MUST match the full-inversion call below (same
+        # seed + scale) or start.png depicts a different starting scene:
+        # config 5 passes 0.03 in both; configs 1-4 use the CLI default in
+        # both.
+        start_perturb = ["--perturb", "0.03"] if num == 5 else []
         cli(["invert", "--config", str(num), *size_args, "--iters", "1",
-             "--lr", "0", "--log-every", "0", "--perturb",
-             "0.03" if num == 5 else "0.1",
+             "--lr", "0", "--log-every", "0", *start_perturb,
              "-o", os.path.join(out, "start.png")])
         if num == 5:
             # The flagship joint inversion runs the soft-visibility anneal
@@ -69,8 +73,12 @@ def main():
                  "--metrics", os.path.join(out, "metrics.jsonl"),
                  "-o", os.path.join(out, "final.png")])
         else:
+            # lr 5e-3: the sweep-validated ceiling at native 512^2 sizes
+            # (bench.py convergence recipe) — the CLI default 1e-2 diverges
+            # on configs 2/4 at full resolution (observed on v5e).
             cli(["invert", "--config", str(num), *size_args,
-                 "--iters", str(iters), "--log-every", str(max(iters // 10, 1)),
+                 "--iters", str(iters), "--lr", "5e-3",
+                 "--log-every", str(max(iters // 10, 1)),
                  "--metrics", os.path.join(out, "metrics.jsonl"),
                  "--frame-every", str(max(iters // 40, 1)),
                  "--frames-dir", frames,

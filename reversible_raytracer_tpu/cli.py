@@ -51,7 +51,8 @@ def _render_fn(cfg, impl, n_obj=None):
     import jax
 
     if impl == "auto":
-        small = n_obj is None or n_obj <= 24
+        # The vec family is spp=1 only — supersampling stays unrolled.
+        small = n_obj is None or n_obj <= 24 or cfg.spp != 1
         if jax.default_backend() == "tpu":
             # Unrolled kernels compile O(N); chunked kernels O(1) — pick by N
             # (same policy as ops.render.render).
@@ -111,12 +112,12 @@ def cmd_invert(args):
         initialize(args.coordinator, args.num_processes, args.process_id)
 
     scene, spec, cfg = _build(args)
-    if getattr(args, "anneal", None) and args.impl == "auto" \
-            and jax.default_backend() != "tpu":
-        # Off-TPU the annealed path optimizes through jnp_vec; rendering
-        # the target with it too keeps everything on one implementation.
-        # On TPU the anneal's hard polish compiles the pallas_vec kernel
-        # anyway, so the auto-dispatched target render SHARES that compile.
+    if getattr(args, "anneal", None) and args.impl == "auto":
+        # The annealed stages run through the fused STEP kernels (no
+        # forward kernel traces at all), so an auto-dispatched pallas_vec
+        # target render would pay a multi-minute Mosaic compile for
+        # exactly two images (target + final.png). jnp_vec renders them in
+        # ~100 ms with a fast XLA compile on every backend.
         args.impl = "jnp_vec"
     render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count)
 

@@ -475,10 +475,26 @@ def _make_fused_vec(
     )
 
     # ------------------------------------------------------------ backward
-    def bwd_kernel(off_ref, glob_ref, sph_ref, rct_ref, gr_ref, gg_ref, gb_ref,
-                   *rest):
-        vis_refs = rest[:n_vis]
-        dglob_ref, dsph_ref, drct_ref = rest[n_vis], rest[n_vis + 1], rest[n_vis + 2]
+    #
+    # ONE body, TWO kernels (same shape as fused_vec_soft.make_bwd_kernel):
+    # step_mode=False is the render backward — gr/gg/gb refs are COTANGENT
+    # tiles and the forward's saved visibility planes replay the shadow
+    # decision. step_mode=True is the fused TRAINING STEP — gr/gg/gb refs
+    # are TARGET tiles, the shade stage's primal colors are kept, the
+    # cotangent is formed in-kernel from the residual (masked for canvas
+    # padding), shadow visibility is computed inline (there is no forward
+    # to save it), and a squared-error accumulator is emitted.
+    def make_bwd_kernel(step_mode: bool):
+      def bwd_kernel(off_ref, glob_ref, sph_ref, rct_ref, gr_ref, gg_ref, gb_ref,
+                     *rest):
+        if step_mode:
+            vis_refs = ()
+            loss_ref, dglob_ref, dsph_ref, drct_ref = rest
+        else:
+            vis_refs = rest[:n_vis]
+            dglob_ref, dsph_ref, drct_ref = (
+                rest[n_vis], rest[n_vis + 1], rest[n_vis + 2]
+            )
         i, j = pl.program_id(0), pl.program_id(1)
         ii, jj = tile_coords(off_ref, i, j, bhb, bwb)
         shape = (bhb, bwb)
@@ -514,21 +530,45 @@ def _make_fused_vec(
         planes_replay = tuple(
             jax.lax.stop_gradient(at_replay[name]) for name in ATTR_NAMES
         )
-        vis_tiles = tuple(vr[:, :] for vr in vis_refs) if n_vis else None
+        vis_tiles = (
+            tuple(vr[:, :] for vr in vis_refs) if (n_vis and not step_mode)
+            else None
+        )
+        occluded_fn = (
+            _occluded_loop(sph_read, n_sph, rct_read, n_rct,
+                           unroll=tiles.unroll)
+            if step_mode else None
+        )
 
-        # Stage S: object-count-independent shading. occluded_fn stays None:
-        # when shadows are on the forward saved the (zero-gradient)
-        # visibility planes, which vis_in replays.
+        # Stage S: object-count-independent shading. In cotangent mode
+        # occluded_fn stays None: the forward saved the (zero-gradient)
+        # visibility planes, which vis_in replays. In step mode the any-hit
+        # runs inline (bool -> zero gradient, the hard semantics).
         def shade_fn(gvals, o, d, t, planes):
             gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
             at = dict(zip(ATTR_NAMES, planes))
             return shade_from_attrs(
                 _globals_ns(gview), o, d, cfg, shape, t, hit, at,
-                vis_in=vis_tiles,
+                vis_in=vis_tiles, occluded_fn=occluded_fn,
             )
 
-        _, shade_vjp = jax.vjp(shade_fn, gvals, o, d, t_sel, planes_replay)
-        dcol = (gr_ref[:, :], gg_ref[:, :], gb_ref[:, :])
+        (r, g, b), shade_vjp = jax.vjp(
+            shade_fn, gvals, o, d, t_sel, planes_replay
+        )
+        if step_mode:
+            w = off_ref[0, 2]
+            ri_ = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * bhb
+            ci_ = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + j * bwb
+            pmask = ((ri_ < H) & (ci_ < W)).astype(f32)
+            res_r = (r - gr_ref[:, :]) * pmask
+            res_g = (g - gg_ref[:, :]) * pmask
+            res_b = (b - gb_ref[:, :]) * pmask
+            sq = (jnp.sum(res_r * res_r) + jnp.sum(res_g * res_g)
+                  + jnp.sum(res_b * res_b))
+            two_w = 2.0 * w
+            dcol = (two_w * res_r, two_w * res_g, two_w * res_b)
+        else:
+            dcol = (gr_ref[:, :], gg_ref[:, :], gb_ref[:, :])
         dg_shade, d_o, d_d, d_t, d_planes = shade_vjp(dcol)
 
         # Stage O: per-object masked vjps, accumulating SMEM grad rows.
@@ -536,6 +576,8 @@ def _make_fused_vec(
 
         @pl.when(first)
         def _():
+            if step_mode:
+                loss_ref[0, 0] = 0.0
             for idx in range(Sg):
                 dglob_ref[0, idx] = 0.0
 
@@ -619,9 +661,13 @@ def _make_fused_vec(
         (dg_rays,) = rays_vjp((vm.vadd(d_o, d_o_obj), vm.vadd(d_d, d_d_obj)))
         for idx in range(Sg):
             dglob_ref[0, idx] = dglob_ref[0, idx] + dg_shade[idx] + dg_rays[idx]
+        if step_mode:
+            loss_ref[0, 0] = loss_ref[0, 0] + sq
+
+      return bwd_kernel
 
     bwd_call = pl.pallas_call(
-        bwd_kernel,
+        make_bwd_kernel(False),
         grid=(Hp // bhb, Wp // bwb),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -638,6 +684,35 @@ def _make_fused_vec(
             pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((1, Sg), f32),
+            jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
+            jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
+        ],
+        interpret=interpret,
+    )
+
+    # Fused training step: target tiles in, (sq_sum, grads) out — the
+    # optimizer step drops the forward kernel entirely.
+    step_call = pl.pallas_call(
+        make_bwd_kernel(True),
+        grid=(Hp // bhb, Wp // bwb),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((1, Sg), f32),
             jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
             jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
@@ -679,226 +754,18 @@ def _make_fused_vec(
         r, g, b = outs[0], outs[1], outs[2]
         return jnp.stack([r[:H, :W], g[:H, :W], b[:H, :W]], axis=-1)
 
-    _CACHE[key] = apply
-    return apply
-
-
-_LG_CACHE: dict = {}
-
-
-def _make_loss_grad_vec(
-    scene_like: Scene,
-    cfg: RenderConfig,
-    tiles: VecTileConfig,
-    interpret: bool,
-    out_h: int | None = None,
-):
-    """Fused TRAINING-STEP kernel for the object-chunked family: squared-
-    error loss + (globals, sphere, rect) gradients in ONE launch.
-
-    Same plan as the hand-planned backward (`_make_fused_vec.bwd_kernel`:
-    rays vjp -> two-phase replay -> shade-stage vjp -> chunk-skipped masked
-    per-object vjps), with two deltas: the shade stage's PRIMAL colors are
-    kept and the cotangent is formed in-kernel from the target tile
-    (dcol = 2w * (col - target) * pad_mask), and shadow visibility is
-    computed inline (the separate forward that used to save it no longer
-    runs). The forward kernel disappears from the optimizer step entirely —
-    at 513 objects 512^2 that removes ~2.5 ms of the 5.8 ms step.
-    """
-    if cfg.spp != 1:
-        raise NotImplementedError("fused_vec step: spp>1 not supported")
-    if cfg.soft_tau > 0.0:
-        raise NotImplementedError("fused_vec step: hard semantics only")
-    out_h = cfg.height if out_h is None else out_h
-    n_sph = scene_like.spheres.count
-    n_rct = scene_like.rects.count
-    n_lights = scene_like.lights.count
-    key = ((n_sph, n_rct, n_lights), cfg, tiles, interpret, out_h)
-    hit_entry = _LG_CACHE.get(key)
-    if hit_entry is not None:
-        return hit_entry
-
-    gtreedef, gmeta, Sg = scene_layout(globals_tree(scene_like))
-    H, W = out_h, cfg.width
-    bhb = min(tiles.bh_bwd, _round_up(H, 8))
-    bwb = min(tiles.bw_bwd, _round_up(W, 128))
-    Hp = _round_up(H, bhb)
-    Wp = _round_up(W, bwb)
-    f32 = jnp.float32
-    ns_pad = _round_up(max(n_sph, 1), CHUNK)
-    nr_pad = _round_up(max(n_rct, 1), CHUNK)
-
-    def kernel(meta_ref, glob_ref, sph_ref, rct_ref, tr_ref, tg_ref, tb_ref,
-               loss_ref, dglob_ref, dsph_ref, drct_ref):
-        i, j = pl.program_id(0), pl.program_id(1)
-        row0 = meta_ref[0, 0] + (i * bhb).astype(f32)
-        col0 = meta_ref[0, 1] + (j * bwb).astype(f32)
-        w = meta_ref[0, 2]
-        ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (bhb, bwb), 0).astype(f32)
-        jj = col0 + jax.lax.broadcasted_iota(jnp.int32, (bhb, bwb), 1).astype(f32)
-        shape = (bhb, bwb)
-        gvals = tuple(glob_ref[0, idx] for idx in range(Sg))
-        sph_read = lambda k, c: sph_ref[k, c]
-        rct_read = lambda k, c: rct_ref[k, c]
-
-        def rays_fn(gvals):
-            gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
-            o, d = camera_rays(gview["camera"], ii, jj, cfg.height, cfg.width,
-                               cfg.projection)
-            return vm.vbroadcast(o, shape), vm.vbroadcast(d, shape)
-
-        (o, d), rays_vjp = jax.vjp(rays_fn, gvals)
-
-        # Two-phase replay (values only) — same numbering as the backward:
-        # rects at ns_pad so sphere PAD rows can't collide with real rects.
-        t_sel, kbest = _nearest_loop(
-            sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset=ns_pad,
-            unroll=tiles.unroll,
+    def apply_step(gflat, sph, rct, meta_row, tr, tg, tb):
+        sq, dglob, dsph, drct = step_call(
+            meta_row, gflat.reshape(1, Sg),
+            _pad(sph, ns_pad, _SPH_PAD_ROW),
+            _pad(rct, nr_pad, _RCT_PAD_ROW),
+            tr, tg, tb,
         )
-        t_sel = jax.lax.stop_gradient(t_sel)
-        kbest = jax.lax.stop_gradient(kbest)
-        hit = t_sel < BIG * 0.5
-        at_replay = _resolve_attrs(
-            sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest, ns_pad
-        )
-        planes_replay = tuple(
-            jax.lax.stop_gradient(at_replay[name]) for name in ATTR_NAMES
-        )
-        occluded_fn = _occluded_loop(sph_read, n_sph, rct_read, n_rct,
-                                     unroll=tiles.unroll)
+        return sq[0, 0], dglob.reshape(Sg), dsph, drct
 
-        # Shade stage WITH primal capture: shadow visibility is computed
-        # inline (bool -> zero gradient, exactly the hard semantics).
-        def shade_fn(gvals, o, d, t, planes):
-            gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
-            at = dict(zip(ATTR_NAMES, planes))
-            return shade_from_attrs(
-                _globals_ns(gview), o, d, cfg, shape, t, hit, at,
-                occluded_fn=occluded_fn,
-            )
-
-        (r, g, b), shade_vjp = jax.vjp(
-            shade_fn, gvals, o, d, t_sel, planes_replay
-        )
-        ri = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + i * bhb
-        ci = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + j * bwb
-        pmask = ((ri < H) & (ci < W)).astype(f32)
-        dr = (r - tr_ref[:, :]) * pmask
-        dg = (g - tg_ref[:, :]) * pmask
-        db = (b - tb_ref[:, :]) * pmask
-        sq = jnp.sum(dr * dr) + jnp.sum(dg * dg) + jnp.sum(db * db)
-        two_w = 2.0 * w
-        dcol = (two_w * dr, two_w * dg, two_w * db)
-        dg_shade, d_o, d_d, d_t, d_planes = shade_vjp(dcol)
-
-        first = (i == 0) & (j == 0)
-
-        @pl.when(first)
-        def _():
-            loss_ref[0, 0] = sq
-            for idx in range(Sg):
-                dglob_ref[0, idx] = 0.0
-
-            def z_sph(k, _):
-                for c in range(P_SPH):
-                    dsph_ref[k, c] = 0.0
-                return 0
-
-            def z_rct(k, _):
-                for c in range(P_RCT):
-                    drct_ref[k, c] = 0.0
-                return 0
-
-            jax.lax.fori_loop(0, ns_pad, z_sph, 0)
-            jax.lax.fori_loop(0, nr_pad, z_rct, 0)
-
-        @pl.when(jnp.logical_not(first))
-        def _():
-            loss_ref[0, 0] = loss_ref[0, 0] + sq
-
-        # Chunk-skipped masked per-object vjps (same shape as the backward).
-        def obj_backward(eval_fn, read, P, k_offset, dref, n_obj):
-            def per_object(k, acc2):
-                d_o_acc, d_d_acc = acc2
-                mask = (kbest == (k + k_offset)).astype(f32)
-                pv = tuple(read(k, c) for c in range(P))
-
-                def f(pv, o, d):
-                    t, n_unit, col, coeffs = eval_fn(pv, o, d)
-                    return tuple(
-                        jnp.broadcast_to(x, shape)
-                        for x in (t,) + tuple(n_unit) + tuple(col) + tuple(coeffs)
-                    )
-
-                _, obj_vjp = jax.vjp(f, pv, o, d)
-                cots = (d_t * mask,) + tuple(p * mask for p in d_planes)
-                dpv, d_o_k, d_d_k = obj_vjp(cots)
-                for c in range(P):
-                    dref[k, c] = dref[k, c] + dpv[c]
-                return (vm.vadd(d_o_acc, d_o_k), vm.vadd(d_d_acc, d_d_k))
-
-            def chunk_body(ci_, acc):
-                k0 = ci_ * CHUNK
-                lo = k0 + k_offset
-                in_chunk = ((kbest >= lo) & (kbest < lo + CHUNK)).astype(f32)
-                any_live = jnp.max(in_chunk) > 0.0
-                return jax.lax.cond(
-                    any_live,
-                    lambda a: jax.lax.fori_loop(k0, k0 + CHUNK, per_object, a),
-                    lambda a: a,
-                    acc,
-                )
-
-            n_chunks = (n_obj + CHUNK - 1) // CHUNK
-            return chunk_body, n_chunks
-
-        zero3 = (jnp.zeros(shape, f32),) * 3
-        acc = (zero3, zero3)
-        if n_sph:
-            chunk_body, n_chunks = obj_backward(
-                _sphere_eval, sph_read, P_SPH, 0, dsph_ref, n_sph
-            )
-            acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
-        if n_rct:
-            chunk_body, n_chunks = obj_backward(
-                _rect_eval, rct_read, P_RCT, ns_pad, drct_ref, n_rct
-            )
-            acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
-        d_o_obj, d_d_obj = acc
-
-        (dg_rays,) = rays_vjp((vm.vadd(d_o, d_o_obj), vm.vadd(d_d, d_d_obj)))
-        for idx in range(Sg):
-            dglob_ref[0, idx] = dglob_ref[0, idx] + dg_shade[idx] + dg_rays[idx]
-
-    call = pl.pallas_call(
-        kernel,
-        grid=(Hp // bhb, Wp // bwb),
-        in_specs=[
-            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        ]
-        + [
-            pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-        ] * 3,
-        out_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, 1), f32),
-            jax.ShapeDtypeStruct((1, Sg), f32),
-            jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
-            jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
-        ],
-        interpret=interpret,
-    )
-
-    _LG_CACHE[key] = call
-    return call
+    entry = (apply, apply_step, (Hp, Wp))
+    _CACHE[key] = entry
+    return entry
 
 
 def loss_grad_pallas_vec(
@@ -917,17 +784,15 @@ def loss_grad_pallas_vec(
     grads) of ``loss(render_pallas_vec(scene), target)`` in ONE kernel
     launch. Same contract as fused.loss_grad_pallas (``norm`` overrides the
     loss normalization for shard bands); grads return as a Scene-structured
-    pytree via the transpose of the host-side packing."""
+    pytree via the transpose of the host-side packing. The kernel is the
+    render backward's own body in step mode (`_make_fused_vec`'s
+    make_bwd_kernel(True)) — one implementation to maintain."""
     tiles = tiles or VecTileConfig()
     H = out_height or cfg.height
-    call = _make_loss_grad_vec(scene, cfg, tiles, interpret, out_h=out_height)
-
+    _, apply_step, (Hp, Wp) = _make_fused_vec(
+        scene, cfg, tiles, interpret, out_h=out_height
+    )
     n_sph, n_rct = scene.spheres.count, scene.rects.count
-    ns_pad = _round_up(max(n_sph, 1), CHUNK)
-    nr_pad = _round_up(max(n_rct, 1), CHUNK)
-    bhb = min(tiles.bh_bwd, _round_up(H, 8))
-    bwb = min(tiles.bw_bwd, _round_up(cfg.width, 128))
-    Hp, Wp = _round_up(H, bhb), _round_up(cfg.width, bwb)
 
     if norm is None:
         norm = 1.0 / (cfg.height * cfg.width * 3) if loss == "mse" else 1.0
@@ -952,16 +817,9 @@ def loss_grad_pallas_vec(
         )
 
     (gflat, sph, rct), pack_vjp = jax.vjp(pack_all, scene)
-    sq, dglob, dsph, drct = call(
-        meta_row, gflat.reshape(1, -1),
-        pad_rows(sph, ns_pad, _SPH_PAD_ROW),
-        pad_rows(rct, nr_pad, _RCT_PAD_ROW),
-        tr, tg, tb,
-    )
-    (grads,) = pack_vjp(
-        (dglob.reshape(-1), dsph[:n_sph], drct[:n_rct])
-    )
-    return norm * sq[0, 0], grads
+    sq, dglob, dsph, drct = apply_step(gflat, sph, rct, meta_row, tr, tg, tb)
+    (grads,) = pack_vjp((dglob, dsph[:n_sph], drct[:n_rct]))
+    return norm * sq, grads
 
 
 def render_pallas_vec(
@@ -978,7 +836,7 @@ def render_pallas_vec(
     pytree). Same band-offset contract as fused.render_pallas for
     shard_map row-band sharding."""
     tiles = tiles or VecTileConfig()
-    apply = _make_fused_vec(scene, cfg, tiles, interpret, out_h=out_height)
+    apply, _, _ = _make_fused_vec(scene, cfg, tiles, interpret, out_h=out_height)
     gflat = flatten_scene(globals_tree(scene))
     offsets = jnp.stack(
         [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]

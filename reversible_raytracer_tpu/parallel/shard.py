@@ -169,10 +169,15 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh, impl: str = "jnp
     band = cfg.height // n
     render_band = _band_render_fn(cfg, band, impl)
 
+    # check_vma only needs disabling for pallas band renderers (their
+    # out_shapes lack vma annotations). jnp impls keep full vma tracking,
+    # so differentiating through the jnp render_sharded still gets the
+    # auto-inserted replicated-input transpose psum (or a loud error) —
+    # with check_vma=False that grad would be silently band-local.
     @partial(
         jax.shard_map,
         mesh=mesh,
-        check_vma=False,  # pallas band renderers lack vma annotations
+        check_vma=not impl.startswith("pallas"),
         in_specs=(P(),),
         out_specs=P(RAYS_AXIS),
     )

@@ -19,7 +19,6 @@ Fidelity triangulation (SURVEY.md §4.2):
 import jax
 import jax.numpy as jnp
 import numpy as np
-from test_fused_vec import _edge_mask  # noqa: F401  (methodology import)
 
 from reversible_raytracer_tpu.models import configs
 from reversible_raytracer_tpu.ops.kernels.fused import loss_grad_pallas
