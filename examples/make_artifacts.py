@@ -72,6 +72,18 @@ def main():
                  *anneal,
                  "--metrics", os.path.join(out, "metrics.jsonl"),
                  "-o", os.path.join(out, "final.png")])
+        elif num == 4:
+            # Camera pose + colors against checkered materials: the hard
+            # checker gives camera pose zero texture gradient (plain Adam
+            # DIVERGES — docs/OPTIMIZATION_NOTES.md), so config 4 anneals
+            # the soft checker alongside soft visibility
+            # (--checker-ratio; RenderConfig.checker_tau).
+            n_it = args.iters or (150 if on_tpu else 100)
+            cli(["invert", "--config", "4", *size_args,
+                 "--iters", str(n_it), "--lr", "5e-3",
+                 "--anneal", "0.08,0.03,0.01,0", "--checker-ratio", "12.5",
+                 "--metrics", os.path.join(out, "metrics.jsonl"),
+                 "-o", os.path.join(out, "final.png")])
         else:
             # lr 5e-3: the sweep-validated ceiling at native 512^2 sizes
             # (bench.py convergence recipe) — the CLI default 1e-2 diverges

@@ -155,7 +155,7 @@ def cmd_invert(args):
         t0 = time.perf_counter()
         final, losses = optimize_annealed(
             start, target, spec, cfg, ocfg, taus=taus, target_scene=truth,
-            soft_size=args.anneal_size,
+            soft_size=args.anneal_size, checker_ratio=args.checker_ratio,
         )
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
@@ -168,7 +168,7 @@ def cmd_invert(args):
         mesh = make_ray_mesh()
         sh_impl = impl if impl in ("pallas", "pallas_vec", "jnp_vec") else "jnp"
         if sh_impl == "pallas" and jax.default_backend() == "tpu" \
-                and cfg.soft_tau == 0.0:
+                and cfg.soft_tau == 0.0 and cfg.checker_tau == 0.0:
             sh_impl = "pallas_step"  # fused per-band loss+grad kernel
         t0 = time.perf_counter()
         final, losses = optimize_sharded_scan(
@@ -182,7 +182,7 @@ def cmd_invert(args):
     else:
         vag = None
         if impl == "pallas" and jax.default_backend() == "tpu" \
-                and cfg.soft_tau == 0.0:
+                and cfg.soft_tau == 0.0 and cfg.checker_tau == 0.0:
             # Fused single-kernel training step (loss + grads in one
             # launch) — the per-step fast path on TPU.
             from .ops.render import loss_and_grad_fn
@@ -276,6 +276,11 @@ def main(argv=None):
                          "e.g. '0.08,0.03,0' — runs --iters Adam steps per "
                          "stage on the jnp_vec renderer. Requires the "
                          "ground-truth scene (i.e. no --target image).")
+    pi.add_argument("--checker-ratio", type=float, default=0.0,
+                    help="soft-checker temperature per anneal tau unit "
+                         "(checker_tau = ratio * tau per stage; 12.5 works "
+                         "for camera-pose inversion against checkers, "
+                         "config 4). 0 = hard checker (default)")
     pi.add_argument("--anneal-size", type=int, default=None,
                     help="resolution for the soft anneal stages (coarse-to-"
                          "fine; the final hard stage runs at full size)")

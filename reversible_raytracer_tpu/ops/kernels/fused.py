@@ -153,11 +153,12 @@ def _make_fused(
     offset) while keeping camera math relative to the full cfg.height x
     cfg.width image — the row-band primitive for shard_map (SURVEY.md P1).
     """
-    if cfg.soft_tau > 0.0:
+    if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
         raise NotImplementedError(
             "the fused kernels implement the hard reference semantics; "
-            "soft_tau rendering lives in pipeline_vec.render_jnp_vec "
-            "(render impl='auto' routes there)"
+            "soft_tau/checker_tau rendering lives in pipeline_vec."
+            "render_jnp_vec and kernels.fused_vec_soft (render impl='auto' "
+            "routes there)"
         )
     out_h = cfg.height if out_h is None else out_h
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
@@ -334,10 +335,10 @@ def _make_loss_grad(
     (ops/pipeline.py), exactly like the separate backward kernel.
     """
     out_h = cfg.height if out_h is None else out_h
-    if cfg.soft_tau > 0.0:
+    if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
         raise NotImplementedError(
             "fused step kernel implements the hard reference semantics; "
-            "soft_tau training steps run through fused_vec_soft"
+            "soft_tau/checker_tau training steps run through fused_vec_soft"
         )
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
     hit = _LG_CACHE.get(key)

@@ -63,6 +63,7 @@ from ..pipeline import (
     intersect_rect,
     intersect_sphere,
     shade_from_attrs,
+    soft_checker_q,
 )
 from .fused import _round_up, _scalar_view, flatten_scene, scene_layout
 
@@ -166,13 +167,19 @@ def _globals_ns(gview):
 # ---------------------------------------------------------------------------
 
 
-def _sphere_eval(pv, o, d, t_known=None):
+def _sphere_eval(pv, o, d, t_known=None, checker_tau=None):
     """(t, attr planes) of sphere with packed scalars ``pv`` (len 16).
 
     Mirrors pipeline.trace_nearest's sphere branch exactly (same primitive
     sequence -> same subgradients and bits). ``t_known`` lets the forward
     loop reuse an already-computed t (identical value; the backward never
-    passes it so gradients flow through the intersection)."""
+    passes it so gradients flow through the intersection).
+
+    ``checker_tau``: None keeps the hard checker select (this module's
+    kernels — bit-exactness contract). The soft kernels (fused_vec_soft)
+    pass their runtime SMEM scalar: a traced value, selected per pixel via
+    `where(tau > 0, soft, hard)` so one compile serves every anneal stage
+    INCLUDING the exact-hard tau == 0 limit."""
     center = (pv[0], pv[1], pv[2])
     radius = pv[3]
     t = intersect_sphere(o, d, center, radius) if t_known is None else t_known
@@ -188,11 +195,18 @@ def _sphere_eval(pv, o, d, t_known=None):
         2.0,
     )
     col = _checker(pv, parity)
+    if checker_tau is not None:
+        q = soft_checker_q(
+            (p_local[0] * cscale, p_local[1] * cscale, p_local[2] * cscale),
+            checker_tau,
+        )
+        col = _checker_soft_or_hard(pv, q, col, checker_tau)
     return t, n_unit, col, (pv[12], pv[13], pv[14], pv[15])
 
 
-def _rect_eval(pv, o, d):
-    """(t, attr planes) of rect with packed scalars ``pv`` (len 21)."""
+def _rect_eval(pv, o, d, checker_tau=None):
+    """(t, attr planes) of rect with packed scalars ``pv`` (len 21).
+    ``checker_tau``: see _sphere_eval."""
     origin = (pv[0], pv[1], pv[2])
     eu = (pv[3], pv[4], pv[5])
     ev = (pv[6], pv[7], pv[8])
@@ -203,6 +217,9 @@ def _rect_eval(pv, o, d):
     cscale = pv[16]
     parity = jnp.mod(jnp.floor(a * cscale) + jnp.floor(b * cscale), 2.0)
     col = _checker(pv[5:], parity)  # material scalars start at index 9 = 5+4
+    if checker_tau is not None:
+        q = soft_checker_q((a * cscale, b * cscale), checker_tau)
+        col = _checker_soft_or_hard(pv[5:], q, col, checker_tau)
     return t, n_unit, col, (pv[17], pv[18], pv[19], pv[20])
 
 
@@ -213,6 +230,20 @@ def _checker(pv_from_color, parity):
     c2 = vm.splat((pv_from_color[7], pv_from_color[8], pv_from_color[9]))
     use2 = pv_from_color[10] * parity
     return vm.vwhere(use2 > 0.5, c2, c1)
+
+
+def _checker_soft_or_hard(pv_from_color, q, col_hard, checker_tau):
+    """Soft-checker blend (RenderConfig.checker_tau) with a runtime select
+    back to the hard color when the traced ``checker_tau`` is 0 — keeping
+    the tau == 0 stage bit-exact while sharing one kernel compile. Both
+    branches are finite everywhere (soft_checker_q's 1e-30 guard), so the
+    where is AD-safe (no NaN * 0)."""
+    c1 = vm.splat((pv_from_color[4], pv_from_color[5], pv_from_color[6]))
+    c2 = vm.splat((pv_from_color[7], pv_from_color[8], pv_from_color[9]))
+    use2 = pv_from_color[10] * (0.5 - 0.5 * q)
+    soft = tuple(a + use2 * (b - a) for a, b in zip(c1, c2))
+    is_soft = checker_tau > 0.0
+    return tuple(jnp.where(is_soft, s, h) for s, h in zip(soft, col_hard))
 
 
 def _unrolled_fori(n, step, carry, unroll):
@@ -383,11 +414,11 @@ def _make_fused_vec(
 ):
     if cfg.spp != 1:
         raise NotImplementedError("fused_vec: spp>1 not supported (parity with render_jnp_vec)")
-    if cfg.soft_tau > 0.0:
+    if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
         raise NotImplementedError(
-            "fused_vec implements the hard reference semantics; soft_tau "
-            "rendering lives in pipeline_vec.render_jnp_vec (render impl='auto' "
-            "routes there)"
+            "fused_vec implements the hard reference semantics; soft_tau/"
+            "checker_tau rendering lives in pipeline_vec.render_jnp_vec and "
+            "kernels.fused_vec_soft (render impl='auto' routes there)"
         )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count

@@ -171,11 +171,12 @@ def _two_min_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset,
 
 
 def _resolve_soft_layer(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel,
-                        kbest, rct_offset, tau):
+                        kbest, rct_offset, tau, checker_tau):
     """Chunk-skipped resolve of one layer's attribute planes + its soft
     alpha (same pattern as fused_vec._resolve_attrs; sphere alpha is the
     sigmoid coverage, rect alpha is 1 — a rect can only win with a real
-    hit). Returns (attrs dict, alpha plane)."""
+    hit). Returns (attrs dict, alpha plane). ``checker_tau`` is the runtime
+    soft-checker temperature (see fused_vec._sphere_eval)."""
     f32 = jnp.float32
     zero = jnp.zeros(shape, f32)
     planes = tuple([zero] * 9 + [jnp.ones(shape, f32)] + [zero])  # + alpha
@@ -185,10 +186,12 @@ def _resolve_soft_layer(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel,
             mask = kbest == (k + k_offset)
             pv = tuple(read(k, c) for c in range(P))
             if is_sphere:
-                _, n_unit, col, coeffs = _sphere_eval(pv, o, d, t_known=t_sel)
+                _, n_unit, col, coeffs = _sphere_eval(
+                    pv, o, d, t_known=t_sel, checker_tau=checker_tau
+                )
                 _, alpha = _sphere_soft_geom(pv[:4], o, d, tau)
             else:
-                _, n_unit, col, coeffs = _rect_eval(pv, o, d)
+                _, n_unit, col, coeffs = _rect_eval(pv, o, d, checker_tau=checker_tau)
                 alpha = jnp.ones(shape, f32)
             new = list(n_unit) + list(col) + list(coeffs) + [alpha]
             return tuple(jnp.where(mask, nv, ov) for nv, ov in zip(new, planes))
@@ -268,7 +271,10 @@ def _make_fused_vec_soft(
     # tau enters the kernels as a runtime SMEM scalar, NOT a compile-time
     # constant: the annealed inversion sweeps tau per stage and must reuse
     # ONE compiled kernel pair (the soft fwd compile is minutes-long).
-    key = ((n_sph, n_rct, n_lights), dataclasses.replace(cfg, soft_tau=1.0),
+    # Both taus are runtime SMEM scalars — neutralize them in the cache key
+    # so every anneal stage (soft AND checker temperature) shares ONE compile.
+    key = ((n_sph, n_rct, n_lights),
+           dataclasses.replace(cfg, soft_tau=1.0, checker_tau=1.0),
            tiles, interpret, out_h)
     hit_entry = _CACHE.get(key)
     if hit_entry is not None:
@@ -298,7 +304,8 @@ def _make_fused_vec_soft(
         o, d = camera_rays(gview["camera"], ii, jj, cfg.height, cfg.width, cfg.projection)
         return vm.vbroadcast(o, shape), vm.vbroadcast(d, shape), gview
 
-    def soft_image(gvals, sph_read, rct_read, o, d, gview, shape, unroll, tau):
+    def soft_image(gvals, sph_read, rct_read, o, d, gview, shape, unroll, tau,
+                   ctau):
         """The full soft pipeline for one tile — shared by the forward
         kernel and (re-traced under jax.vjp stage-wise) the backward."""
         t1, k1, t2, k2 = _two_min_loop(
@@ -310,7 +317,7 @@ def _make_fused_vec_soft(
             live = t_sel < BIG * 0.5
             at, alpha = _resolve_soft_layer(
                 sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kb,
-                ns_pad, tau,
+                ns_pad, tau, ctau,
             )
             a = jnp.where(live, alpha, 0.0)
             col = shade_from_attrs(
@@ -332,12 +339,14 @@ def _make_fused_vec_soft(
         i, j = pl.program_id(0), pl.program_id(1)
         ii, jj = tile_coords(off_ref, i, j, bh, bw)
         tau = tau_ref[0, 0]
+        ctau = tau_ref[0, 1]
         gvals = tuple(glob_ref[0, idx] for idx in range(Sg))
         o, d, gview = rays_for(gvals, ii, jj, (bh, bw))
         sph_read = lambda k, c: sph_ref[k, c]
         rct_read = lambda k, c: rct_ref[k, c]
         r, g, b = soft_image(
-            gvals, sph_read, rct_read, o, d, gview, (bh, bw), tiles.unroll, tau
+            gvals, sph_read, rct_read, o, d, gview, (bh, bw), tiles.unroll, tau,
+            ctau,
         )
         r_ref[:, :] = r
         g_ref[:, :] = g
@@ -348,7 +357,7 @@ def _make_fused_vec_soft(
         grid=(Hp // bh, Wp // bw),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -397,6 +406,7 @@ def _make_fused_vec_soft(
             dglob_ref, dsph_ref, drct_ref, q_scr, pre_scr = rest
         i, j = pl.program_id(0), pl.program_id(1)
         tau = tau_ref[0, 0]
+        ctau = tau_ref[0, 1]
         ii, jj = tile_coords(off_ref, i, j, bhb, bwb)
         shape = (bhb, bwb)
         gvals = tuple(glob_ref[0, idx] for idx in range(Sg))
@@ -427,7 +437,7 @@ def _make_fused_vec_soft(
         for t_sel, kb in ((t1, k1), (t2, k2)):
             at_l, alpha_l = _resolve_soft_layer(
                 sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kb,
-                ns_pad, tau,
+                ns_pad, tau, ctau,
             )
             planes = tuple(
                 jax.lax.stop_gradient(at_l[name]) for name in ATTR_NAMES
@@ -687,7 +697,7 @@ def _make_fused_vec_soft(
                     def f(pv, o, d):
                         t_rank, alpha = _sphere_soft_geom(pv[:4], o, d, tau)
                         _, n_unit, col, coeffs = _sphere_eval(
-                            pv, o, d, t_known=t_rank
+                            pv, o, d, t_known=t_rank, checker_tau=ctau
                         )
                         outs = (t_rank,) + tuple(n_unit) + tuple(col) + tuple(
                             coeffs
@@ -722,7 +732,7 @@ def _make_fused_vec_soft(
                     pv = tuple(rct_read(k, c) for c in range(P_RCT))
 
                     def f(pv, o, d):
-                        t, n_unit, col, coeffs = _rect_eval(pv, o, d)
+                        t, n_unit, col, coeffs = _rect_eval(pv, o, d, checker_tau=ctau)
                         outs = (t,) + tuple(n_unit) + tuple(col) + tuple(coeffs)
                         return tuple(jnp.broadcast_to(x, shape) for x in outs)
 
@@ -775,7 +785,7 @@ def _make_fused_vec_soft(
         grid=(Hp // bhb, Wp // bwb),
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -807,7 +817,7 @@ def _make_fused_vec_soft(
         grid=(Hp // bhb, Wp // bwb),
         in_specs=[
             pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -904,7 +914,10 @@ def render_pallas_vec_soft(
     offsets = jnp.stack(
         [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]
     ).reshape(1, 2)
-    tau_arr = jnp.asarray(cfg.soft_tau, jnp.float32).reshape(1, 1)
+    tau_arr = jnp.stack(
+        [jnp.asarray(cfg.soft_tau, jnp.float32),
+         jnp.asarray(cfg.checker_tau, jnp.float32)]
+    ).reshape(1, 2)
     return apply(gflat, pack_spheres(scene), pack_rects(scene), offsets, tau_arr)
 
 
@@ -944,7 +957,10 @@ def loss_grad_pallas_vec_soft(
             jnp.asarray(norm, jnp.float32),
         ]
     ).reshape(1, 3)
-    tau_arr = jnp.asarray(cfg.soft_tau, jnp.float32).reshape(1, 1)
+    tau_arr = jnp.stack(
+        [jnp.asarray(cfg.soft_tau, jnp.float32),
+         jnp.asarray(cfg.checker_tau, jnp.float32)]
+    ).reshape(1, 2)
 
     def pack_all(scene):
         return (

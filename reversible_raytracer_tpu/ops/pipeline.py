@@ -74,6 +74,19 @@ class RenderConfig:
     # (optim.optimize_annealed); the tau -> 0 limit is the hard image.
     # jnp_vec-path only.
     soft_tau: float = 0.0
+    # Soft-checker relaxation (texture-aware CAMERA/position gradients).
+    # The reference-faithful checker is a floor/mod step: zero gradient to
+    # hit positions, so camera pose optimized against a checkered scene
+    # (driver config 4) receives only aliasing noise and diverges (measured:
+    # camera-only inversion loss 0.012 -> 0.060 over 150 Adam steps).
+    # checker_tau > 0 replaces the parity step with a smooth triangle-wave
+    # product q = prod_i tri(u_i*s) / (|tri| + tau) — transcendental-free
+    # (Mosaic-safe: mod/abs/div only), gradient support EVERYWHERE (not just
+    # a boundary ring), exact hard parity as tau -> 0. Units: checker cells
+    # (tau ~ 1 = near-linear low-contrast wave; 0.1 = sharp). Anneal with
+    # soft_tau (optim.optimize_annealed checker_ratio). Soft-family only
+    # (jnp_vec / pallas_vec_soft); the hard kernels refuse it.
+    checker_tau: float = 0.0
 
     @property
     def shape(self):
@@ -199,6 +212,35 @@ def _checker_select(mat, k, parity) -> Vec3:
     c2 = vm.splat(mat.color2[k])
     use2 = mat.checker[k] * parity  # 0 or 1 per pixel
     return vm.vwhere(use2 > 0.5, c2, c1)
+
+
+def soft_checker_q(parts, tau):
+    """Smooth parity sign q in [-1, 1]: +1 deep in even cells, -1 in odd,
+    crossing 0 at cell boundaries (RenderConfig.checker_tau semantics).
+
+    Per axis: tri(x) = 1 - 2*|mod(x - 0.5, 2) - 1| is the piecewise-linear
+    wave equal to (-1)^floor(x) at cell centers and 0 at integers; the
+    rational squash tri / (|tri| + tau) -> sign(tri) as tau -> 0 (the hard
+    parity, since (-1)^{sum floor} = prod (-1)^{floor}), with gradient
+    tau / (|tri| + tau)^2 — non-zero over the WHOLE cell, which is what
+    lets a misaligned camera feel the texture from up to half a cell away.
+    Transcendental-free (mod/abs/div): lowers on the Mosaic VPU, where
+    `powf`/float-iota do not (see ops/kernels/fused.py docstring).
+
+    ``tau`` may be a traced scalar (runtime SMEM value in the soft kernels);
+    the 1e-6 guard keeps q AND its vjp finite at tri == 0 even when
+    tau == 0, so a `where(tau > 0, soft, hard)` select around it is AD-safe.
+    (The guard must stay well above f32 underflow: the div vjp squares the
+    denominator, and a 1e-30 guard makes denom^2 flush to 0 -> 0/0 NaN,
+    which then poisons masked-out camera cotangents via 0 * NaN.)
+    """
+    q = 1.0
+    for p in parts:
+        # 2|mod(x-0.5, 2) - 1| - 1: +1 at even-cell centers (x = 0.5), -1 at
+        # odd (x = 1.5), 0 at integer cell boundaries.
+        tri = 2.0 * jnp.abs(jnp.mod(p - 0.5, 2.0) - 1.0) - 1.0
+        q = q * (tri / (jnp.abs(tri) + tau + 1e-6))
+    return q
 
 
 def rect_color(mat, k, a, b) -> Vec3:

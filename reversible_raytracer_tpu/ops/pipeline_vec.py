@@ -31,6 +31,7 @@ from .pipeline import (
     RenderConfig,
     camera_rays,
     shade_from_attrs,
+    soft_checker_q,
 )
 
 
@@ -123,7 +124,8 @@ def render_jnp_vec(scene: Scene, cfg: RenderConfig, row0=0, height: int | None =
     t = jnp.take_along_axis(t_all, k_best[None], axis=0)[0]
     hit = t < BIG * 0.5
 
-    at = _gather_layer(scene, k_best, t, (ox, oy, oz), (dx, dy, dz), ra, rb)
+    at = _gather_layer(scene, k_best, t, (ox, oy, oz), (dx, dy, dz), ra, rb,
+                       checker_tau=cfg.checker_tau)
 
     def occluded_fn(so, ld, dist):
         return _occluded_any(scene, so[0], so[1], so[2], ld[0], ld[1], ld[2], dist)
@@ -135,10 +137,16 @@ def render_jnp_vec(scene: Scene, cfg: RenderConfig, row0=0, height: int | None =
     return jnp.stack(col, axis=-1)
 
 
-def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb):
+def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb, checker_tau: float = 0.0):
     """Per-pixel attribute planes of the objects selected by ``k_best``
     (spheres first, then rects — pipeline_vec's concatenated object axis).
-    Returns the `at` dict consumed by pipeline.shade_from_attrs."""
+    Returns the `at` dict consumed by pipeline.shade_from_attrs.
+
+    ``checker_tau`` (static float): 0.0 keeps the reference-faithful hard
+    checker select (bit-exact with the unrolled pipeline); > 0 blends
+    color/color2 by the smooth parity `pipeline.soft_checker_q`, giving hit
+    positions — and through them the camera pose — texture gradients
+    (RenderConfig.checker_tau; the config-4 capability)."""
     ox, oy, oz = o
     dx, dy, dz = d
     H, W = t.shape
@@ -181,9 +189,14 @@ def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb):
         lx, ly, lz = px - jnp.take(scx, k_best), py - jnp.take(scy, k_best), pz - jnp.take(scz, k_best)
         inv_r = 1.0 / jnp.take(sr, k_best)
         sph_n = (lx * inv_r, ly * inv_r, lz * inv_r)
-        sph_parity = jnp.mod(
-            jnp.floor(lx * cscale) + jnp.floor(ly * cscale) + jnp.floor(lz * cscale), 2.0
-        )
+        if checker_tau > 0.0:
+            sph_parity = 0.5 - 0.5 * soft_checker_q(
+                (lx * cscale, ly * cscale, lz * cscale), checker_tau
+            )
+        else:
+            sph_parity = jnp.mod(
+                jnp.floor(lx * cscale) + jnp.floor(ly * cscale) + jnp.floor(lz * cscale), 2.0
+            )
     else:
         sph_n = (jnp.zeros((H, W)),) * 3
         sph_parity = jnp.zeros((H, W))
@@ -207,7 +220,12 @@ def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb):
         zb = jnp.concatenate([jnp.zeros((n_sph, H, W)), rb], axis=0) if rb is not None else None
         ga = jnp.take_along_axis(za, k_best[None], axis=0)[0]
         gb = jnp.take_along_axis(zb, k_best[None], axis=0)[0]
-        rct_parity = jnp.mod(jnp.floor(ga * cscale) + jnp.floor(gb * cscale), 2.0)
+        if checker_tau > 0.0:
+            rct_parity = 0.5 - 0.5 * soft_checker_q(
+                (ga * cscale, gb * cscale), checker_tau
+            )
+        else:
+            rct_parity = jnp.mod(jnp.floor(ga * cscale) + jnp.floor(gb * cscale), 2.0)
     else:
         rct_n = (jnp.zeros((H, W)),) * 3
         rct_parity = jnp.zeros((H, W))
@@ -216,8 +234,14 @@ def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb):
     ny = jnp.where(is_sph, sph_n[1], rct_n[1])
     nz = jnp.where(is_sph, sph_n[2], rct_n[2])
     parity = jnp.where(is_sph, sph_parity, rct_parity)
-    use2 = (checker * parity) > 0.5
-    base = [jnp.where(use2, c2, c1) for c1, c2 in zip(col1, col2)]
+    if checker_tau > 0.0:
+        # Continuous blend: gradients flow to colors AND (via the parity)
+        # to hit positions / camera pose. parity in [0, 1].
+        use2f = checker * parity
+        base = [c1 + use2f * (c2 - c1) for c1, c2 in zip(col1, col2)]
+    else:
+        use2 = (checker * parity) > 0.5
+        base = [jnp.where(use2, c2, c1) for c1, c2 in zip(col1, col2)]
 
     # Shading is shared VERBATIM with the unrolled pipeline and the
     # object-chunked Pallas kernels (fused_vec): only the object stage
@@ -352,7 +376,8 @@ def _render_soft(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = N
         a = jnp.take_along_axis(a_all, k[None], axis=0)[0]
         live = t < BIG * 0.5
         a = jnp.where(live, a, 0.0)
-        at = _gather_layer(scene, k, t, (ox, oy, oz), (dx, dy, dz), ra, rb)
+        at = _gather_layer(scene, k, t, (ox, oy, oz), (dx, dy, dz), ra, rb,
+                           checker_tau=cfg.checker_tau)
         col = shade_from_attrs(
             scene, (ox, oy, oz), (dx, dy, dz), cfg_layer, (H, W), t, live, at,
             occluded_fn=occluded_fn,

@@ -37,11 +37,14 @@ def render_jnp(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = Non
 def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     """Render the full image with the best available implementation."""
     if impl == "auto":
-        if cfg.soft_tau > 0.0:
-            # Soft-visibility rendering: the dedicated soft Pallas kernels
-            # on TPU, the object-vectorized jnp path elsewhere (the HARD
-            # Pallas kernels would silently drop tau — they refuse).
-            impl = "pallas_vec_soft" if jax.default_backend() == "tpu" else "jnp_vec"
+        if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
+            # Soft-visibility / soft-checker rendering: the dedicated soft
+            # Pallas kernels on TPU, the object-vectorized jnp path
+            # elsewhere (the HARD Pallas kernels would silently drop the
+            # taus — they refuse). The soft kernels require soft_tau > 0;
+            # the rare checker-only relaxation runs on the jnp path.
+            on_tpu = jax.default_backend() == "tpu"
+            impl = "pallas_vec_soft" if (on_tpu and cfg.soft_tau > 0.0) else "jnp_vec"
         elif jax.default_backend() == "tpu":
             # Unrolled fused kernels compile O(N) (fastest for small object
             # counts); the object-chunked kernels compile O(1) — pick by N.
@@ -92,6 +95,7 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
     fused_ok = (
         jax.default_backend() == "tpu"
         and cfg.soft_tau == 0.0
+        and cfg.checker_tau == 0.0
         and loss in ("mse", "sum")
         and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
     )

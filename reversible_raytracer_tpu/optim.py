@@ -349,6 +349,7 @@ def optimize_annealed(
     soft_size: "int | None" = None,
     max_chunk: "int | None" = 100,
     hard_ocfg: "OptConfig | None" = "auto",
+    checker_ratio: float = 0.0,
 ):
     """Soft-visibility annealing for joint geometry inversion (the config-5
     capability; docs/OPTIMIZATION_NOTES.md "Open" item, closed in round 2).
@@ -377,6 +378,16 @@ def optimize_annealed(
     times over — 64 spheres at 1024^2 crashed the v5e worker (HBM), while
     soft stages at 512^2 + the hard polish at 1024^2 fit comfortably and
     silhouette signal is resolution-robust.
+
+    ``checker_ratio``: when > 0, each stage also relaxes the CHECKER to a
+    smooth blend with RenderConfig.checker_tau = checker_ratio * tau
+    (config-4 capability: camera pose against checkered materials — the
+    hard floor/mod checker gives positions zero gradient, so camera-only
+    inversion DIVERGES without it; measured loss 0.012 -> 0.060 over 150
+    hard Adam steps vs 0.035 -> 0.0002 eye-RMS with ratio 12.5). The tau=0
+    polish stage is the exact hard reference semantics either way. Units:
+    checker cells per soft_tau unit; 12.5 maps the default taus to cell
+    widths (1.0, 0.375, 0.125).
 
     Returns (final_scene, losses[(len(taus) * iters)]).
     """
@@ -411,7 +422,10 @@ def optimize_annealed(
 
     all_losses = []
     for tau in taus:
-        cfg_t = dataclasses.replace(rcfg, soft_tau=float(tau))
+        cfg_t = dataclasses.replace(
+            rcfg, soft_tau=float(tau),
+            checker_tau=float(checker_ratio) * float(tau),
+        )
         if tau > 0.0 and soft_size is not None:
             cfg_t = dataclasses.replace(cfg_t, height=soft_size, width=soft_size)
         if on_tpu:
@@ -442,7 +456,8 @@ def optimize_annealed(
             render_fn=lambda s, c=cfg_t, r=render_stage: r(s, c),
             vag_fn=vag,
             cache_key=(f"annealed-{impl_name}-step" if vag else
-                       f"annealed-{impl_name}", float(tau), soft_size),
+                       f"annealed-{impl_name}", float(tau),
+                       cfg_t.checker_tau, soft_size),
             max_chunk=max_chunk,
         )
         all_losses.append(losses)
