@@ -51,8 +51,7 @@ def _render_fn(cfg, impl, n_obj=None):
     import jax
 
     if impl == "auto":
-        # The vec family is spp=1 only — supersampling stays unrolled.
-        small = n_obj is None or n_obj <= 24 or cfg.spp != 1
+        small = n_obj is None or n_obj <= 24
         if jax.default_backend() == "tpu":
             # Unrolled kernels compile O(N); chunked kernels O(1) — pick by N
             # (same policy as ops.render.render).

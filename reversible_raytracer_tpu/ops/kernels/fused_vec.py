@@ -413,7 +413,11 @@ def _make_fused_vec(
     out_h: int | None = None,
 ):
     if cfg.spp != 1:
-        raise NotImplementedError("fused_vec: spp>1 not supported (parity with render_jnp_vec)")
+        # The KERNELS are single-sample; spp > 1 is handled by the
+        # render_pallas_vec wrapper (subsample offsets are runtime off_ref
+        # scalars, so 4 launches of THIS compile average to the spp-4
+        # image — see pipeline_vec.spp_average).
+        raise NotImplementedError("fused_vec kernels are spp=1 (wrapper averages)")
     if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
         raise NotImplementedError(
             "fused_vec implements the hard reference semantics; soft_tau/"
@@ -865,11 +869,28 @@ def render_pallas_vec(
     """Render via the object-chunked Pallas kernels. Differentiable w.r.t.
     ``scene`` (grads flow back through the pack_* concatenations into the
     pytree). Same band-offset contract as fused.render_pallas for
-    shard_map row-band sharding."""
+    shard_map row-band sharding.
+
+    spp = 4: four launches of the SAME spp=1 compile at quarter-pixel
+    runtime offsets, averaged (pipeline_vec.spp_average semantics). The
+    offsets ride the off_ref SMEM scalars; quarter-pixel sums of dyadic
+    row/col values are exact in f32, so each subsample is bit-identical
+    to an in-kernel offset and AD composes through the average."""
+    import dataclasses
+
+    from ..pipeline_vec import spp_average
+
     tiles = tiles or VecTileConfig()
-    apply, _, _ = _make_fused_vec(scene, cfg, tiles, interpret, out_h=out_height)
+    cfg1 = dataclasses.replace(cfg, spp=1) if cfg.spp != 1 else cfg
+    apply, _, _ = _make_fused_vec(scene, cfg1, tiles, interpret, out_h=out_height)
     gflat = flatten_scene(globals_tree(scene))
-    offsets = jnp.stack(
-        [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]
-    ).reshape(1, 2)
-    return apply(gflat, pack_spheres(scene), pack_rects(scene), offsets)
+    sph, rct = pack_spheres(scene), pack_rects(scene)
+
+    def once(oi, oj):
+        offsets = jnp.stack(
+            [jnp.asarray(row0, jnp.float32) + oi,
+             jnp.asarray(col0, jnp.float32) + oj]
+        ).reshape(1, 2)
+        return apply(gflat, sph, rct, offsets)
+
+    return spp_average(once, cfg)

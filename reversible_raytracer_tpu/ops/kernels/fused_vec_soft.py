@@ -261,7 +261,7 @@ def _make_fused_vec_soft(
     out_h: int | None = None,
 ):
     if cfg.spp != 1:
-        raise NotImplementedError("fused_vec_soft: spp>1 not supported")
+        raise NotImplementedError("fused_vec_soft kernels are spp=1 (wrapper averages)")
     if not cfg.soft_tau > 0.0:
         raise ValueError("fused_vec_soft requires soft_tau > 0 (hard path: fused_vec)")
     out_h = cfg.height if out_h is None else out_h
@@ -907,18 +907,29 @@ def render_pallas_vec_soft(
 ):
     """Render the soft-visibility image (RenderConfig.soft_tau > 0) via the
     object-chunked soft Pallas kernel. Semantics: pipeline_vec._render_soft
-    (allclose-grade parity; see module docstring)."""
+    (allclose-grade parity; see module docstring). spp = 4 averages four
+    launches of the same spp=1 compile at quarter-pixel runtime offsets
+    (see fused_vec.render_pallas_vec)."""
+    from ..pipeline_vec import spp_average
+
     tiles = tiles or VecTileConfig()
-    apply, _, _ = _make_fused_vec_soft(scene, cfg, tiles, interpret, out_h=out_height)
+    cfg1 = dataclasses.replace(cfg, spp=1) if cfg.spp != 1 else cfg
+    apply, _, _ = _make_fused_vec_soft(scene, cfg1, tiles, interpret, out_h=out_height)
     gflat = flatten_scene(globals_tree(scene))
-    offsets = jnp.stack(
-        [jnp.asarray(row0, jnp.float32), jnp.asarray(col0, jnp.float32)]
-    ).reshape(1, 2)
+    sph, rct = pack_spheres(scene), pack_rects(scene)
     tau_arr = jnp.stack(
         [jnp.asarray(cfg.soft_tau, jnp.float32),
          jnp.asarray(cfg.checker_tau, jnp.float32)]
     ).reshape(1, 2)
-    return apply(gflat, pack_spheres(scene), pack_rects(scene), offsets, tau_arr)
+
+    def once(oi, oj):
+        offsets = jnp.stack(
+            [jnp.asarray(row0, jnp.float32) + oi,
+             jnp.asarray(col0, jnp.float32) + oj]
+        ).reshape(1, 2)
+        return apply(gflat, sph, rct, offsets, tau_arr)
+
+    return spp_average(once, cfg)
 
 
 def loss_grad_pallas_vec_soft(

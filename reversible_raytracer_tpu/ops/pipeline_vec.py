@@ -92,16 +92,46 @@ def _occluded_any(scene: Scene, ox, oy, oz, dx, dy, dz, dist):
     return occ
 
 
+SPP4_OFFSETS = ((-0.25, -0.25), (-0.25, 0.25), (0.25, -0.25), (0.25, 0.25))
+
+
+def spp_average(render_once, cfg: RenderConfig):
+    """spp dispatch shared by the vec renderers: spp subsamples are
+    independent renders at quarter-pixel ray offsets averaged AFTER
+    per-subsample clipping — exactly pipeline.render_tile's spp semantics
+    (same offsets, same clip placement), so the vec paths stay bit-exact
+    vs the unrolled pipeline at spp = 4 too. ``render_once(oi, oj)``
+    renders one subsample."""
+    if cfg.spp == 1:
+        return render_once(0.0, 0.0)
+    if cfg.spp == 4:
+        acc = None
+        for oi, oj in SPP4_OFFSETS:
+            img = render_once(oi, oj)
+            acc = img if acc is None else acc + img
+        return acc * 0.25
+    raise ValueError(f"spp must be 1 or 4, got {cfg.spp}")
+
+
 def render_jnp_vec(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = None):
     """Object-vectorized full render. Returns (H, W, 3) float32."""
-    if cfg.spp != 1:
-        raise NotImplementedError("spp>1: use the primary pipeline")
     if cfg.soft_tau > 0.0:
-        return _render_soft(scene, cfg, row0, height)
+        return spp_average(
+            lambda oi, oj: _render_soft(scene, cfg, row0, height, oi, oj), cfg
+        )
+    return spp_average(
+        lambda oi, oj: _render_hard_once(scene, cfg, row0, height, oi, oj), cfg
+    )
+
+
+def _render_hard_once(scene: Scene, cfg: RenderConfig, row0=0,
+                      height: int | None = None, oi: float = 0.0, oj: float = 0.0):
     H = cfg.height if height is None else height
     W = cfg.width
     ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+    if oi or oj:  # render_tile's operand order: (row0 + iota) + offset
+        ii, jj = ii + oi, jj + oj
     o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width, cfg.projection)
     ox, oy, oz = (jnp.broadcast_to(c, (H, W)) for c in o)
     dx, dy, dz = (jnp.broadcast_to(c, (H, W)) for c in d)
@@ -324,7 +354,8 @@ def _occluded_soft(scene: Scene, ox, oy, oz, dx, dy, dz, dist, tau):
     return 1.0 - jnp.prod(1.0 - alpha_all, axis=0)
 
 
-def _render_soft(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = None):
+def _render_soft(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = None,
+                 oi: float = 0.0, oj: float = 0.0):
     """Two-layer soft compositing: the nearest (by t_rank) surface's shaded
     color is alpha-blended over the next-nearest surface's (which itself
     blends over the background). Sphere alphas are soft (silhouette
@@ -340,6 +371,8 @@ def _render_soft(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = N
     W = cfg.width
     ii = row0 + jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
     jj = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+    if oi or oj:  # spp subsample offset (see spp_average)
+        ii, jj = ii + oi, jj + oj
     o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width, cfg.projection)
     ox, oy, oz = (jnp.broadcast_to(v, (H, W)) for v in o)
     dx, dy, dz = (jnp.broadcast_to(v, (H, W)) for v in d)

@@ -51,12 +51,14 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
             # Crossover measured on v5e at 512^2 fwd+bwd: unrolled 0.172 ms
             # at 6 objects vs vec 0.686; vec 0.916 ms at 25 objects while
             # the unrolled chain reaches ~1 ms around 25-30 — threshold 24.
-            # The vec family is spp=1 only, so supersampling stays unrolled.
+            # (spp = 4 multiplies both families by ~4x — the unrolled path
+            # fuses subsamples in-kernel, the vec wrappers average four
+            # launches — so the crossover is unchanged.)
             n_obj = scene.spheres.count + scene.rects.count
-            impl = "pallas" if (n_obj <= 24 or cfg.spp != 1) else "pallas_vec"
+            impl = "pallas" if n_obj <= 24 else "pallas_vec"
         else:
             n_obj = scene.spheres.count + scene.rects.count
-            impl = "jnp" if (n_obj <= 24 or cfg.spp != 1) else "jnp_vec"
+            impl = "jnp" if n_obj <= 24 else "jnp_vec"
     if impl == "jnp":
         return render_jnp(scene, cfg)
     if impl == "jnp_vec":
