@@ -135,6 +135,32 @@ def main():
     print(f"fused_vec_soft 65-obj @256² tau=0.05: fwd_diff={fwd_diff:.2e} "
           f"grads_finite={finite} [{'OK' if ok else 'FAIL'}] "
           f"({time.time()-t0:.0f}s)", flush=True)
+
+    # Soft CHECKER (RenderConfig.checker_tau, config-4 capability): both
+    # taus are runtime SMEM scalars, so this REUSES the kernel compile from
+    # the previous check (different tau_arr values only — the whole point).
+    # Uses the checkered config-4 scene; camera grads must be live+finite.
+    scene4, spec4, cfg4 = configs.config4_checker_camera(256)
+    cfg_c = dataclasses.replace(cfg4, soft_tau=0.05, checker_tau=0.5)
+    t0 = time.time()
+    img_p = np.asarray(jax.jit(lambda s: render_pallas_vec_soft(s, cfg_c))(scene4))
+    img_v = np.asarray(jax.jit(lambda s: render_jnp_vec(s, cfg_c))(scene4))
+    fwd_diff = np.abs(img_p - img_v).max()
+    target = jnp.asarray(img_v)
+    start4 = configs.perturb(scene4, spec4, scale=0.03, seed=0)
+    gp = jax.jit(
+        jax.grad(lambda s: mse_loss(render_pallas_vec_soft(s, cfg_c), target))
+    )(start4)
+    finite = all(
+        bool(np.isfinite(np.asarray(l)).all())
+        for l in jax.tree_util.tree_leaves(gp) if np.asarray(l).size
+    )
+    cam_live = float(np.abs(np.asarray(gp.camera.eye)).max()) > 1e-9
+    ok = fwd_diff <= 1e-6 and finite and cam_live
+    failures += (not ok)
+    print(f"fused_vec_soft config-4 @256² ctau=0.5: fwd_diff={fwd_diff:.2e} "
+          f"grads_finite={finite} camera_grad_live={cam_live} "
+          f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
     sys.exit(1 if failures else 0)
 
 

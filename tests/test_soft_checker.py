@@ -191,6 +191,19 @@ def test_soft_kernel_checker_grads_match_jnp():
         np.testing.assert_allclose(a, b, atol=2e-5 * scale, err_msg=str(path))
 
 
+def test_sharded_soft_checker_band_rendering():
+    """checker_tau under the row-band shard_map: per-band rendering of the
+    checkered scene equals the single-device soft image exactly."""
+    from reversible_raytracer_tpu.parallel import make_ray_mesh, render_sharded
+
+    scene, _, _ = _scene4(64)
+    cfg = _checker_cfg(64, soft_tau=0.05, checker_tau=0.5)
+    mesh = make_ray_mesh(8)
+    a = np.asarray(render_sharded(scene, cfg, mesh, impl="jnp_vec"))
+    b = np.asarray(render_jnp_vec(scene, cfg))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_config4_camera_inversion_converges():
     """The config-4 capability at CI scale: camera pose + colors against
     checkered materials recover via the checker_ratio anneal (the hard
