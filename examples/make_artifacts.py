@@ -82,6 +82,9 @@ def main():
             cli(["invert", "--config", "4", *size_args,
                  "--iters", str(n_it), "--lr", "5e-3",
                  "--anneal", "0.08,0.03,0.01,0", "--checker-ratio", "12.5",
+                 "--frame-every", str(max(n_it // 10, 1)),
+                 "--frames-dir", frames,
+                 "--gif", os.path.join(out, "convergence.gif"),
                  "--metrics", os.path.join(out, "metrics.jsonl"),
                  "-o", os.path.join(out, "final.png")])
         else:

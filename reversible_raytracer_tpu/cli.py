@@ -151,10 +151,25 @@ def cmd_invert(args):
         except ValueError:
             sys.exit(f"error: --anneal expects comma-separated floats "
                      f"(e.g. '0.08,0.03,0'), got {args.anneal!r}")
+        frame_cb = None
+        max_chunk = 100
+        if args.frame_every and args.frames_dir:
+            # Convergence frames at scan-chunk granularity: chunks shrink
+            # to the frame cadence; frames render the CURRENT scene under
+            # the final hard semantics so stages are visually comparable.
+            from .utils.imageio import save_png
+
+            max_chunk = max(1, min(100, args.frame_every))
+
+            def frame_cb(s, it):
+                save_png(f"{args.frames_dir}/frame_{it:05d}.png",
+                         jax.jit(render)(s))
+
         t0 = time.perf_counter()
         final, losses = optimize_annealed(
             start, target, spec, cfg, ocfg, taus=taus, target_scene=truth,
             soft_size=args.anneal_size, checker_ratio=args.checker_ratio,
+            max_chunk=max_chunk, chunk_callback=frame_cb,
         )
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0

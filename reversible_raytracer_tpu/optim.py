@@ -235,6 +235,7 @@ def optimize_scan(
     cache_key=None,
     max_chunk: "int | None" = None,
     vag_fn=None,
+    chunk_callback=None,
 ):
     """Whole optimization loop on-device via lax.scan: one dispatch total
     (or ``ceil(iters / max_chunk)`` dispatches when ``max_chunk`` is set).
@@ -257,6 +258,11 @@ def optimize_scan(
     300-iteration 1024^2 scan ~75 s of device time dies with "TPU worker
     crashed"; <=100-iteration dispatches are reliable). Optimizer state
     carries across chunks, so results are identical to one big scan.
+
+    ``chunk_callback(scene, it)``: host callback after each chunk with the
+    running iteration count — observability (frame dumps for convergence
+    GIFs) at chunk granularity without leaving the on-device scan fast
+    path inside chunks.
     """
     if render_fn is None:
         render_fn = lambda s: render_jnp(s, rcfg)
@@ -318,9 +324,13 @@ def optimize_scan(
 
     opt_state = tx.init(scene)
     all_losses = []
+    it = 0
     for length in lengths:
         scene, opt_state, losses = runner_for(length)(scene, opt_state, target)
         all_losses.append(losses)
+        it += length
+        if chunk_callback is not None:
+            chunk_callback(scene, it)
     return scene, (all_losses[0] if len(all_losses) == 1 else jnp.concatenate(all_losses))
 
 
@@ -350,6 +360,7 @@ def optimize_annealed(
     max_chunk: "int | None" = 100,
     hard_ocfg: "OptConfig | None" = "auto",
     checker_ratio: float = 0.0,
+    chunk_callback=None,
 ):
     """Soft-visibility annealing for joint geometry inversion (the config-5
     capability; docs/OPTIMIZATION_NOTES.md "Open" item, closed in round 2).
@@ -378,6 +389,9 @@ def optimize_annealed(
     times over — 64 spheres at 1024^2 crashed the v5e worker (HBM), while
     soft stages at 512^2 + the hard polish at 1024^2 fit comfortably and
     silhouette signal is resolution-robust.
+
+    ``chunk_callback(scene, global_it)``: host observability per scan
+    chunk across all stages (frame dumps — see optimize_scan).
 
     ``checker_ratio``: when > 0, each stage also relaxes the CHECKER to a
     smooth blend with RenderConfig.checker_tau = checker_ratio * tau
@@ -451,6 +465,7 @@ def optimize_annealed(
             vag = lambda s, t, c=cfg_t, f=step_fn: f(s, c, t, loss=stage_ocfg.loss)
         else:
             vag = None
+        done = sum(int(l.shape[0]) for l in all_losses)
         scene, losses = optimize_scan(
             scene, tgt, spec, cfg_t, stage_ocfg,
             render_fn=lambda s, c=cfg_t, r=render_stage: r(s, c),
@@ -459,6 +474,10 @@ def optimize_annealed(
                        f"annealed-{impl_name}", float(tau),
                        cfg_t.checker_tau, soft_size),
             max_chunk=max_chunk,
+            chunk_callback=(
+                None if chunk_callback is None
+                else (lambda s, it, base=done: chunk_callback(s, base + it))
+            ),
         )
         all_losses.append(losses)
     return scene, jnp.concatenate(all_losses)
