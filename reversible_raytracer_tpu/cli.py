@@ -173,9 +173,17 @@ def cmd_invert(args):
         )
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
-        logger.log(step=len(losses), loss=float(losses[-1]), wall_s=round(dt, 3),
+        # Per-stage loss trace (the scan returns every iteration's loss;
+        # NOTE each stage minimizes its OWN tau's matched-target objective,
+        # so the trace is comparable within a stage, not across stage
+        # boundaries).
+        la = [float(x) for x in losses]
+        stride = max(len(la) // 20, 1) if args.log_every else len(la)
+        for i in range(0, len(la), stride):
+            logger.log(step=i, loss=la[i])
+        logger.log(step=len(la), loss=la[-1], wall_s=round(dt, 3),
                    taus=list(taus))
-        history = [{"loss": float(losses[-1])}]
+        history = [{"loss": la[-1]}]
     elif args.sharded:
         from .parallel import make_ray_mesh, optimize_sharded_scan
 
