@@ -13,5 +13,15 @@ from reversible_raytracer_tpu.cli import main  # noqa: E402
 if __name__ == "__main__":
     num = sys.argv[1] if len(sys.argv) > 1 else "1"
     extra = sys.argv[2:]
+    # Configs 4/5 need their annealed recipes (hard-gradient inversion
+    # diverges there — docs/OPTIMIZATION_NOTES.md); supply them unless the
+    # caller overrides.
+    recipe = []
+    if num == "4" and "--anneal" not in extra:
+        recipe = ["--anneal", "0.08,0.03,0.01,0", "--checker-ratio", "12.5",
+                  "--lr", "5e-3"]
+    elif num == "5" and "--anneal" not in extra:
+        recipe = ["--anneal", "0.08,0.03,0.01,0", "--lr", "2e-3",
+                  "--perturb", "0.03"]
     main(["invert", "--config", num, "--metrics", f"config{num}_metrics.jsonl",
-          "-o", f"config{num}_final.png", *extra])
+          "-o", f"config{num}_final.png", *recipe, *extra])
