@@ -100,6 +100,22 @@ def _checker(mat_checker, mat_scale, c1, c2, parity):
     return np.where(use2[..., None], c2, c1)
 
 
+def _soft_checker_q(parts, tau):
+    """float64 mirror of pipeline.soft_checker_q (RenderConfig.checker_tau),
+    INCLUDING the 1e-6 denominator guard, so finite differences of this
+    oracle validate the jnp analytic gradient of the same function."""
+    q = 1.0
+    for p in parts:
+        tri = 2.0 * np.abs(np.mod(p - 0.5, 2.0) - 1.0) - 1.0
+        q = q * (tri / (np.abs(tri) + tau + 1e-6))
+    return q
+
+
+def _checker_soft(mat_checker, c1, c2, parts, tau):
+    use2 = mat_checker * (0.5 - 0.5 * _soft_checker_q(parts, tau))
+    return c1 + use2[..., None] * (c2 - c1)
+
+
 def _scene_arrays(scene):
     sp = scene.spheres
     rc = scene.rects
@@ -138,10 +154,13 @@ def _occluded(arr, o, ldir, dist):
     return occ
 
 
-def render(scene, height, width, shadows=True, clip=True, projection="perspective"):
+def render(scene, height, width, shadows=True, clip=True, projection="perspective",
+           checker_tau=0.0):
     """Render the scene exactly like the jnp/Pallas pipeline claims to.
 
-    Returns float64 (H, W, 3).
+    Returns float64 (H, W, 3). ``checker_tau`` > 0 enables the soft-checker
+    relaxation (RenderConfig.checker_tau) in f64 — the FD oracle for the
+    texture->position->camera gradient path.
     """
     arr = _scene_arrays(scene)
     o, d = _camera_rays(scene.camera, height, width, projection)
@@ -177,13 +196,21 @@ def render(scene, height, width, shadows=True, clip=True, projection="perspectiv
             center = arr["sc"][k]
             plocal = p - center
             nrm = plocal / arr["sr"][k]
-            parity = np.mod(
-                np.floor(plocal[..., 0] * m["checker_scale"][k])
-                + np.floor(plocal[..., 1] * m["checker_scale"][k])
-                + np.floor(plocal[..., 2] * m["checker_scale"][k]),
-                2.0,
-            )
-            col = _checker(m["checker"][k], m["checker_scale"][k], m["color"][k], m["color2"][k], parity)
+            s = m["checker_scale"][k]
+            if checker_tau > 0.0:
+                col = _checker_soft(
+                    m["checker"][k], m["color"][k], m["color2"][k],
+                    (plocal[..., 0] * s, plocal[..., 1] * s, plocal[..., 2] * s),
+                    checker_tau,
+                )
+            else:
+                parity = np.mod(
+                    np.floor(plocal[..., 0] * s)
+                    + np.floor(plocal[..., 1] * s)
+                    + np.floor(plocal[..., 2] * s),
+                    2.0,
+                )
+                col = _checker(m["checker"][k], s, m["color"][k], m["color2"][k], parity)
             mk = k
         else:
             m = arr["rmat"]
@@ -193,11 +220,18 @@ def render(scene, height, width, shadows=True, clip=True, projection="perspectiv
             nrm = np.broadcast_to(n_unit, (H, W, 3)).copy()
             facing = np.where(np.einsum("hwc,c->hw", d, n_unit) < 0.0, 1.0, -1.0)
             nrm = nrm * facing[..., None]
-            parity = np.mod(
-                np.floor(ra[mk] * m["checker_scale"][mk]) + np.floor(rb[mk] * m["checker_scale"][mk]),
-                2.0,
-            )
-            col = _checker(m["checker"][mk], m["checker_scale"][mk], m["color"][mk], m["color2"][mk], parity)
+            s = m["checker_scale"][mk]
+            if checker_tau > 0.0:
+                col = _checker_soft(
+                    m["checker"][mk], m["color"][mk], m["color2"][mk],
+                    (ra[mk] * s, rb[mk] * s), checker_tau,
+                )
+            else:
+                parity = np.mod(
+                    np.floor(ra[mk] * s) + np.floor(rb[mk] * s),
+                    2.0,
+                )
+                col = _checker(m["checker"][mk], s, m["color"][mk], m["color2"][mk], parity)
         normal[sel] = nrm[sel]
         base[sel] = col[sel]
         for f in coeff:

@@ -125,6 +125,59 @@ def test_checker_gives_camera_gradients():
     assert g_soft > 1e-4  # descent (-g) moves eye_x back toward 0
 
 
+def test_checker_camera_grad_matches_fd_oracle():
+    """Triangulation (SURVEY §4.2 methodology): the analytic camera-eye
+    gradient through the soft checker matches central finite differences of
+    the INDEPENDENT float64 numpy oracle. The soft checker is smooth, so —
+    unlike the hard pipeline's FD tests — no decision-flip outliers are
+    expected on a borderless flat-lit plane."""
+    from reversible_raytracer_tpu.oracle import reference_np
+
+    plane = ground_plane(
+        -0.5, 20.0,
+        Materials.make((0.9, 0.9, 0.9), color2=(0.1, 0.1, 0.1), checker=1.0,
+                       checker_scale=4.0, ka=1.0, kd=0.0, ks=0.0),
+    )
+    lights = Lights(
+        position=jnp.asarray([[2.0, 5.0, 2.0]], jnp.float32),
+        color=jnp.asarray([[1.0, 1.0, 1.0]], jnp.float32),
+    )
+
+    def make(eye):
+        return Scene.make(
+            rects=plane, lights=lights,
+            camera=Camera.make(tuple(eye), (0.0, -0.5, 0.0), fov_deg=55.0),
+        )
+
+    cfg = RenderConfig(height=32, width=32, shadows=False, checker_tau=0.4)
+    tau = cfg.checker_tau
+    truth_eye = np.array([0.0, 2.0, 3.0])
+    target = render_jnp_vec(make(truth_eye), cfg)
+    target64 = reference_np.render(make(truth_eye), 32, 32, shadows=False,
+                                   checker_tau=tau)
+    eye0 = truth_eye + np.array([0.07, -0.05, 0.04])
+
+    g_jax = np.asarray(jax.grad(
+        lambda e: jnp.mean((render_jnp_vec(make(e), cfg) - target) ** 2)
+    )(jnp.asarray(eye0, jnp.float32)), np.float64)
+
+    h = 1e-5
+    g_fd = np.zeros(3)
+    for i in range(3):
+        for sgn in (+1, -1):
+            e = eye0.copy()
+            e[i] += sgn * h
+            img = reference_np.render(make(e), 32, 32, shadows=False,
+                                      checker_tau=tau)
+            g_fd[i] += sgn * reference_np.mse_loss(img, target64) / (2 * h)
+
+    assert np.linalg.norm(g_fd) > 1e-6
+    cos = float(g_jax @ g_fd / (np.linalg.norm(g_jax) * np.linalg.norm(g_fd)))
+    rel = float(np.linalg.norm(g_jax - g_fd) / np.linalg.norm(g_fd))
+    assert cos > 0.995, (cos, g_jax, g_fd)
+    assert rel < 0.05, (rel, g_jax, g_fd)
+
+
 def test_soft_kernel_checker_fwd_matches_jnp():
     """fused_vec_soft with a runtime checker_tau reproduces the jnp soft
     path on a checkered scene (boundary-masked, interpret mode)."""
