@@ -377,6 +377,43 @@ def main():
         except Exception as e:  # noqa: BLE001 — bench row is best-effort
             _log(f"soft bench row skipped: {type(e).__name__}: {e}")
 
+    # --- config-4 capability row: camera+checker annealed inversion ---
+    # Full joint inversion at the native 512^2 (soft-checker anneal,
+    # docs/OPTIMIZATION_NOTES.md). Best-effort like the soft row: the
+    # 3-object soft kernel pair is a fresh compile when the cache is cold.
+    if on_tpu:
+        try:
+            from reversible_raytracer_tpu.optim import optimize_annealed
+            from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+                render_pallas_vec,
+            )
+
+            scene4, spec4, cfg4c = configs.config4_checker_camera(512)
+            start4 = configs.perturb(scene4, spec4, scale=0.05, seed=0)
+            tgt4 = jax.jit(lambda s: render_pallas_vec(s, cfg4c))(scene4)
+            ocfg4 = OptConfig(iters=150, lr=5e-3, schedule="cosine")
+            t0 = time.perf_counter()
+            final4, losses4 = optimize_annealed(
+                start4, tgt4, spec4, cfg4c, ocfg4,
+                taus=(0.08, 0.03, 0.01, 0.0), target_scene=scene4,
+                checker_ratio=12.5,
+            )
+            jax.block_until_ready(losses4)
+            t4 = time.perf_counter() - t0
+            eye_rms = float(np.sqrt(np.mean(
+                (np.asarray(final4.camera.eye) - np.asarray(scene4.camera.eye)) ** 2
+            )))
+            _log(f"config-4 camera+checker anneal @512^2 (600 steps): "
+                 f"{t4:.1f}s incl. compile  final_loss={float(losses4[-1]):.3e} "
+                 f"eye_rms={eye_rms:.2e}")
+            details["config4_anneal_seconds_incl_compile"] = t4
+            details["config4_anneal_eye_rms"] = eye_rms
+            details["config4_anneal_final_loss"] = float(losses4[-1])
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+        except Exception as e:  # noqa: BLE001 — bench row is best-effort
+            _log(f"config-4 bench row skipped: {type(e).__name__}: {e}")
+
 
 if __name__ == "__main__":
     main()
