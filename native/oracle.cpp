@@ -57,6 +57,7 @@ struct SceneView {
   int n_lights;
   Vec3 ambient, background;
   bool shadows;
+  double checker_tau;  // 0 = hard reference checker; > 0 = soft blend
 };
 
 inline double sphere_t(Vec3 o, Vec3 d, Vec3 c, double r) {
@@ -101,6 +102,22 @@ inline Vec3 checker_color(const Mat& m, double parity) {
   return use2 ? m.color2 : m.color;
 }
 
+// Soft checker (RenderConfig.checker_tau): f64 mirror of
+// pipeline.soft_checker_q, including the 1e-6 denominator guard.
+inline double soft_q1(double x, double tau) {
+  double mm = std::fmod(x - 0.5, 2.0);
+  if (mm < 0) mm += 2.0;
+  double tri = 2.0 * std::abs(mm - 1.0) - 1.0;
+  return tri / (std::abs(tri) + tau + 1e-6);
+}
+
+inline Vec3 checker_color_soft(const Mat& m, double q) {
+  double use2 = m.checker * (0.5 - 0.5 * q);
+  return {m.color.x + use2 * (m.color2.x - m.color.x),
+          m.color.y + use2 * (m.color2.y - m.color.y),
+          m.color.z + use2 * (m.color2.z - m.color.z)};
+}
+
 inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d) {
   // Nearest hit over spheres then rects (first-wins ties, matching the
   // unrolled where-chain / numpy argmin).
@@ -129,21 +146,34 @@ inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d) {
     Vec3 c = load3(s.sc + 3 * best);
     Vec3 pl = p - c;
     normal = pl * (1.0 / s.sr[best]);
-    double parity = std::fmod(std::floor(pl.x * m.scale) + std::floor(pl.y * m.scale) +
-                                  std::floor(pl.z * m.scale),
-                              2.0);
-    if (parity < 0) parity += 2.0;
-    base = checker_color(m, parity);
+    if (s.checker_tau > 0.0) {
+      double q = soft_q1(pl.x * m.scale, s.checker_tau) *
+                 soft_q1(pl.y * m.scale, s.checker_tau) *
+                 soft_q1(pl.z * m.scale, s.checker_tau);
+      base = checker_color_soft(m, q);
+    } else {
+      double parity = std::fmod(std::floor(pl.x * m.scale) + std::floor(pl.y * m.scale) +
+                                    std::floor(pl.z * m.scale),
+                                2.0);
+      if (parity < 0) parity += 2.0;
+      base = checker_color(m, parity);
+    }
   } else {
     int k = best - s.n_sph;
     m = load_mat(s.rmat + 12 * k);
     Vec3 n_unit = normalize(rn);
     double facing = dot(d, n_unit) < 0.0 ? 1.0 : -1.0;
     normal = n_unit * facing;
-    double parity =
-        std::fmod(std::floor(ra * m.scale) + std::floor(rb * m.scale), 2.0);
-    if (parity < 0) parity += 2.0;
-    base = checker_color(m, parity);
+    if (s.checker_tau > 0.0) {
+      double q = soft_q1(ra * m.scale, s.checker_tau) *
+                 soft_q1(rb * m.scale, s.checker_tau);
+      base = checker_color_soft(m, q);
+    } else {
+      double parity =
+          std::fmod(std::floor(ra * m.scale) + std::floor(rb * m.scale), 2.0);
+      if (parity < 0) parity += 2.0;
+      base = checker_color(m, parity);
+    }
   }
 
   Vec3 col = {m.ka * base.x * s.ambient.x, m.ka * base.y * s.ambient.y,
@@ -181,11 +211,11 @@ void rrt_render(const double* sph_center, const double* sph_radius,
                 int n_rct, const double* light_pos, const double* light_col,
                 int n_lights, const double* cam, const double* ambient,
                 const double* background, int H, int W, int shadows, int clip,
-                double* out) {
+                double checker_tau, double* out) {
   SceneView s{sph_center, sph_radius, sph_mat, n_sph,
               rct_origin, rct_eu,     rct_ev,  rct_mat,
               n_rct,      light_pos,  light_col, n_lights,
-              load3(ambient), load3(background), shadows != 0};
+              load3(ambient), load3(background), shadows != 0, checker_tau};
 
   Vec3 eye = load3(cam), look = load3(cam + 3), up_hint = load3(cam + 6);
   double fov = cam[9];
@@ -215,6 +245,6 @@ void rrt_render(const double* sph_center, const double* sph_radius,
   }
 }
 
-int rrt_version() { return 1; }
+int rrt_version() { return 2; }  // v2: checker_tau param (soft checker)
 
 }  // extern "C"

@@ -51,7 +51,7 @@ def _load():
     lib.rrt_render.argtypes = (
         [D, D, D, ctypes.c_int] + [D, D, D, D, ctypes.c_int]
         + [D, D, ctypes.c_int] + [D, D, D]
-        + [ctypes.c_int] * 4 + [D]
+        + [ctypes.c_int] * 4 + [ctypes.c_double] + [D]
     )
     lib.rrt_render.restype = None
     _lib = lib
@@ -77,9 +77,11 @@ def _mat_block(mat) -> np.ndarray:
     return out
 
 
-def render(scene, height: int, width: int, shadows: bool = True, clip: bool = True):
+def render(scene, height: int, width: int, shadows: bool = True, clip: bool = True,
+           checker_tau: float = 0.0):
     """Drop-in for oracle.reference_np.render, ~2 orders of magnitude faster
-    at config-5 scale. Raises RuntimeError if the native lib is unavailable."""
+    at config-5 scale. Raises RuntimeError if the native lib is unavailable.
+    ``checker_tau``: soft-checker relaxation (RenderConfig.checker_tau)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native oracle unavailable (build failed)")
@@ -113,6 +115,7 @@ def render(scene, height: int, width: int, shadows: bool = True, clip: bool = Tr
         p(ro), p(ru), p(rv), p(rmat), rc.count,
         p(lp), p(lc), scene.lights.count,
         p(cam), p(ambient), p(bg),
-        height, width, int(shadows), int(clip), p(out),
+        height, width, int(shadows), int(clip),
+        ctypes.c_double(float(checker_tau)), p(out),
     )
     return out

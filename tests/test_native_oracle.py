@@ -40,3 +40,14 @@ def test_native_matches_jnp_large():
     err = np.abs(img - ref)
     assert float((err > 2e-3).mean()) < 1e-3
     assert float(err.mean()) < 2e-4
+
+
+def test_native_soft_checker_matches_numpy():
+    """Soft checker (checker_tau, ABI v2): the C++ and numpy f64 oracles
+    implement the identical formula — agreement to f64 noise on the
+    checkered config-4 scene."""
+    scene, _, _ = configs.CONFIGS[4](64)
+    for tau in (0.05, 0.5):
+        a = reference_np.render(scene, 64, 64, checker_tau=tau)
+        b = native.render(scene, 64, 64, checker_tau=tau)
+        assert np.abs(a - b).max() < 1e-10, tau
