@@ -398,17 +398,19 @@ def main():
                 taus=(0.08, 0.03, 0.01, 0.0), target_scene=scene4,
                 checker_ratio=12.5,
             )
-            jax.block_until_ready(losses4)
+            final_loss4 = float(losses4[-1])  # VALUE fetch: on the axon
+            # tunnel block_until_ready does not reliably wait (CLAUDE.md);
+            # the fetch must land before the clock is read.
             t4 = time.perf_counter() - t0
             eye_rms = float(np.sqrt(np.mean(
                 (np.asarray(final4.camera.eye) - np.asarray(scene4.camera.eye)) ** 2
             )))
             _log(f"config-4 camera+checker anneal @512^2 (600 steps): "
-                 f"{t4:.1f}s incl. compile  final_loss={float(losses4[-1]):.3e} "
+                 f"{t4:.1f}s incl. compile  final_loss={final_loss4:.3e} "
                  f"eye_rms={eye_rms:.2e}")
             details["config4_anneal_seconds_incl_compile"] = t4
             details["config4_anneal_eye_rms"] = eye_rms
-            details["config4_anneal_final_loss"] = float(losses4[-1])
+            details["config4_anneal_final_loss"] = final_loss4
             with open("bench_details.json", "w") as fh:
                 json.dump(details, fh, indent=2)
         except Exception as e:  # noqa: BLE001 — bench row is best-effort

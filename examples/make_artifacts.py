@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Produce the reference-style visual-verification artifacts for configs 1-4
+"""Produce the reference-style visual-verification artifacts for configs 1-5
 in one command (VERDICT round-1 item #9): for each config, render
 
     examples/artifacts/config<N>/target.png   — ground-truth render
     examples/artifacts/config<N>/start.png    — perturbed starting scene
     examples/artifacts/config<N>/final.png    — after inverse rendering
-    examples/artifacts/config<N>/convergence.gif — per-iteration frames
+    examples/artifacts/config<N>/convergence.gif — configs 1-4 (config 5's
+        1024^2 frames would bloat the repo; it ships metrics.jsonl instead)
 
 The reference (lebek/reversible-raytracer) verified its optimizer visually
 via per-iteration PNG dumps assembled into GIFs (SURVEY.md §4 "de-facto

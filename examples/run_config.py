@@ -17,7 +17,11 @@ if __name__ == "__main__":
     # diverges there — docs/OPTIMIZATION_NOTES.md); supply them unless the
     # caller overrides.
     recipe = []
-    if num == "4" and "--anneal" not in extra:
+    # --target (image-only inversion) is incompatible with --anneal (which
+    # needs the ground-truth scene) — never inject the recipe then.
+    if "--target" in extra:
+        pass
+    elif num == "4" and "--anneal" not in extra:
         recipe = ["--anneal", "0.08,0.03,0.01,0", "--checker-ratio", "12.5",
                   "--lr", "5e-3"]
     elif num == "5" and "--anneal" not in extra:

@@ -160,10 +160,10 @@ def cmd_invert(args):
             from .utils.imageio import save_png
 
             max_chunk = max(1, min(100, args.frame_every))
+            jit_render = jax.jit(render)  # ONE compile for all frames
 
             def frame_cb(s, it):
-                save_png(f"{args.frames_dir}/frame_{it:05d}.png",
-                         jax.jit(render)(s))
+                save_png(f"{args.frames_dir}/frame_{it:05d}.png", jit_render(s))
 
         t0 = time.perf_counter()
         final, losses = optimize_annealed(
@@ -171,13 +171,17 @@ def cmd_invert(args):
             soft_size=args.anneal_size, checker_ratio=args.checker_ratio,
             max_chunk=max_chunk, chunk_callback=frame_cb,
         )
-        jax.block_until_ready(losses)
-        dt = time.perf_counter() - t0
+        import numpy as np
+
         # Per-stage loss trace (the scan returns every iteration's loss;
         # NOTE each stage minimizes its OWN tau's matched-target objective,
         # so the trace is comparable within a stage, not across stage
-        # boundaries).
-        la = [float(x) for x in losses]
+        # boundaries). ONE bulk device->host transfer — per-element float()
+        # would pay the ~30 ms tunnel roundtrip per iteration — and the
+        # transfer lands BEFORE the clock is read (block_until_ready does
+        # not reliably wait on the axon tunnel; CLAUDE.md).
+        la = [float(x) for x in np.asarray(losses)]
+        dt = time.perf_counter() - t0
         stride = max(len(la) // 20, 1) if args.log_every else len(la)
         for i in range(0, len(la), stride):
             logger.log(step=i, loss=la[i])

@@ -236,8 +236,9 @@ def _checker_soft_or_hard(pv_from_color, q, col_hard, checker_tau):
     """Soft-checker blend (RenderConfig.checker_tau) with a runtime select
     back to the hard color when the traced ``checker_tau`` is 0 — keeping
     the tau == 0 stage bit-exact while sharing one kernel compile. Both
-    branches are finite everywhere (soft_checker_q's 1e-30 guard), so the
-    where is AD-safe (no NaN * 0)."""
+    branches are finite everywhere (soft_checker_q's f32-safe 1e-6 guard —
+    NOT 1e-30, which underflows in the div vjp), so the where is AD-safe
+    (no NaN * 0)."""
     c1 = vm.splat((pv_from_color[4], pv_from_color[5], pv_from_color[6]))
     c2 = vm.splat((pv_from_color[7], pv_from_color[8], pv_from_color[9]))
     use2 = pv_from_color[10] * (0.5 - 0.5 * q)

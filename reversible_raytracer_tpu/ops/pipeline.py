@@ -218,7 +218,7 @@ def soft_checker_q(parts, tau):
     """Smooth parity sign q in [-1, 1]: +1 deep in even cells, -1 in odd,
     crossing 0 at cell boundaries (RenderConfig.checker_tau semantics).
 
-    Per axis: tri(x) = 1 - 2*|mod(x - 0.5, 2) - 1| is the piecewise-linear
+    Per axis: tri(x) = 2*|mod(x - 0.5, 2) - 1| - 1 is the piecewise-linear
     wave equal to (-1)^floor(x) at cell centers and 0 at integers; the
     rational squash tri / (|tri| + tau) -> sign(tri) as tau -> 0 (the hard
     parity, since (-1)^{sum floor} = prod (-1)^{floor}), with gradient

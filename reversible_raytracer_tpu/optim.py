@@ -453,10 +453,12 @@ def optimize_annealed(
         if target_scene is not None and tau > 0.0:
             tgt = render_stage(target_scene, cfg_t)
         stage_ocfg = hard_ocfg if (tau == 0.0 and hard_ocfg is not None) else ocfg
-        if on_tpu:
+        if on_tpu and cfg_t.spp == 1:
             # Fused training-step kernels: per-stage loss+grads in ONE
             # launch (the stage's forward kernel disappears). tau is a
             # runtime SMEM scalar, so every soft stage shares one compile.
+            # The step kernels are spp=1 only; spp=4 anneals fall through
+            # to value_and_grad over the (wrapper-averaged) render below.
             from .ops.kernels.fused_vec import loss_grad_pallas_vec
             from .ops.kernels.fused_vec_soft import loss_grad_pallas_vec_soft
 

@@ -15,6 +15,7 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liboracle.so"))
+_ABI_VERSION = 2  # must equal oracle.cpp's rrt_version()
 _lib = None
 _build_failed = False
 
@@ -47,6 +48,26 @@ def _load():
     except OSError:
         _build_failed = True
         return None
+    # ABI check: rrt_render's signature changed in v2 (checker_tau before
+    # `out`). A stale .so that escaped the mtime heuristic (restored build
+    # cache, mtime-preserving copy) would be called with v2 argtypes
+    # against the v1 entry point — writing pixels through a garbage
+    # pointer. Force one rebuild, then give up cleanly.
+    if lib.rrt_version() != _ABI_VERSION:
+        try:
+            subprocess.run(
+                ["make", "-s", "-B", "liboracle.so"],
+                cwd=os.path.abspath(_NATIVE_DIR),
+                check=True,
+                capture_output=True,
+            )
+            lib = ctypes.CDLL(_LIB_PATH)
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
+            _build_failed = True
+            return None
+        if lib.rrt_version() != _ABI_VERSION:
+            _build_failed = True
+            return None
     D = ctypes.POINTER(ctypes.c_double)
     lib.rrt_render.argtypes = (
         [D, D, D, ctypes.c_int] + [D, D, D, D, ctypes.c_int]

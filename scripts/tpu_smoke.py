@@ -136,10 +136,11 @@ def main():
           f"grads_finite={finite} [{'OK' if ok else 'FAIL'}] "
           f"({time.time()-t0:.0f}s)", flush=True)
 
-    # Soft CHECKER (RenderConfig.checker_tau, config-4 capability): both
-    # taus are runtime SMEM scalars, so this REUSES the kernel compile from
-    # the previous check (different tau_arr values only — the whole point).
-    # Uses the checkered config-4 scene; camera grads must be live+finite.
+    # Soft CHECKER (RenderConfig.checker_tau, config-4 capability). NOTE:
+    # the soft-kernel cache key includes the object-count layout, so the
+    # 3-object config-4 scene is a FRESH (minutes-long cold) Mosaic
+    # compile — the runtime tau_arr only dedupes compiles across tau
+    # values for the SAME layout. Camera grads must be live+finite.
     scene4, spec4, cfg4 = configs.config4_checker_camera(256)
     cfg_c = dataclasses.replace(cfg4, soft_tau=0.05, checker_tau=0.5)
     t0 = time.time()
