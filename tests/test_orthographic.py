@@ -53,3 +53,15 @@ def test_ortho_pallas_interpret():
     err = np.abs(a - b)
     assert float((err > 1e-3).mean()) == 0.0
     assert float(err.mean()) < 1e-5
+
+
+def test_ortho_jnp_vec_matches_unrolled():
+    """Orthographic projection through the object-vectorized path: bitwise
+    equal to the unrolled renderer (shared camera_rays + shading)."""
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, _, _ = configs.config2_four_spheres()
+    cfg = _ortho_cfg(48)
+    a = np.asarray(render_jnp(scene, cfg))
+    b = np.asarray(render_jnp_vec(scene, cfg))
+    np.testing.assert_array_equal(a, b)
