@@ -23,8 +23,39 @@ vs_baseline = pallas_rays_per_sec / jnp_rays_per_sec, same scan methodology.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
+
+# Tunnel-wedge guard (must run BEFORE `import jax`): when the axon PJRT
+# tunnel is wedged, `import jax` hangs indefinitely (the axon plugin probes
+# the tunnel at import). The driver runs this script unattended at round
+# end — fail fast with a diagnostic instead of hanging forever. The probe
+# is a subprocess so the hang (if any) is bounded by the timeout.
+if __name__ == "__main__" and os.environ.get("RRT_BENCH_NO_PROBE") != "1":
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300,
+            check=True,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            "bench: axon tunnel appears wedged (import jax + jax.devices() "
+            "did not complete in 300 s); aborting instead of hanging. "
+            "Retry once the tunnel recovers.",
+            file=sys.stderr,
+            flush=True,
+        )
+        sys.exit(3)
+    except subprocess.CalledProcessError as e:
+        # Import worked but device init failed — let the real run proceed
+        # only if it can (it may pick the CPU backend); log the probe error.
+        print(f"bench: device probe failed (rc={e.returncode}); continuing "
+              f"— stderr tail: {e.stderr.decode(errors='replace')[-500:]}",
+              file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
