@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Produce the reference-style visual-verification artifacts for configs 1-5
+"""Produce the reference-style visual-verification artifacts for configs 1-6
 in one command (VERDICT round-1 item #9): for each config, render
 
     examples/artifacts/config<N>/target.png   — ground-truth render
@@ -28,7 +28,7 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    ap.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5, 6])
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--outdir", default="examples/artifacts")
@@ -40,7 +40,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     # Small-but-recognizable defaults off-TPU; native config sizes on TPU.
-    size_default = {1: 64, 2: 128, 3: 128, 4: 128, 5: 96} if not on_tpu else {}
+    size_default = {1: 64, 2: 128, 3: 128, 4: 128, 5: 96, 6: 128} if not on_tpu else {}
     iters = args.iters or (400 if on_tpu else 120)
 
     for num in args.configs:
@@ -57,7 +57,9 @@ def main():
         # seed + scale) or start.png depicts a different starting scene:
         # config 5 passes 0.03 in both; configs 1-4 use the CLI default in
         # both.
-        start_perturb = ["--perturb", "0.03"] if num == 5 else []
+        # Perturb scales must match the full-inversion call below.
+        start_perturb = (["--perturb", "0.03"] if num == 5
+                         else ["--perturb", "0.3"] if num == 6 else [])
         cli(["invert", "--config", str(num), *size_args, "--iters", "1",
              "--lr", "0", "--log-every", "0", *start_perturb,
              "-o", os.path.join(out, "start.png")])
@@ -71,6 +73,20 @@ def main():
             cli(["invert", "--config", "5", *size_args,
                  "--iters", str(n_it), "--lr", "2e-3", "--perturb", "0.03",
                  *anneal,
+                 "--metrics", os.path.join(out, "metrics.jsonl"),
+                 "-o", os.path.join(out, "final.png")])
+        elif num == 6:
+            # Mirror reflections: recover every object's mirror coefficient
+            # THROUGH the bounce from a 30% perturbation (the blend weight
+            # has global gradient support — converges from far outside the
+            # geometric basins; README "Mirror reflections").
+            n_it = args.iters or (150 if on_tpu else 120)
+            cli(["invert", "--config", "6", *size_args,
+                 "--iters", str(n_it), "--lr", "2e-2", "--perturb", "0.3",
+                 "--log-every", str(max(n_it // 10, 1)),
+                 "--frame-every", str(max(n_it // 10, 1)),
+                 "--frames-dir", frames,
+                 "--gif", os.path.join(out, "convergence.gif"),
                  "--metrics", os.path.join(out, "metrics.jsonl"),
                  "-o", os.path.join(out, "final.png")])
         elif num == 4:

@@ -38,14 +38,15 @@ inline Vec3 normalize(Vec3 a) {
 }
 inline Vec3 load3(const double* p) { return {p[0], p[1], p[2]}; }
 
-// Per-object material layout (12 doubles):
-// color[3], color2[3], checker, checker_scale, ka, kd, ks, shininess
+// Per-object material layout (13 doubles, ABI v3):
+// color[3], color2[3], checker, checker_scale, ka, kd, ks, shininess, mirror
+constexpr int MAT_STRIDE = 13;
 struct Mat {
   Vec3 color, color2;
-  double checker, scale, ka, kd, ks, shin;
+  double checker, scale, ka, kd, ks, shin, mirror;
 };
 inline Mat load_mat(const double* p) {
-  return {load3(p), load3(p + 3), p[6], p[7], p[8], p[9], p[10], p[11]};
+  return {load3(p), load3(p + 3), p[6], p[7], p[8], p[9], p[10], p[11], p[12]};
 }
 
 struct SceneView {
@@ -58,6 +59,7 @@ struct SceneView {
   Vec3 ambient, background;
   bool shadows;
   double checker_tau;  // 0 = hard reference checker; > 0 = soft blend
+  int reflections;     // mirror bounces (RenderConfig.reflections)
 };
 
 inline double sphere_t(Vec3 o, Vec3 d, Vec3 c, double r) {
@@ -118,7 +120,10 @@ inline Vec3 checker_color_soft(const Mat& m, double q) {
           m.color.z + use2 * (m.color2.z - m.color.z)};
 }
 
-inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d) {
+// depth: remaining mirror bounces. Recursion is bitwise equivalent to the
+// numpy oracle's _radiance (skipping the recursion where mirror == 0 or the
+// ray missed is an exact no-op: the blend weight there is exactly 0).
+inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d, int depth) {
   // Nearest hit over spheres then rects (first-wins ties, matching the
   // unrolled where-chain / numpy argmin).
   double t_best = BIG;
@@ -142,7 +147,7 @@ inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d) {
   Vec3 normal, base;
   Mat m{};
   if (best < s.n_sph) {
-    m = load_mat(s.smat + 12 * best);
+    m = load_mat(s.smat + MAT_STRIDE * best);
     Vec3 c = load3(s.sc + 3 * best);
     Vec3 pl = p - c;
     normal = pl * (1.0 / s.sr[best]);
@@ -160,7 +165,7 @@ inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d) {
     }
   } else {
     int k = best - s.n_sph;
-    m = load_mat(s.rmat + 12 * k);
+    m = load_mat(s.rmat + MAT_STRIDE * k);
     Vec3 n_unit = normalize(rn);
     double facing = dot(d, n_unit) < 0.0 ? 1.0 : -1.0;
     normal = n_unit * facing;
@@ -197,6 +202,16 @@ inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d) {
     col.y += vis * (m.kd * ndotl * base.y + spec) * lcol.y;
     col.z += vis * (m.kd * ndotl * base.z + spec) * lcol.z;
   }
+  if (depth > 0 && m.mirror != 0.0) {
+    // lerp(local, reflected, mirror) — unclipped per level, matching
+    // pipeline.shade's reflective path and the numpy oracle.
+    Vec3 rdir = d - normal * (2.0 * dot(d, normal));
+    Vec3 ro = p + normal * SHADOW_EPS;
+    Vec3 rcol = shade_pixel(s, ro, rdir, depth - 1);
+    col.x += m.mirror * (rcol.x - col.x);
+    col.y += m.mirror * (rcol.y - col.y);
+    col.z += m.mirror * (rcol.z - col.z);
+  }
   return col;
 }
 
@@ -211,11 +226,12 @@ void rrt_render(const double* sph_center, const double* sph_radius,
                 int n_rct, const double* light_pos, const double* light_col,
                 int n_lights, const double* cam, const double* ambient,
                 const double* background, int H, int W, int shadows, int clip,
-                double checker_tau, double* out) {
+                double checker_tau, int reflections, double* out) {
   SceneView s{sph_center, sph_radius, sph_mat, n_sph,
               rct_origin, rct_eu,     rct_ev,  rct_mat,
               n_rct,      light_pos,  light_col, n_lights,
-              load3(ambient), load3(background), shadows != 0, checker_tau};
+              load3(ambient), load3(background), shadows != 0, checker_tau,
+              reflections};
 
   Vec3 eye = load3(cam), look = load3(cam + 3), up_hint = load3(cam + 6);
   double fov = cam[9];
@@ -231,7 +247,7 @@ void rrt_render(const double* sph_center, const double* sph_radius,
       double sx = ((j + 0.5) * (2.0 / W) - 1.0) * tanf * aspect;
       double sy = (1.0 - (i + 0.5) * (2.0 / H)) * tanf;
       Vec3 d = normalize(fwd + right * sx + up * sy);
-      Vec3 c = shade_pixel(s, eye, d);
+      Vec3 c = shade_pixel(s, eye, d, s.reflections);
       double* px = out + (size_t(i) * W + j) * 3;
       if (clip) {
         c.x = c.x < 0 ? 0 : (c.x > 1 ? 1 : c.x);
@@ -245,6 +261,6 @@ void rrt_render(const double* sph_center, const double* sph_radius,
   }
 }
 
-int rrt_version() { return 2; }  // v2: checker_tau param (soft checker)
+int rrt_version() { return 3; }  // v3: mirror material + reflections param
 
 }  // extern "C"

@@ -17,8 +17,9 @@ import time
 
 
 def _add_common(p):
-    p.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5],
-                   help="driver benchmark config number (BASELINE.json)")
+    p.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5, 6],
+                   help="driver benchmark config number (BASELINE.json); "
+                        "6 = mirror-reflections extension scene")
     p.add_argument("--size", type=int, default=None,
                    help="image size (default: the config's native size)")
     p.add_argument("--impl", choices=["auto", "jnp", "jnp_vec", "pallas", "pallas_vec"], default="auto",
@@ -28,6 +29,10 @@ def _add_common(p):
                    help="JSON scene file overriding the config's parameters")
     p.add_argument("--spp", type=int, default=1, choices=[1, 4],
                    help="samples per pixel (4 = 2x2 supersampling AA)")
+    p.add_argument("--reflections", type=int, default=0,
+                   help="mirror bounces (scene materials' `mirror` field "
+                        "sets per-object reflectivity; 0 = reference "
+                        "semantics). Unrolled family + jnp_vec only.")
 
 
 def _build(args):
@@ -44,6 +49,10 @@ def _build(args):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, spp=args.spp)
+    if getattr(args, "reflections", 0):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, reflections=args.reflections)
     return scene, spec, cfg
 
 
@@ -52,7 +61,12 @@ def _render_fn(cfg, impl, n_obj=None):
 
     if impl == "auto":
         small = n_obj is None or n_obj <= 24
-        if jax.default_backend() == "tpu":
+        if cfg.reflections and not small:
+            # The object-chunked kernels refuse reflections; large
+            # reflective scenes run object-vectorized jnp (same policy as
+            # ops.render.render).
+            impl = "jnp_vec"
+        elif jax.default_backend() == "tpu":
             # Unrolled kernels compile O(N); chunked kernels O(1) — pick by N
             # (same policy as ops.render.render).
             impl = "pallas" if small else "pallas_vec"

@@ -189,12 +189,63 @@ def config5_many_spheres(size: int = 1024, n_spheres: int = 64, seed: int = 0):
     return scene, spec, cfg
 
 
+def config6_mirror(size: int = 512):
+    """Config 6 (extension beyond the driver set): mirror reflections.
+
+    A chrome-ish sphere and a diffuse sphere over a checkered,
+    slightly-reflective floor, rendered with RenderConfig.reflections=1.
+    The inverse render recovers every object's mirror coefficient from a
+    large (30%) perturbation — the gradient path runs THROUGH the bounce.
+    Geometry gradients through reflections are exact too (FD-validated in
+    tests/test_reflections.py), but center recovery at hard semantics sits
+    in the same no-silhouette-gradient valley as configs 1-5 (see
+    docs/OPTIMIZATION_NOTES.md) and soft_tau is reflections-exclusive by
+    design, so the optimization demo trains the mirror fields.
+    """
+    parts = [
+        sphere(
+            (-0.55, 0.05, 0.0),
+            0.85,
+            _mat((0.55, 0.56, 0.6), ka=0.08, kd=0.25, ks=0.5, shininess=80.0,
+                 mirror=0.65),
+        ),
+        sphere(
+            (1.25, -0.15, -0.9),
+            0.65,
+            _mat((0.2, 0.55, 0.9), ks=0.3, shininess=40.0),
+        ),
+    ]
+    plane = ground_plane(
+        -0.8,
+        14.0,
+        _mat((0.85, 0.85, 0.85), color2=(0.12, 0.12, 0.14), checker=1.0,
+             checker_scale=16.0, ka=0.15, kd=0.8, mirror=0.18),
+    )
+    scene = Scene.make(
+        spheres=merge_spheres(parts),
+        rects=plane,
+        lights=Lights(
+            position=jnp.array([[4.0, 6.0, 4.0]], jnp.float32),
+            color=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        ),
+        camera=Camera.make((0.2, 1.1, 4.4), (0.0, 0.0, 0.0), fov_deg=55.0),
+    )
+    spec = (
+        ParamSpec.none(scene)
+        .train("spheres.material.mirror", lower=0.0, upper=0.95)
+        .train("rects.material.mirror", lower=0.0, upper=0.95)
+    )
+    cfg = RenderConfig(height=size, width=size, shadows=True, reflections=1)
+    return scene, spec, cfg
+
+
 CONFIGS = {
     1: config1_single_sphere,
     2: config2_four_spheres,
     3: config3_multi_light,
     4: config4_checker_camera,
     5: config5_many_spheres,
+    6: config6_mirror,
 }
 
 

@@ -68,6 +68,12 @@ class Materials:
     kd: jnp.ndarray  # (K,) diffuse (Lambertian) coefficient
     ks: jnp.ndarray  # (K,) specular (Phong) coefficient
     shininess: jnp.ndarray  # (K,) Phong exponent
+    # Mirror reflectivity in [0, 1] (capability extension beyond the
+    # reference: one-or-more-bounce specular reflection, gated by
+    # RenderConfig.reflections; 0.0 = the reference's local-shading-only
+    # semantics). The final color is lerp(local, reflected, mirror) — a
+    # continuous blend, so `mirror` itself is cleanly optimizable.
+    mirror: jnp.ndarray  # (K,)
 
     @staticmethod
     def stack(mats: "list[Materials]") -> "Materials":
@@ -83,6 +89,7 @@ class Materials:
         kd=0.9,
         ks=0.0,
         shininess=30.0,
+        mirror=0.0,
     ) -> "Materials":
         color = _f32(color).reshape(1, 3)
         color2 = _f32(color2 if color2 is not None else color).reshape(1, 3)
@@ -96,6 +103,7 @@ class Materials:
             kd=one(kd),
             ks=one(ks),
             shininess=one(shininess),
+            mirror=one(mirror),
         )
 
 
@@ -120,7 +128,7 @@ class Spheres:
             center=z,
             radius=z1,
             material=Materials(
-                color=z, color2=z, checker=z1, checker_scale=z1, ka=z1, kd=z1, ks=z1, shininess=z1
+                color=z, color2=z, checker=z1, checker_scale=z1, ka=z1, kd=z1, ks=z1, shininess=z1, mirror=z1
             ),
         )
 
@@ -151,7 +159,7 @@ class Rects:
             edge_u=z,
             edge_v=z,
             material=Materials(
-                color=z, color2=z, checker=z1, checker_scale=z1, ka=z1, kd=z1, ks=z1, shininess=z1
+                color=z, color2=z, checker=z1, checker_scale=z1, ka=z1, kd=z1, ks=z1, shininess=z1, mirror=z1
             ),
         )
 

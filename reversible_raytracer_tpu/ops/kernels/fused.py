@@ -48,7 +48,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...models.scene import Scene
-from ..pipeline import RenderConfig, render_tile
+from ..pipeline import RenderConfig, n_vis_planes, render_tile
 
 
 def _round_up(x: int, m: int) -> int:
@@ -178,15 +178,11 @@ def _make_fused(
     f32 = jnp.float32
 
     # Shadow visibility is a step function (zero gradient): the forward
-    # saves it per (subsample, light) plane, and the backward replay skips
-    # the shadow any-hit loop entirely (~25% of the step for 1-light scenes
-    # at 512^2). spp subsamples each carry their own shadow decision, so
-    # spp * L planes are saved (render_tile's subsample-major layout).
-    n_vis = (
-        scene_like.lights.count * cfg.spp
-        if (cfg.shadows and cfg.shader == "phong")
-        else 0
-    )
+    # saves it per (subsample, bounce, light) plane, and the backward replay
+    # skips the shadow any-hit loop entirely (~25% of the step for 1-light
+    # scenes at 512^2). Each subsample and reflection bounce carries its own
+    # shadow decision (render_tile's subsample-major, bounce-major layout).
+    n_vis = n_vis_planes(scene_like, cfg)
 
     # ------------------------------------------------------------- forward
     def fwd_kernel(off_ref, scene_ref, r_ref, g_ref, b_ref, *vis_refs):
@@ -441,7 +437,9 @@ def loss_grad_pallas(
     """
     H = out_height or cfg.height
     if tiles is None:
-        n_obj = scene.spheres.count + scene.rects.count
+        # Each reflection bounce replays the full object chain, multiplying
+        # the VMEM-live set — scale the tile-size budget accordingly.
+        n_obj = (scene.spheres.count + scene.rects.count) * (1 + cfg.reflections)
         tiles = TileConfig.for_shape(H, cfg.width, n_obj)
     apply = _make_loss_grad(scene, cfg, tiles, interpret, out_h=out_height)
 
@@ -485,7 +483,8 @@ def render_pallas(
     ``out_height`` to its band height.
     """
     if tiles is None:
-        n_obj = scene.spheres.count + scene.rects.count
+        # (1 + reflections): each bounce replays the object chain in VMEM.
+        n_obj = (scene.spheres.count + scene.rects.count) * (1 + cfg.reflections)
         tiles = TileConfig.for_shape(out_height or cfg.height, cfg.width, n_obj)
     apply = _make_fused(scene, cfg, tiles, interpret, out_h=out_height)
     flat = flatten_scene(scene)

@@ -425,6 +425,12 @@ def _make_fused_vec(
             "checker_tau rendering lives in pipeline_vec.render_jnp_vec and "
             "kernels.fused_vec_soft (render impl='auto' routes there)"
         )
+    if cfg.reflections:
+        raise NotImplementedError(
+            "fused_vec's two-phase object loops do not replay bounces; "
+            "mirror reflections run through the unrolled family (jnp / "
+            "pallas) or jnp_vec (render impl='auto' routes there)"
+        )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count
     n_rct = scene_like.rects.count

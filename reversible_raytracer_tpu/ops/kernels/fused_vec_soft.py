@@ -264,6 +264,11 @@ def _make_fused_vec_soft(
         raise NotImplementedError("fused_vec_soft kernels are spp=1 (wrapper averages)")
     if not cfg.soft_tau > 0.0:
         raise ValueError("fused_vec_soft requires soft_tau > 0 (hard path: fused_vec)")
+    if cfg.reflections:
+        raise NotImplementedError(
+            "mirror reflections require hard semantics (reflections=0 when "
+            "soft_tau > 0; anneal to hard, then polish with reflections on)"
+        )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count
     n_rct = scene_like.rects.count

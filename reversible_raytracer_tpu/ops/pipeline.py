@@ -74,6 +74,18 @@ class RenderConfig:
     # (optim.optimize_annealed); the tau -> 0 limit is the hard image.
     # jnp_vec-path only.
     soft_tau: float = 0.0
+    # Mirror reflections (capability extension beyond the reference's
+    # local-shading model): number of specular bounces. 0 = off (reference
+    # semantics, zero extra cost — the bounce code is not traced at all).
+    # With k bounces the color at each level is lerp(local, reflected,
+    # material.mirror) — a continuous blend, so mirror coefficients AND the
+    # geometry seen through reflections receive gradients. Phong shader
+    # only (depth/normal shaders ignore it); hard semantics only (the soft
+    # soft_tau / checker_tau relaxations refuse reflections). Implemented
+    # by the unrolled family (jnp / pallas, incl. the fused step kernel —
+    # they all trace render_tile) and the object-vectorized jnp_vec path;
+    # the object-chunked Pallas kernels (pallas_vec[_soft]) refuse.
+    reflections: int = 0
     # Soft-checker relaxation (texture-aware CAMERA/position gradients).
     # The reference-faithful checker is a floor/mod step: zero gradient to
     # hit positions, so camera pose optimized against a checkered scene
@@ -267,11 +279,13 @@ def sphere_color(mat, k, p_local: Vec3) -> Vec3:
 # ---------------------------------------------------------------------------
 
 
-def trace_nearest(scene: Scene, o: Vec3, d: Vec3, shape):
+def trace_nearest(scene: Scene, o: Vec3, d: Vec3, shape, with_mirror: bool = False):
     """Closest hit over all spheres and rects.
 
     Returns dict of SoA pixel arrays: t, hit mask, unit normal n, base color,
     and scalar material fields (ka, kd, ks, shininess) selected per pixel.
+    ``with_mirror`` adds the per-pixel mirror coefficient ("mir") to the
+    attribute dict — only the reflective path pays for its select chain.
 
     The object loop is a *Python* loop over a static object count: it
     unrolls at trace time into a chain of `jnp.where` selects — exactly the
@@ -287,6 +301,8 @@ def trace_nearest(scene: Scene, o: Vec3, d: Vec3, shape):
         "cr": zero, "cg": zero, "cb": zero,
         "ka": zero, "kd": zero, "ks": zero, "shin": jnp.ones(shape, f32),
     }
+    if with_mirror:
+        best["mir"] = zero
 
     def update(t_new, closer, n_unit, col, mat, k):
         nonlocal t_best, best
@@ -297,6 +313,8 @@ def trace_nearest(scene: Scene, o: Vec3, d: Vec3, shape):
             "ka": mat.ka[k], "kd": mat.kd[k], "ks": mat.ks[k],
             "shin": mat.shininess[k],
         }
+        if with_mirror:
+            new["mir"] = mat.mirror[k]
         best = {key: jnp.where(closer, new[key], best[key]) for key in best}
 
     sp = scene.spheres
@@ -446,22 +464,87 @@ def shade_from_attrs(scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
     return col
 
 
+def reflect_dir(d: Vec3, n: Vec3) -> Vec3:
+    """Specular reflection of (unit) ``d`` about (unit) ``n`` — shared by
+    every reflective implementation (jnp, jnp_vec, the Pallas families via
+    tracing) so the primitive sequence, and thus f32 rounding, agrees."""
+    return vm.vsub(d, vm.vscale(n, 2.0 * vm.vdot(d, n)))
+
+
 def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
           vis_in=None, return_vis: bool = False):
-    """Full shading pass (trace + shade).
+    """Full shading pass (trace + shade), plus ``cfg.reflections`` mirror
+    bounces when enabled.
 
     ``vis_in``: optional tuple of per-light visibility arrays. Visibility is
     a step function (zero gradient), so the backward Pallas kernel saves it
     as a forward residual and passes it here to skip the shadow any-hit
     recompute during the vjp replay (SURVEY.md §7 backward memory plan).
+    With reflections the tuple holds ``(1 + reflections) * L`` planes,
+    bounce-major (bounce 0's L lights first).
     ``return_vis``: also return the computed per-light visibility tuple.
     """
-    t, hit, at = trace_nearest(scene, o, d, shape)
-    return shade_from_attrs(
-        scene, o, d, cfg, shape, t, hit, at,
-        occluded_fn=lambda so, ld, dist: occluded(scene, so, ld, dist),
-        vis_in=vis_in, return_vis=return_vis,
-    )
+    bounces = cfg.reflections if cfg.shader == "phong" else 0
+    occluded_fn = lambda so, ld, dist: occluded(scene, so, ld, dist)
+    if bounces == 0:
+        t, hit, at = trace_nearest(scene, o, d, shape)
+        return shade_from_attrs(
+            scene, o, d, cfg, shape, t, hit, at,
+            occluded_fn=occluded_fn, vis_in=vis_in, return_vis=return_vis,
+        )
+
+    # Reflective path: each level's local color is computed UNCLIPPED, the
+    # blend col = local + mirror * (reflected - local) composes levels
+    # deepest-first, and the [0, 1] clip applies once at the top (clipping
+    # per level would darken bright reflected highlights nonlinearly).
+    import dataclasses
+
+    cfg_level = dataclasses.replace(cfg, clip=False)
+    L = scene.lights.count
+    vis_out: list = []
+
+    def level(o_l: Vec3, d_l: Vec3, depth: int):
+        t, hit, at = trace_nearest(scene, o_l, d_l, shape, with_mirror=True)
+        vi = None
+        if vis_in is not None and len(vis_in):
+            vi = tuple(vis_in[depth * L:(depth + 1) * L])
+        out = shade_from_attrs(
+            scene, o_l, d_l, cfg_level, shape, t, hit, at,
+            occluded_fn=occluded_fn, vis_in=vi, return_vis=return_vis,
+        )
+        col, vis = out if return_vis else (out, None)
+        if return_vis:
+            vis_out.extend(vis)
+        if depth < bounces:
+            n = (at["nx"], at["ny"], at["nz"])
+            rdir = reflect_dir(d_l, n)
+            # Reflected-ray origin: hit point nudged along the normal —
+            # the same offset primitive the shadow rays use.
+            ro = shadow_origin(o_l, d_l, t, n)
+            rcol = level(ro, rdir, depth + 1)
+            # Miss pixels keep the background exactly: mirror is masked to
+            # 0 there (at["mir"] is already 0 on miss via trace_nearest's
+            # init, but the explicit where keeps that invariant local).
+            m = jnp.where(hit, at["mir"], 0.0)
+            col = tuple(c + m * (rc - c) for c, rc in zip(col, rcol))
+        return col
+
+    col = level(o, d, 0)
+    if cfg.clip:
+        col = tuple(jnp.clip(c, 0.0, 1.0) for c in col)
+    if return_vis:
+        return col, tuple(vis_out)
+    return col
+
+
+def n_vis_planes(scene_like: Scene, cfg: RenderConfig) -> int:
+    """Number of shadow-visibility residual planes `render_tile` emits with
+    ``return_vis``: one per (subsample, bounce, light) — the layout contract
+    between the fused kernels' forward (which saves them) and backward
+    (which replays with them)."""
+    if not (cfg.shadows and cfg.shader == "phong"):
+        return 0
+    return scene_like.lights.count * cfg.spp * (1 + cfg.reflections)
 
 
 # ---------------------------------------------------------------------------
@@ -477,9 +560,10 @@ def render_tile(scene: Scene, cfg: RenderConfig, row0, col0, bh: int, bw: int,
     tuple when ``return_vis``). ``row0``/``col0`` may be traced scalars
     (shard offsets / Pallas program ids).
 
-    Visibility residuals: with ``spp`` subsamples and L lights the
-    visibility tuple holds ``spp * L`` planes, ordered subsample-major
-    (offset 0's L lights, then offset 1's, ...). Each subsample has its own
+    Visibility residuals: with ``spp`` subsamples, ``1 + reflections``
+    bounce levels and L lights the visibility tuple holds
+    ``spp * (1 + reflections) * L`` planes, subsample-major then
+    bounce-major (see `n_vis_planes`). Each subsample/bounce has its own
     shadow decision, so the backward replay (``vis_in`` with the same
     layout) skips the shadow any-hit recompute at ANY spp — round 1 only
     supported spp=1 and silently recomputed otherwise.

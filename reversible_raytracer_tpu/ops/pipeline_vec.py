@@ -30,7 +30,9 @@ from .pipeline import (
     T_EPS,
     RenderConfig,
     camera_rays,
+    reflect_dir,
     shade_from_attrs,
+    shadow_origin,
     soft_checker_q,
 )
 
@@ -116,12 +118,54 @@ def spp_average(render_once, cfg: RenderConfig):
 def render_jnp_vec(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = None):
     """Object-vectorized full render. Returns (H, W, 3) float32."""
     if cfg.soft_tau > 0.0:
+        if cfg.reflections:
+            raise NotImplementedError(
+                "mirror reflections require hard semantics (reflections=0 "
+                "when soft_tau > 0; anneal to hard, then polish with "
+                "reflections on)"
+            )
         return spp_average(
             lambda oi, oj: _render_soft(scene, cfg, row0, height, oi, oj), cfg
         )
     return spp_average(
         lambda oi, oj: _render_hard_once(scene, cfg, row0, height, oi, oj), cfg
     )
+
+
+def _trace_shade_hard(scene: Scene, cfg: RenderConfig, o, d, H, W,
+                      with_mirror: bool = False):
+    """One hard trace + local shade for rays (o, d) — the body shared by the
+    primary rays and each reflection bounce. Returns (col, t, hit, at);
+    ``at`` includes "mir" when ``with_mirror``. ``cfg.clip`` applies here
+    (the reflective caller passes clip=False per level and clips at top)."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    n_sph = scene.spheres.count
+    n_rct = scene.rects.count
+    parts = []
+    if n_sph:
+        parts.append(_sphere_ts(scene, ox, oy, oz, dx, dy, dz))
+    ra = rb = None
+    if n_rct:
+        tr, ra, rb = _rect_ts(scene, ox, oy, oz, dx, dy, dz)
+        parts.append(tr)
+
+    t_all = jnp.concatenate(parts, axis=0)  # (N+M, H, W)
+    k_best = jnp.argmin(t_all, axis=0)  # first-wins ties == unrolled chain
+    t = jnp.take_along_axis(t_all, k_best[None], axis=0)[0]
+    hit = t < BIG * 0.5
+
+    at = _gather_layer(scene, k_best, t, (ox, oy, oz), (dx, dy, dz), ra, rb,
+                       checker_tau=cfg.checker_tau, with_mirror=with_mirror)
+
+    def occluded_fn(so, ld, dist):
+        return _occluded_any(scene, so[0], so[1], so[2], ld[0], ld[1], ld[2], dist)
+
+    col = shade_from_attrs(
+        scene, (ox, oy, oz), (dx, dy, dz), cfg, (H, W), t, hit, at,
+        occluded_fn=occluded_fn,
+    )
+    return col, t, hit, at
 
 
 def _render_hard_once(scene: Scene, cfg: RenderConfig, row0=0,
@@ -133,44 +177,50 @@ def _render_hard_once(scene: Scene, cfg: RenderConfig, row0=0,
     if oi or oj:  # render_tile's operand order: (row0 + iota) + offset
         ii, jj = ii + oi, jj + oj
     o, d = camera_rays(scene.camera, ii, jj, cfg.height, cfg.width, cfg.projection)
-    ox, oy, oz = (jnp.broadcast_to(c, (H, W)) for c in o)
-    dx, dy, dz = (jnp.broadcast_to(c, (H, W)) for c in d)
+    o = tuple(jnp.broadcast_to(c, (H, W)) for c in o)
+    d = tuple(jnp.broadcast_to(c, (H, W)) for c in d)
 
-    n_sph = scene.spheres.count
-    n_rct = scene.rects.count
-    parts = []
-    if n_sph:
-        parts.append(_sphere_ts(scene, ox, oy, oz, dx, dy, dz))
-    ra = rb = None
-    if n_rct:
-        tr, ra, rb = _rect_ts(scene, ox, oy, oz, dx, dy, dz)
-        parts.append(tr)
-    if not parts:
+    if not (scene.spheres.count or scene.rects.count):
         img = jnp.broadcast_to(scene.background, (H, W, 3))
         return jnp.clip(img, 0.0, 1.0) if cfg.clip else img
 
-    t_all = jnp.concatenate(parts, axis=0)  # (N+M, H, W)
-    k_best = jnp.argmin(t_all, axis=0)  # first-wins ties == unrolled chain
-    t = jnp.take_along_axis(t_all, k_best[None], axis=0)[0]
-    hit = t < BIG * 0.5
+    bounces = cfg.reflections if cfg.shader == "phong" else 0
+    if bounces == 0:
+        col, _, _, _ = _trace_shade_hard(scene, cfg, o, d, H, W)
+        return jnp.stack(col, axis=-1)
 
-    at = _gather_layer(scene, k_best, t, (ox, oy, oz), (dx, dy, dz), ra, rb,
-                       checker_tau=cfg.checker_tau)
+    # Mirror bounces: unclipped per level, lerp(local, reflected, mirror)
+    # composed deepest-first, one clip at top — the same convention as
+    # pipeline.shade's reflective path (tests assert agreement).
+    import dataclasses
 
-    def occluded_fn(so, ld, dist):
-        return _occluded_any(scene, so[0], so[1], so[2], ld[0], ld[1], ld[2], dist)
+    cfg_level = dataclasses.replace(cfg, clip=False)
 
-    col = shade_from_attrs(
-        scene, (ox, oy, oz), (dx, dy, dz), cfg, (H, W), t, hit, at,
-        occluded_fn=occluded_fn,
-    )
+    def level(o_l, d_l, depth):
+        col, t, hit, at = _trace_shade_hard(
+            scene, cfg_level, o_l, d_l, H, W, with_mirror=True
+        )
+        if depth < bounces:
+            n = (at["nx"], at["ny"], at["nz"])
+            rdir = reflect_dir(d_l, n)
+            ro = shadow_origin(o_l, d_l, t, n)
+            rcol = level(ro, rdir, depth + 1)
+            m = jnp.where(hit, at["mir"], 0.0)
+            col = tuple(c + m * (rc - c) for c, rc in zip(col, rcol))
+        return col
+
+    col = level(o, d, 0)
+    if cfg.clip:
+        col = tuple(jnp.clip(c, 0.0, 1.0) for c in col)
     return jnp.stack(col, axis=-1)
 
 
-def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb, checker_tau: float = 0.0):
+def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb, checker_tau: float = 0.0,
+                  with_mirror: bool = False):
     """Per-pixel attribute planes of the objects selected by ``k_best``
     (spheres first, then rects — pipeline_vec's concatenated object axis).
-    Returns the `at` dict consumed by pipeline.shade_from_attrs.
+    Returns the `at` dict consumed by pipeline.shade_from_attrs
+    (plus "mir" when ``with_mirror`` — the reflective path's blend weight).
 
     ``checker_tau`` (static float): 0.0 keeps the reference-faithful hard
     checker select (bit-exact with the unrolled pipeline); > 0 blends
@@ -277,11 +327,14 @@ def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb, checker_tau: float = 0.
     # object-chunked Pallas kernels (fused_vec): only the object stage
     # (intersection + attribute gather) is path-specific, so the three
     # implementations agree bitwise wherever the hit decision agrees.
-    return {
+    at = {
         "nx": nx, "ny": ny, "nz": nz,
         "cr": base[0], "cg": base[1], "cb": base[2],
         "ka": ka, "kd": kd, "ks": ks, "shin": shin,
     }
+    if with_mirror:
+        at["mir"] = gather_obj(stacked(lambda m: m.mirror, lambda m: m.mirror))
+    return at
 
 
 # ---------------------------------------------------------------------------

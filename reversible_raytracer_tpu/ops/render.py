@@ -37,7 +37,18 @@ def render_jnp(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = Non
 def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     """Render the full image with the best available implementation."""
     if impl == "auto":
-        if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
+        if cfg.reflections and cfg.soft_tau == 0.0 and cfg.checker_tau == 0.0:
+            # Mirror reflections: the unrolled family traces the bounce
+            # replay for free; the object-chunked Pallas kernels refuse.
+            # Large reflective scenes fall back to the object-vectorized
+            # jnp path (O(1) compile; XLA still fuses well).
+            n_obj = scene.spheres.count + scene.rects.count
+            on_tpu = jax.default_backend() == "tpu"
+            if n_obj <= 24:
+                impl = "pallas" if on_tpu else "jnp"
+            else:
+                impl = "jnp_vec"
+        elif cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
             # Soft-visibility / soft-checker rendering: the dedicated soft
             # Pallas kernels on TPU, the object-vectorized jnp path
             # elsewhere (the HARD Pallas kernels would silently drop the
@@ -102,7 +113,10 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
         and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
     )
     want_unrolled = (
-        impl == "pallas" or (impl != "pallas_vec" and n_obj <= 24)
+        impl == "pallas"
+        # the vec step kernel refuses reflections -> unrolled handles them
+        # (explicit impl="pallas_vec" still falls through and raises loudly)
+        or (impl != "pallas_vec" and (n_obj <= 24 or cfg.reflections > 0))
     )
     if fused_ok and want_unrolled and cfg.spp in (1, 4):
         from .kernels.fused import loss_grad_pallas
@@ -110,7 +124,7 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
         return lambda scene, target: loss_grad_pallas(
             scene, cfg, target, loss=loss
         )
-    if fused_ok and cfg.spp == 1:
+    if fused_ok and cfg.spp == 1 and cfg.reflections == 0:
         # Large object counts: the object-chunked step kernel (O(1)
         # compile in N, chunk-skipped backward).
         from .kernels.fused_vec import loss_grad_pallas_vec

@@ -15,7 +15,7 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liboracle.so"))
-_ABI_VERSION = 2  # must equal oracle.cpp's rrt_version()
+_ABI_VERSION = 3  # must equal oracle.cpp's rrt_version()
 _lib = None
 _build_failed = False
 
@@ -49,7 +49,8 @@ def _load():
         _build_failed = True
         return None
     # ABI check: rrt_render's signature changed in v2 (checker_tau before
-    # `out`). A stale .so that escaped the mtime heuristic (restored build
+    # `out`) and v3 (13-wide material block + reflections param). A stale
+    # .so that escaped the mtime heuristic (restored build
     # cache, mtime-preserving copy) would be called with v2 argtypes
     # against the v1 entry point — writing pixels through a garbage
     # pointer. Force one rebuild, then give up cleanly.
@@ -72,7 +73,7 @@ def _load():
     lib.rrt_render.argtypes = (
         [D, D, D, ctypes.c_int] + [D, D, D, D, ctypes.c_int]
         + [D, D, ctypes.c_int] + [D, D, D]
-        + [ctypes.c_int] * 4 + [ctypes.c_double] + [D]
+        + [ctypes.c_int] * 4 + [ctypes.c_double, ctypes.c_int] + [D]
     )
     lib.rrt_render.restype = None
     _lib = lib
@@ -84,9 +85,9 @@ def available() -> bool:
 
 
 def _mat_block(mat) -> np.ndarray:
-    """Pack Materials into the (K, 12) layout oracle.cpp expects."""
+    """Pack Materials into the (K, 13) layout oracle.cpp expects (ABI v3)."""
     k = np.shape(mat.color)[0]
-    out = np.empty((k, 12), np.float64)
+    out = np.empty((k, 13), np.float64)
     out[:, 0:3] = np.asarray(mat.color, np.float64)
     out[:, 3:6] = np.asarray(mat.color2, np.float64)
     out[:, 6] = np.asarray(mat.checker, np.float64)
@@ -95,14 +96,16 @@ def _mat_block(mat) -> np.ndarray:
     out[:, 9] = np.asarray(mat.kd, np.float64)
     out[:, 10] = np.asarray(mat.ks, np.float64)
     out[:, 11] = np.asarray(mat.shininess, np.float64)
+    out[:, 12] = np.asarray(mat.mirror, np.float64)
     return out
 
 
 def render(scene, height: int, width: int, shadows: bool = True, clip: bool = True,
-           checker_tau: float = 0.0):
+           checker_tau: float = 0.0, reflections: int = 0):
     """Drop-in for oracle.reference_np.render, ~2 orders of magnitude faster
     at config-5 scale. Raises RuntimeError if the native lib is unavailable.
-    ``checker_tau``: soft-checker relaxation (RenderConfig.checker_tau)."""
+    ``checker_tau``: soft-checker relaxation (RenderConfig.checker_tau).
+    ``reflections``: mirror bounces (RenderConfig.reflections)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native oracle unavailable (build failed)")
@@ -137,6 +140,6 @@ def render(scene, height: int, width: int, shadows: bool = True, clip: bool = Tr
         p(lp), p(lc), scene.lights.count,
         p(cam), p(ambient), p(bg),
         height, width, int(shadows), int(clip),
-        ctypes.c_double(float(checker_tau)), p(out),
+        ctypes.c_double(float(checker_tau)), int(reflections), p(out),
     )
     return out

@@ -116,19 +116,21 @@ def _checker_soft(mat_checker, c1, c2, parts, tau):
     return c1 + use2[..., None] * (c2 - c1)
 
 
+_MAT_FIELDS = ("color", "color2", "checker", "checker_scale", "ka", "kd",
+               "ks", "shininess", "mirror")
+
+
 def _scene_arrays(scene):
     sp = scene.spheres
     rc = scene.rects
     return {
         "sc": _np(sp.center),
         "sr": _np(sp.radius),
-        "smat": {f: _np(getattr(sp.material, f)) for f in
-                 ("color", "color2", "checker", "checker_scale", "ka", "kd", "ks", "shininess")},
+        "smat": {f: _np(getattr(sp.material, f)) for f in _MAT_FIELDS},
         "ro": _np(rc.origin),
         "ru": _np(rc.edge_u),
         "rv": _np(rc.edge_v),
-        "rmat": {f: _np(getattr(rc.material, f)) for f in
-                 ("color", "color2", "checker", "checker_scale", "ka", "kd", "ks", "shininess")},
+        "rmat": {f: _np(getattr(rc.material, f)) for f in _MAT_FIELDS},
         "lp": _np(scene.lights.position),
         "lc": _np(scene.lights.color),
         "ambient": _np(scene.ambient),
@@ -155,17 +157,42 @@ def _occluded(arr, o, ldir, dist):
 
 
 def render(scene, height, width, shadows=True, clip=True, projection="perspective",
-           checker_tau=0.0):
+           checker_tau=0.0, reflections=0):
     """Render the scene exactly like the jnp/Pallas pipeline claims to.
 
     Returns float64 (H, W, 3). ``checker_tau`` > 0 enables the soft-checker
     relaxation (RenderConfig.checker_tau) in f64 — the FD oracle for the
-    texture->position->camera gradient path.
+    texture->position->camera gradient path. ``reflections`` mirrors
+    RenderConfig.reflections (specular bounces, lerp(local, reflected,
+    material.mirror), unclipped per level, one clip at top).
     """
     arr = _scene_arrays(scene)
     o, d = _camera_rays(scene.camera, height, width, projection)
     H, W = height, width
+    colimg = _radiance(arr, o, d, H, W, shadows, checker_tau, reflections)
+    if clip:
+        colimg = np.clip(colimg, 0.0, 1.0)
+    return colimg
 
+
+def _radiance(arr, o, d, H, W, shadows, checker_tau, depth):
+    """Unclipped radiance for rays (o, d), recursing ``depth`` mirror
+    bounces. The hit/background select applies at every level (a reflected
+    ray that misses sees the background color)."""
+    col, hit, p, normal, mir = _shade_level(arr, o, d, H, W, shadows, checker_tau)
+    if depth > 0:
+        ddotn = np.einsum("hwc,hwc->hw", d, normal)
+        rdir = d - 2.0 * ddotn[..., None] * normal
+        ro = p + SHADOW_EPS * normal
+        rcol = _radiance(arr, ro, rdir, H, W, shadows, checker_tau, depth - 1)
+        m = np.where(hit, mir, 0.0)
+        col = col + m[..., None] * (rcol - col)
+    return col
+
+
+def _shade_level(arr, o, d, H, W, shadows, checker_tau):
+    """One trace + local shade. Returns (color-with-bg-select, hit, hit
+    point, normal, mirror plane) — everything a bounce level needs."""
     ts, tr, ra, rb = _all_hits(arr, o, d)
     t_all = np.concatenate([ts, tr], axis=0)  # (N+M, H, W)
     n_sph = ts.shape[0]
@@ -173,7 +200,8 @@ def render(scene, height, width, shadows=True, clip=True, projection="perspectiv
 
     if n_obj == 0:
         img = np.broadcast_to(arr["bg"], (H, W, 3)).copy()
-        return np.clip(img, 0.0, 1.0) if clip else img
+        zero = np.zeros((H, W))
+        return img, np.zeros((H, W), bool), o * np.ones((H, W, 3)), np.zeros((H, W, 3)), zero
 
     # Nearest hit with ties toward the earlier object (matching the unrolled
     # where-chain: a strictly-closer later object wins, ties keep earlier).
@@ -186,7 +214,7 @@ def render(scene, height, width, shadows=True, clip=True, projection="perspectiv
     # Per-pixel normals, colors, coefficients.
     normal = np.zeros((H, W, 3))
     base = np.zeros((H, W, 3))
-    coeff = {f: np.zeros((H, W)) for f in ("ka", "kd", "ks", "shininess")}
+    coeff = {f: np.zeros((H, W)) for f in ("ka", "kd", "ks", "shininess", "mirror")}
     for k in range(n_obj):
         sel = k_best == k
         if not sel.any():
@@ -256,9 +284,7 @@ def render(scene, height, width, shadows=True, clip=True, projection="perspectiv
         colimg = colimg + (vis[..., None] * contrib) * arr["lc"][li][None, None, :]
 
     colimg = np.where(hit[..., None], colimg, arr["bg"][None, None, :])
-    if clip:
-        colimg = np.clip(colimg, 0.0, 1.0)
-    return colimg
+    return colimg, hit, p, normal, coeff["mirror"]
 
 
 def mse_loss(image, target):

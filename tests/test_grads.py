@@ -107,10 +107,9 @@ def test_grad_material_color(sphere_setup):
     mat = start.spheres.material
 
     def set_color(s, v):
-        m = mat.__class__(
-            color=jnp.asarray(v, jnp.float32), color2=mat.color2, checker=mat.checker,
-            checker_scale=mat.checker_scale, ka=mat.ka, kd=mat.kd, ks=mat.ks,
-            shininess=mat.shininess)
+        import dataclasses
+
+        m = dataclasses.replace(mat, color=jnp.asarray(v, jnp.float32))
         return s.__class__(
             spheres=s.spheres.__class__(center=s.spheres.center, radius=s.spheres.radius, material=m),
             rects=s.rects, lights=s.lights, camera=s.camera,
