@@ -447,6 +447,47 @@ def main():
         except Exception as e:  # noqa: BLE001 — bench row is best-effort
             _log(f"config-4 bench row skipped: {type(e).__name__}: {e}")
 
+    # --- config-6 capability row: mirror-reflections training step ---
+    # Per-step cost of the reflective fused step kernel (one bounce doubles
+    # the in-kernel trace) + the through-the-bounce inversion wall-clock.
+    # Best-effort: fresh Mosaic compile when the cache is cold.
+    if on_tpu:
+        try:
+            scene6, spec6, cfg6 = configs.config6_mirror(512)
+            vag6 = loss_and_grad_fn(scene6, cfg6)
+            tgt6 = jnp.zeros((512, 512, 3), jnp.float32)
+            t0 = time.perf_counter()
+            t6, _, _ = _median_slope(
+                lambda n: _vag_total(vag6, scene6, tgt6, n), 10, 60, k=3
+            )
+            _log(f"pallas reflections=1 3-obj 512^2 fused step: {t6*1e3:.3f} "
+                 f"ms/step ({t6/t_fast:.2f}x the local-shading step) "
+                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+            details["config6_reflect_fwdbwd_ms"] = t6 * 1e3
+
+            from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+
+            tgt6r = jax.jit(lambda s: render_pallas(s, cfg6))(scene6)
+            start6 = configs.perturb(scene6, spec6, scale=0.3, seed=6)
+            ocfg6 = OptConfig(iters=150, lr=2e-2, schedule="cosine")
+            t0 = time.perf_counter()
+            final6, losses6 = optimize_scan(
+                start6, tgt6r, spec6, cfg6, ocfg6,
+                vag_fn=vag6, cache_key="bench-config6",
+            )
+            l6 = float(losses6[-1])  # value fetch before reading the clock
+            t6w = time.perf_counter() - t0
+            rms6 = float(param_error(final6, scene6, spec6))
+            _log(f"config-6 mirror inversion @512^2 (150 steps, 30% perturb): "
+                 f"{t6w:.1f}s  final_loss={l6:.3e} mirror_rms={rms6:.2e}")
+            details["config6_invert_seconds"] = t6w
+            details["config6_invert_param_rms"] = rms6
+            details["config6_invert_final_loss"] = l6
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+        except Exception as e:  # noqa: BLE001 — bench row is best-effort
+            _log(f"config-6 bench row skipped: {type(e).__name__}: {e}")
+
 
 if __name__ == "__main__":
     main()

@@ -81,6 +81,36 @@ def main():
           f"finite={finite} [{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)",
           flush=True)
 
+    # Mirror reflections (RenderConfig.reflections, config 6): the unrolled
+    # kernels trace the bounce replay inside render_tile — verify the
+    # COMPILED Mosaic lowering agrees with jnp (fwd) and that the fused
+    # step kernel's through-the-bounce gradients match XLA autodiff.
+    scene6, spec6, _ = configs.config6_mirror(128)
+    cfg6 = RenderConfig(height=128, width=128, shadows=True, reflections=1)
+    t0 = time.time()
+    img_p = np.asarray(jax.jit(lambda s: render_pallas(s, cfg6))(scene6))
+    img_j = np.asarray(jax.jit(lambda s: render_jnp(s, cfg6))(scene6))
+    fwd_diff = np.abs(img_p - img_j).max()
+    target = jnp.asarray(img_j)
+    start = configs.perturb(scene6, spec6, scale=0.3, seed=6)
+    l2, g2 = jax.jit(
+        jax.value_and_grad(lambda s: mse_loss(render_jnp(s, cfg6), target))
+    )(start)
+    l1, g1 = jax.jit(lambda s: loss_grad_pallas(s, cfg6, target))(start)
+    ldiff = abs(float(l1) - float(l2)) / max(float(l2), 1e-12)
+    gdiff, finite = 0.0, True
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.size:
+            scale = max(float(np.abs(b).max()), 1e-10)
+            gdiff = max(gdiff, float(np.abs(a - b).max()) / scale)
+            finite &= bool(np.isfinite(a).all())
+    ok = fwd_diff <= 1e-6 and ldiff <= 1e-4 and gdiff <= 1e-3 and finite
+    failures += (not ok)
+    print(f"reflections config-6 @128²: fwd_diff={fwd_diff:.2e} loss_rel={ldiff:.2e} "
+          f"grad_rel={gdiff:.2e} finite={finite} [{'OK' if ok else 'FAIL'}] "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
     # Object-chunked kernels (fused_vec) vs the object-vectorized jnp path:
     # forward expected bit-exact; grads finite and close (the hand-planned
     # masked-vjp backward differs from XLA autodiff only at boundary-pixel
