@@ -29,10 +29,12 @@ def _add_common(p):
                    help="JSON scene file overriding the config's parameters")
     p.add_argument("--spp", type=int, default=1, choices=[1, 4],
                    help="samples per pixel (4 = 2x2 supersampling AA)")
-    p.add_argument("--reflections", type=int, default=0,
+    p.add_argument("--reflections", type=int, default=None,
                    help="mirror bounces (scene materials' `mirror` field "
                         "sets per-object reflectivity; 0 = reference "
-                        "semantics). Unrolled family + jnp_vec only.")
+                        "semantics). Default: the config's own setting "
+                        "(config 6 defaults to 1 — pass 0 to disable). "
+                        "Unrolled family + jnp_vec only.")
 
 
 def _build(args):
@@ -49,7 +51,7 @@ def _build(args):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, spp=args.spp)
-    if getattr(args, "reflections", 0):
+    if getattr(args, "reflections", None) is not None:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, reflections=args.reflections)

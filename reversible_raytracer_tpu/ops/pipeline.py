@@ -504,7 +504,10 @@ def shade(scene: Scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
     vis_out: list = []
 
     def level(o_l: Vec3, d_l: Vec3, depth: int):
-        t, hit, at = trace_nearest(scene, o_l, d_l, shape, with_mirror=True)
+        # The deepest level never blends, so its mirror select chain would
+        # be dead weight in the kernels — skip it there.
+        t, hit, at = trace_nearest(scene, o_l, d_l, shape,
+                                   with_mirror=depth < bounces)
         vi = None
         if vis_in is not None and len(vis_in):
             vi = tuple(vis_in[depth * L:(depth + 1) * L])

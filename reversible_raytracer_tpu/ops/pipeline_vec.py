@@ -117,13 +117,13 @@ def spp_average(render_once, cfg: RenderConfig):
 
 def render_jnp_vec(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = None):
     """Object-vectorized full render. Returns (H, W, 3) float32."""
+    if cfg.reflections and (cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0):
+        raise NotImplementedError(
+            "mirror reflections require hard semantics (reflections=0 when "
+            "soft_tau/checker_tau > 0; anneal to hard, then polish with "
+            "reflections on)"
+        )
     if cfg.soft_tau > 0.0:
-        if cfg.reflections:
-            raise NotImplementedError(
-                "mirror reflections require hard semantics (reflections=0 "
-                "when soft_tau > 0; anneal to hard, then polish with "
-                "reflections on)"
-            )
         return spp_average(
             lambda oi, oj: _render_soft(scene, cfg, row0, height, oi, oj), cfg
         )
@@ -198,7 +198,7 @@ def _render_hard_once(scene: Scene, cfg: RenderConfig, row0=0,
 
     def level(o_l, d_l, depth):
         col, t, hit, at = _trace_shade_hard(
-            scene, cfg_level, o_l, d_l, H, W, with_mirror=True
+            scene, cfg_level, o_l, d_l, H, W, with_mirror=depth < bounces
         )
         if depth < bounces:
             n = (at["nx"], at["ny"], at["nz"])

@@ -113,10 +113,7 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
         and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
     )
     want_unrolled = (
-        impl == "pallas"
-        # the vec step kernel refuses reflections -> unrolled handles them
-        # (explicit impl="pallas_vec" still falls through and raises loudly)
-        or (impl != "pallas_vec" and (n_obj <= 24 or cfg.reflections > 0))
+        impl == "pallas" or (impl != "pallas_vec" and n_obj <= 24)
     )
     if fused_ok and want_unrolled and cfg.spp in (1, 4):
         from .kernels.fused import loss_grad_pallas
@@ -124,6 +121,11 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
         return lambda scene, target: loss_grad_pallas(
             scene, cfg, target, loss=loss
         )
+    # Large reflective scenes fall THROUGH both kernel branches to the
+    # value_and_grad fallback (render auto -> jnp_vec): the vec step kernel
+    # refuses reflections, and the unrolled kernel's O(N)-growth compile /
+    # VMEM live set makes it wrong above the 24-object crossover even
+    # though it would trace.
     if fused_ok and cfg.spp == 1 and cfg.reflections == 0:
         # Large object counts: the object-chunked step kernel (O(1)
         # compile in N, chunk-skipped backward).

@@ -48,10 +48,27 @@ def load(path: str, scene_like, opt_state_like=None, allow_partial: bool = False
     resumed run undetectably). Pass ``allow_partial=True`` to substitute
     template leaves for missing keys (e.g. loading a scene-only checkpoint
     into a run with a different optimizer).
+
+    Scene keys are name-addressed, so a checkpoint written before a scene
+    SCHEMA change (a new Materials field, say) is detected by name and
+    raises a schema error rather than a bare KeyError. ``allow_partial``
+    does NOT cover scene keys on purpose: optimizer-state keys are
+    flat-INDEXED, so a schema change also silently misaligns every opt/<i>
+    moment — substituting scene defaults would corrupt the resumed run
+    undetectably. Re-create the checkpoint under the new schema instead.
     """
     with np.load(path) as data:
         step = int(data["__step__"])
         names, _, treedef = _flatten_with_names(scene_like)
+        missing_scene = [n for n in names if f"scene/{n}" not in data]
+        if missing_scene:
+            raise ValueError(
+                f"checkpoint {path!r} predates the current scene schema: "
+                f"missing scene keys {missing_scene}. Old checkpoints "
+                f"cannot be resumed across schema changes (the flat-indexed "
+                f"optimizer moments would silently misalign) — re-run from "
+                f"scratch or re-save the checkpoint under the new schema."
+            )
         leaves = [jnp.asarray(data[f"scene/{n}"]) for n in names]
         scene = jax.tree_util.tree_unflatten(treedef, leaves)
         opt_state = None

@@ -180,8 +180,32 @@ def test_vec_kernels_refuse_reflections():
 
     with pytest.raises(NotImplementedError, match="reflections"):
         render_pallas_vec(scene, cfg, interpret=True)
+    # Both soft relaxations are reflections-exclusive (staged workflow):
     with pytest.raises(NotImplementedError, match="reflections"):
         render(scene, dataclasses.replace(cfg, soft_tau=0.05), impl="jnp_vec")
+    with pytest.raises(NotImplementedError, match="reflections"):
+        render(scene, dataclasses.replace(cfg, checker_tau=0.3), impl="jnp_vec")
+    # ...and auto dispatch surfaces the same refusal rather than silently
+    # rendering mismatched semantics.
+    with pytest.raises(NotImplementedError, match="reflections"):
+        render(scene, dataclasses.replace(cfg, checker_tau=0.3), impl="auto")
+
+
+def test_cli_reflections_zero_overrides_config6(tmp_path):
+    """--reflections 0 must actually disable config 6's default bounce."""
+    from reversible_raytracer_tpu.cli import main as cli
+    from reversible_raytracer_tpu.utils.imageio import load_png
+
+    p0 = str(tmp_path / "r0.png")
+    p1 = str(tmp_path / "r1.png")
+    cli(["render", "--config", "6", "--size", "32", "--reflections", "0", "-o", p0])
+    cli(["render", "--config", "6", "--size", "32", "-o", p1])
+    scene, _, _ = configs.config6_mirror(32)
+    want0 = np.asarray(render_jnp(scene, RenderConfig(height=32, width=32)))
+    got0 = load_png(p0)
+    got1 = load_png(p1)
+    assert np.abs(got0 - want0).max() < 1e-2  # PNG is 8-bit quantized
+    assert np.abs(got1 - got0).max() > 0.1  # default keeps the bounce
 
 
 def test_auto_dispatch_routes_reflections():
@@ -242,6 +266,27 @@ def test_mirror_inversion_converges():
     err1 = float(param_error(final, scene, spec))
     assert float(losses[-1]) < 1e-6
     assert err1 < 5e-3, (err0, err1)
+
+
+def test_checkpoint_schema_change_raises_clearly(tmp_path):
+    """A checkpoint written under an older scene schema (no mirror leaf)
+    must fail with a schema error naming the missing keys — NOT a bare
+    KeyError, and NOT a silent template substitution (the flat-indexed
+    optimizer moments would misalign undetectably)."""
+    import numpy as np_
+
+    from reversible_raytracer_tpu.utils import checkpoint
+
+    scene, _ = _mirror_scene()
+    p = str(tmp_path / "ck.npz")
+    checkpoint.save(p, scene, step=5)
+    # Simulate the pre-mirror schema: drop the mirror keys from the file.
+    with np_.load(p) as data:
+        arrays = {k: data[k] for k in data.files if "mirror" not in k}
+    with open(p, "wb") as fh:
+        np_.savez(fh, **arrays)
+    with pytest.raises(ValueError, match="schema"):
+        checkpoint.load(p, scene)
 
 
 def test_sceneio_roundtrip_mirror(tmp_path):
