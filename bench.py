@@ -488,6 +488,46 @@ def main():
         except Exception as e:  # noqa: BLE001 — bench row is best-effort
             _log(f"config-6 bench row skipped: {type(e).__name__}: {e}")
 
+    # --- config-7 capability row: texture recovery (jnp/XLA path) ---
+    # Textures are gather-shaped work the SMEM-scalar kernels refuse; this
+    # row records what the XLA fallback costs per step at 512^2 and the
+    # 768-parameter texture-recovery wall-clock.
+    if on_tpu:
+        try:
+            scene7, spec7, cfg7 = configs.config7_texture(512)
+            vag7 = loss_and_grad_fn(scene7, cfg7)  # falls back to XLA v&g
+            tgt7 = jnp.zeros((512, 512, 3), jnp.float32)
+            t0 = time.perf_counter()
+            t7, _, _ = _median_slope(
+                lambda n: _vag_total(vag7, scene7, tgt7, n), 10, 60, k=3
+            )
+            _log(f"textured (XLA jnp path) 512^2 fwd+bwd: {t7*1e3:.3f} ms/step "
+                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+            details["config7_texture_fwdbwd_ms"] = t7 * 1e3
+
+            tgt7r = jax.jit(lambda s: render_jnp(s, cfg7))(scene7)
+            start7 = configs.perturb(scene7, spec7, scale=0.4, seed=11)
+            ocfg7 = OptConfig(iters=200, lr=3e-2, schedule="cosine")
+            t0 = time.perf_counter()
+            final7, losses7 = optimize_scan(
+                start7, tgt7r, spec7, cfg7, ocfg7,
+                render_fn=lambda s: render_jnp(s, cfg7),
+                cache_key="bench-config7",
+            )
+            l7 = float(losses7[-1])  # value fetch before reading the clock
+            t7w = time.perf_counter() - t0
+            rms7 = float(param_error(final7, scene7, spec7))
+            _log(f"config-7 texture recovery @512^2 (200 steps, 768 texels, "
+                 f"40% perturb): {t7w:.1f}s  final_loss={l7:.3e} "
+                 f"texture_rms={rms7:.3e} (incl. unobservable texels)")
+            details["config7_invert_seconds"] = t7w
+            details["config7_invert_texture_rms"] = rms7
+            details["config7_invert_final_loss"] = l7
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+        except Exception as e:  # noqa: BLE001 — bench row is best-effort
+            _log(f"config-7 bench row skipped: {type(e).__name__}: {e}")
+
 
 if __name__ == "__main__":
     main()

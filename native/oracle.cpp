@@ -54,6 +54,8 @@ struct SceneView {
   int n_sph;
   const double *ro, *ru, *rv, *rmat;
   int n_rct;
+  const double* rtex;  // (n_rct, tex_k, tex_k, 3) texel grid, or nullptr
+  int tex_k;           // 0 = untextured
   const double *lp, *lc;
   int n_lights;
   Vec3 ambient, background;
@@ -113,6 +115,34 @@ inline double soft_q1(double x, double tau) {
   return tri / (std::abs(tri) + tau + 1e-6);
 }
 
+// f64 mirror of pipeline.sample_texture / reference_np._sample_texture:
+// bilinear with clamp-at-edge, identical clamp/floor sequence.
+inline Vec3 sample_texture(const double* tex, int k, double a, double b) {
+  double u = a * k - 0.5, v = b * k - 0.5;
+  double i0f = std::floor(u), j0f = std::floor(v);
+  if (i0f < 0.0) i0f = 0.0;
+  if (i0f > k - 1) i0f = k - 1;
+  if (j0f < 0.0) j0f = 0.0;
+  if (j0f > k - 1) j0f = k - 1;
+  double fi = u - i0f, fj = v - j0f;
+  if (fi < 0.0) fi = 0.0;
+  if (fi > 1.0) fi = 1.0;
+  if (fj < 0.0) fj = 0.0;
+  if (fj > 1.0) fj = 1.0;
+  int i0 = int(i0f), j0 = int(j0f);
+  int i1 = i0 + 1 < k ? i0 + 1 : k - 1;
+  int j1 = j0 + 1 < k ? j0 + 1 : k - 1;
+  const double* t00 = tex + (size_t(i0) * k + j0) * 3;
+  const double* t01 = tex + (size_t(i0) * k + j1) * 3;
+  const double* t10 = tex + (size_t(i1) * k + j0) * 3;
+  const double* t11 = tex + (size_t(i1) * k + j1) * 3;
+  Vec3 out;
+  out.x = (1.0 - fi) * ((1.0 - fj) * t00[0] + fj * t01[0]) + fi * ((1.0 - fj) * t10[0] + fj * t11[0]);
+  out.y = (1.0 - fi) * ((1.0 - fj) * t00[1] + fj * t01[1]) + fi * ((1.0 - fj) * t10[1] + fj * t11[1]);
+  out.z = (1.0 - fi) * ((1.0 - fj) * t00[2] + fj * t01[2]) + fi * ((1.0 - fj) * t10[2] + fj * t11[2]);
+  return out;
+}
+
 inline Vec3 checker_color_soft(const Mat& m, double q) {
   double use2 = m.checker * (0.5 - 0.5 * q);
   return {m.color.x + use2 * (m.color2.x - m.color.x),
@@ -169,7 +199,11 @@ inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d, int depth) {
     Vec3 n_unit = normalize(rn);
     double facing = dot(d, n_unit) < 0.0 ? 1.0 : -1.0;
     normal = n_unit * facing;
-    if (s.checker_tau > 0.0) {
+    if (s.tex_k > 0) {
+      // Image texture replaces the checker/solid base color.
+      base = sample_texture(
+          s.rtex + size_t(k) * s.tex_k * s.tex_k * 3, s.tex_k, ra, rb);
+    } else if (s.checker_tau > 0.0) {
       double q = soft_q1(ra * m.scale, s.checker_tau) *
                  soft_q1(rb * m.scale, s.checker_tau);
       base = checker_color_soft(m, q);
@@ -226,10 +260,12 @@ void rrt_render(const double* sph_center, const double* sph_radius,
                 int n_rct, const double* light_pos, const double* light_col,
                 int n_lights, const double* cam, const double* ambient,
                 const double* background, int H, int W, int shadows, int clip,
-                double checker_tau, int reflections, double* out) {
+                double checker_tau, int reflections, const double* rct_tex,
+                int tex_k, double* out) {
   SceneView s{sph_center, sph_radius, sph_mat, n_sph,
               rct_origin, rct_eu,     rct_ev,  rct_mat,
-              n_rct,      light_pos,  light_col, n_lights,
+              n_rct,      rct_tex,    tex_k,
+              light_pos,  light_col,  n_lights,
               load3(ambient), load3(background), shadows != 0, checker_tau,
               reflections};
 
@@ -261,6 +297,6 @@ void rrt_render(const double* sph_center, const double* sph_radius,
   }
 }
 
-int rrt_version() { return 3; }  // v3: mirror material + reflections param
+int rrt_version() { return 4; }  // v4: rect image textures (rct_tex, tex_k)
 
 }  // extern "C"

@@ -17,9 +17,10 @@ import time
 
 
 def _add_common(p):
-    p.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5, 6],
+    p.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5, 6, 7],
                    help="driver benchmark config number (BASELINE.json); "
-                        "6 = mirror-reflections extension scene")
+                        "6 = mirror-reflections extension scene, "
+                        "7 = texture-recovery extension scene")
     p.add_argument("--size", type=int, default=None,
                    help="image size (default: the config's native size)")
     p.add_argument("--impl", choices=["auto", "jnp", "jnp_vec", "pallas", "pallas_vec"], default="auto",
@@ -58,12 +59,17 @@ def _build(args):
     return scene, spec, cfg
 
 
-def _render_fn(cfg, impl, n_obj=None):
+def _render_fn(cfg, impl, n_obj=None, textured=False):
     import jax
 
     if impl == "auto":
         small = n_obj is None or n_obj <= 24
-        if cfg.reflections and not small:
+        if textured:
+            # Image textures are gather-shaped work — the jnp paths (XLA)
+            # render them; the SMEM-scalar kernels refuse (same policy as
+            # ops.render.render).
+            impl = "jnp" if small else "jnp_vec"
+        elif cfg.reflections and not small:
             # The object-chunked kernels refuse reflections; large
             # reflective scenes run object-vectorized jnp (same policy as
             # ops.render.render).
@@ -104,7 +110,8 @@ def cmd_render(args):
     scene, _, cfg = _build(args)
     if getattr(args, "shader", "phong") != "phong":
         cfg = dataclasses.replace(cfg, shader=args.shader)
-    render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count)
+    render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count,
+                              textured=scene.rects.textured)
     t0 = time.perf_counter()
     img = jax.jit(render)(scene)
     jax.block_until_ready(img)
@@ -134,7 +141,8 @@ def cmd_invert(args):
         # exactly two images (target + final.png). jnp_vec renders them in
         # ~100 ms with a fast XLA compile on every backend.
         args.impl = "jnp_vec"
-    render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count)
+    render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count,
+                              textured=scene.rects.textured)
 
     if args.paranoid:
         from .utils.paranoid import checked_render, enable_nan_debugging

@@ -239,6 +239,61 @@ def config6_mirror(size: int = 512):
     return scene, spec, cfg
 
 
+def config7_texture(size: int = 512, tex_k: int = 16, seed: int = 0):
+    """Config 7 (extension beyond the driver set): texture recovery.
+
+    A glossy sphere over a floor carrying a (tex_k, tex_k, 3) image
+    texture (bilinearly sampled, `Rects.texture`). The inverse render
+    optimizes the texel grid itself — 3*tex_k^2 parameters (768 at the
+    default 16), an order of magnitude more than any driver config — from
+    a noise-perturbed start. Every visible texel receives a direct,
+    piecewise-linear gradient through the bilinear weights, so recovery
+    is near-exact wherever the floor is visible and unshadowed; occluded
+    texels keep their start value (no signal — the test masks them).
+    Renders via the jnp paths (impl='auto' routes; the SMEM-scalar Pallas
+    kernels refuse texel grids by design).
+    """
+    rng = np.random.default_rng(seed)
+    # Deterministic smooth-ish RGB pattern: low-frequency gradients plus
+    # a few random blobs — recognizable in artifacts, not adversarial.
+    ii, jj = np.meshgrid(np.linspace(0, 1, tex_k), np.linspace(0, 1, tex_k),
+                         indexing="ij")
+    tex = np.stack([
+        0.25 + 0.6 * ii,
+        0.25 + 0.6 * jj,
+        0.5 + 0.4 * np.sin(6.0 * ii) * np.cos(4.0 * jj),
+    ], axis=-1)
+    for _ in range(4):
+        ci, cj = rng.uniform(0.15, 0.85, size=2)
+        r2 = (ii - ci) ** 2 + (jj - cj) ** 2
+        tex += rng.uniform(-0.35, 0.35, size=3) * np.exp(-r2 / 0.02)[..., None]
+    tex = np.clip(tex, 0.05, 0.95).astype(np.float32)
+
+    s = sphere(
+        (0.4, 0.1, 0.3),
+        0.75,
+        _mat((0.85, 0.3, 0.25), ks=0.45, shininess=50.0),
+    )
+    plane = ground_plane(
+        -0.7, 4.5,
+        _mat((1.0, 1.0, 1.0), ka=0.2, kd=0.85),
+        texture=tex,
+    )
+    scene = Scene.make(
+        spheres=s,
+        rects=plane,
+        lights=Lights(
+            position=jnp.array([[3.0, 7.0, 4.0]], jnp.float32),
+            color=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        ),
+        # Elevated, tilted view so most of the textured floor is visible.
+        camera=Camera.make((0.0, 4.2, 5.2), (0.0, -0.7, 0.0), fov_deg=55.0),
+    )
+    spec = ParamSpec.none(scene).train("rects.texture", lower=0.0, upper=1.0)
+    cfg = RenderConfig(height=size, width=size, shadows=True)
+    return scene, spec, cfg
+
+
 CONFIGS = {
     1: config1_single_sphere,
     2: config2_four_spheres,
@@ -246,6 +301,7 @@ CONFIGS = {
     4: config4_checker_camera,
     5: config5_many_spheres,
     6: config6_mirror,
+    7: config7_texture,
 }
 
 

@@ -145,10 +145,28 @@ class Rects:
     edge_u: jnp.ndarray  # (M, 3)
     edge_v: jnp.ndarray  # (M, 3)
     material: Materials  # leading dim M
+    # Optional per-rect image texture (capability extension beyond the
+    # reference): (M, K, K, 3) texel grid, bilinearly sampled at the rect's
+    # (a, b) hit coordinates and REPLACING the checker/solid base color
+    # when non-empty (K > 0). Texels are ordinary differentiable scene
+    # parameters — `spec.train("rects.texture")` turns inverse rendering
+    # into texture recovery (config 7). K is static (trace-time); all
+    # rects of a scene share one K (merge_rects requires matching K).
+    # Texture scenes render via the jnp paths (XLA lowers the bilinear
+    # gathers well); the Pallas kernel families refuse them loudly.
+    texture: jnp.ndarray  # (M, K, K, 3); K == 0 -> untextured
 
     @property
     def count(self) -> int:
         return _leading_dim(self.origin)
+
+    @property
+    def textured(self) -> bool:
+        """True when the texture grid is non-empty. Tolerates the kernel
+        scalar view's tuple sentinel (an empty tuple) for size-0 leaves."""
+        if isinstance(self.texture, (tuple, list)):
+            return len(self.texture) > 0
+        return self.texture.size > 0
 
     @staticmethod
     def empty() -> "Rects":
@@ -161,6 +179,7 @@ class Rects:
             material=Materials(
                 color=z, color2=z, checker=z1, checker_scale=z1, ka=z1, kd=z1, ks=z1, shininess=z1, mirror=z1
             ),
+            texture=jnp.zeros((0, 0, 0, 3), jnp.float32),
         )
 
 
@@ -239,16 +258,25 @@ def sphere(center, radius, material: Materials) -> Spheres:
     )
 
 
-def rect(origin, edge_u, edge_v, material: Materials) -> Rects:
+def rect(origin, edge_u, edge_v, material: Materials, texture=None) -> Rects:
+    """``texture``: optional (K, K, 3) texel grid (see Rects.texture)."""
+    if texture is None:
+        tex = jnp.zeros((1, 0, 0, 3), jnp.float32)
+    else:
+        tex = _f32(texture)
+        assert tex.ndim == 3 and tex.shape[-1] == 3, tex.shape
+        tex = tex[None]
     return Rects(
         origin=_f32(origin).reshape(1, 3),
         edge_u=_f32(edge_u).reshape(1, 3),
         edge_v=_f32(edge_v).reshape(1, 3),
         material=material,
+        texture=tex,
     )
 
 
-def ground_plane(y, half_extent, material: Materials, center_xz=(0.0, 0.0)) -> Rects:
+def ground_plane(y, half_extent, material: Materials, center_xz=(0.0, 0.0),
+                 texture=None) -> Rects:
     """Horizontal rect of side 2*half_extent at height y, facing +y."""
     cx, cz = center_xz
     s = float(half_extent)
@@ -257,6 +285,7 @@ def ground_plane(y, half_extent, material: Materials, center_xz=(0.0, 0.0)) -> R
         edge_u=(0.0, 0.0, 2 * s),  # u along +z
         edge_v=(2 * s, 0.0, 0.0),  # v along +x; u x v = +y
         material=material,
+        texture=texture,
     )
 
 

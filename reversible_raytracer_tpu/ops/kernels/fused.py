@@ -117,7 +117,12 @@ def _scalar_view(treedef, meta, read):
     (the only ranks the Scene schema uses)."""
     leaves = []
     for start, shape in meta:
-        if len(shape) == 0:
+        size = int(np.prod(shape)) if shape else 1
+        if size == 0:
+            # Size-0 leaf (the untextured Rects.texture grid): an empty
+            # tuple sentinel — Rects.textured and _leading_dim tolerate it.
+            leaves.append(())
+        elif len(shape) == 0:
             leaves.append(read(start))
         elif len(shape) == 1:
             leaves.append(tuple(read(start + i) for i in range(shape[0])))
@@ -126,7 +131,7 @@ def _scalar_view(treedef, meta, read):
             leaves.append(
                 tuple(tuple(read(start + i * m + j) for j in range(m)) for i in range(n))
             )
-        else:  # pragma: no cover - schema has no rank-3 leaves
+        else:  # pragma: no cover - non-empty rank>2 leaves are kernel-refused
             raise ValueError(f"unsupported leaf rank {len(shape)}")
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -159,6 +164,12 @@ def _make_fused(
             "soft_tau/checker_tau rendering lives in pipeline_vec."
             "render_jnp_vec and kernels.fused_vec_soft (render impl='auto' "
             "routes there)"
+        )
+    if scene_like.rects.textured:
+        raise NotImplementedError(
+            "image-textured scenes render via the jnp paths (XLA lowers "
+            "the bilinear texture gathers; a K*K*3 grid does not fit the "
+            "kernels' SMEM scalar plan) — render impl='auto' routes there"
         )
     out_h = cfg.height if out_h is None else out_h
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
@@ -335,6 +346,11 @@ def _make_loss_grad(
         raise NotImplementedError(
             "fused step kernel implements the hard reference semantics; "
             "soft_tau/checker_tau training steps run through fused_vec_soft"
+        )
+    if scene_like.rects.textured:
+        raise NotImplementedError(
+            "image-textured training steps run through jax.value_and_grad "
+            "over the jnp renderers (ops.render.loss_and_grad_fn routes)"
         )
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
     hit = _LG_CACHE.get(key)

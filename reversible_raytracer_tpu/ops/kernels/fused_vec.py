@@ -431,6 +431,11 @@ def _make_fused_vec(
             "mirror reflections run through the unrolled family (jnp / "
             "pallas) or jnp_vec (render impl='auto' routes there)"
         )
+    if scene_like.rects.textured:
+        raise NotImplementedError(
+            "image-textured scenes render via the jnp paths (the SMEM "
+            "object rows hold scalars, not texel grids) — impl='auto' routes"
+        )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count
     n_rct = scene_like.rects.count

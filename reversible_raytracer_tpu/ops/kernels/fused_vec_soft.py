@@ -269,6 +269,11 @@ def _make_fused_vec_soft(
             "mirror reflections require hard semantics (reflections=0 when "
             "soft_tau > 0; anneal to hard, then polish with reflections on)"
         )
+    if scene_like.rects.textured:
+        raise NotImplementedError(
+            "image-textured scenes render via the jnp paths (the SMEM "
+            "object rows hold scalars, not texel grids) — impl='auto' routes"
+        )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count
     n_rct = scene_like.rects.count

@@ -255,7 +255,45 @@ def soft_checker_q(parts, tau):
     return q
 
 
-def rect_color(mat, k, a, b) -> Vec3:
+def sample_texture(tex, a, b) -> Vec3:
+    """Bilinear sample of a (Ka, Kb, 3) texel grid at uv (a, b) in [0,1]^2
+    (a indexes the first texture axis), clamp-at-edge addressing.
+
+    Differentiable BOTH ways: d/d(texels) is the gather's scatter-add
+    transpose (every visible texel receives gradient — texture recovery),
+    and d/d(a, b) is the piecewise-linear interpolation weight gradient,
+    which flows through the hit coordinates to rect geometry and the
+    camera pose. Shared by the unrolled and object-vectorized paths so
+    they agree bitwise."""
+    ka, kb = tex.shape[0], tex.shape[1]
+    u = a * ka - 0.5
+    v = b * kb - 0.5
+    i0f = jnp.clip(jnp.floor(u), 0.0, ka - 1)
+    j0f = jnp.clip(jnp.floor(v), 0.0, kb - 1)
+    fi = jnp.clip(u - i0f, 0.0, 1.0)
+    fj = jnp.clip(v - j0f, 0.0, 1.0)
+    i0 = i0f.astype(jnp.int32)
+    j0 = j0f.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, ka - 1)
+    j1 = jnp.minimum(j0 + 1, kb - 1)
+    out = []
+    for c in range(3):
+        t00 = tex[i0, j0, c]
+        t01 = tex[i0, j1, c]
+        t10 = tex[i1, j0, c]
+        t11 = tex[i1, j1, c]
+        out.append((1.0 - fi) * ((1.0 - fj) * t00 + fj * t01)
+                   + fi * ((1.0 - fj) * t10 + fj * t11))
+    return tuple(out)
+
+
+def rect_color(rc, k, a, b) -> Vec3:
+    """Base color of rect ``k`` at its (a, b) hit coordinates: the bilinear
+    texture sample when the scene is textured, else the checker/solid
+    select (``rc`` is the Rects pytree)."""
+    if rc.textured:
+        return sample_texture(rc.texture[k], a, b)
+    mat = rc.material
     s = mat.checker_scale[k]
     parity = jnp.mod(jnp.floor(a * s) + jnp.floor(b * s), 2.0)
     return _checker_select(mat, k, parity)
@@ -337,7 +375,7 @@ def trace_nearest(scene: Scene, o: Vec3, d: Vec3, shape, with_mirror: bool = Fal
         # Two-sided shading: flip the normal toward the incoming ray.
         facing = jnp.where(vm.vdot(n_unit, d) < 0.0, 1.0, -1.0)
         n_unit = vm.vscale(n_unit, facing)
-        col = rect_color(rc.material, k, a, b)
+        col = rect_color(rc, k, a, b)
         update(t, closer, n_unit, col, rc.material, k)
 
     hit = t_best < BIG * 0.5

@@ -31,6 +31,7 @@ from .pipeline import (
     RenderConfig,
     camera_rays,
     reflect_dir,
+    sample_texture,
     shade_from_attrs,
     shadow_origin,
     soft_checker_q,
@@ -322,6 +323,20 @@ def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb, checker_tau: float = 0.
     else:
         use2 = (checker * parity) > 0.5
         base = [jnp.where(use2, c2, c1) for c1, c2 in zip(col1, col2)]
+
+    if n_rct and scene.rects.textured:
+        # Image texture overrides the checker/solid base on rect pixels
+        # (pipeline.rect_color semantics): bilinear-sample each rect's
+        # texel grid at the gathered (a, b), selected by the winning rect.
+        # O(M) trace in RECT count — acceptable: the large-N axis of this
+        # module is spheres; texel counts live inside each sample.
+        tex = scene.rects.texture  # (M, K, K, 3)
+        tex_base = [jnp.zeros_like(base[0]) for _ in range(3)]
+        for m_i in range(n_rct):
+            tm = sample_texture(tex[m_i], ga, gb)
+            sel_m = k_best == (n_sph + m_i)
+            tex_base = [jnp.where(sel_m, t, tb) for t, tb in zip(tm, tex_base)]
+        base = [jnp.where(is_sph, b, tb) for b, tb in zip(base, tex_base)]
 
     # Shading is shared VERBATIM with the unrolled pipeline and the
     # object-chunked Pallas kernels (fused_vec): only the object stage

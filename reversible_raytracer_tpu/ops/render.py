@@ -37,26 +37,38 @@ def render_jnp(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = Non
 def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     """Render the full image with the best available implementation."""
     if impl == "auto":
-        if cfg.reflections and cfg.soft_tau == 0.0 and cfg.checker_tau == 0.0:
+        n_obj = scene.spheres.count + scene.rects.count
+        on_tpu = jax.default_backend() == "tpu"
+        textured = scene.rects.textured
+        if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
+            # Soft-visibility / soft-checker rendering: the dedicated soft
+            # Pallas kernels on TPU, the object-vectorized jnp path
+            # elsewhere (the HARD Pallas kernels would silently drop the
+            # taus — they refuse). The soft kernels require soft_tau > 0
+            # and no texture grids; the checker-only relaxation and
+            # textured soft scenes run on the jnp path. (reflections +
+            # taus raises in jnp_vec — the relaxations are
+            # reflections-exclusive.)
+            impl = (
+                "pallas_vec_soft"
+                if (on_tpu and cfg.soft_tau > 0.0 and not textured)
+                else "jnp_vec"
+            )
+        elif textured:
+            # Image textures: gather-shaped work — XLA's job, not the SMEM
+            # scalar kernels' (they refuse). Works combined with
+            # reflections (both jnp paths trace the bounce replay).
+            impl = "jnp" if n_obj <= 24 else "jnp_vec"
+        elif cfg.reflections:
             # Mirror reflections: the unrolled family traces the bounce
             # replay for free; the object-chunked Pallas kernels refuse.
             # Large reflective scenes fall back to the object-vectorized
             # jnp path (O(1) compile; XLA still fuses well).
-            n_obj = scene.spheres.count + scene.rects.count
-            on_tpu = jax.default_backend() == "tpu"
             if n_obj <= 24:
                 impl = "pallas" if on_tpu else "jnp"
             else:
                 impl = "jnp_vec"
-        elif cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
-            # Soft-visibility / soft-checker rendering: the dedicated soft
-            # Pallas kernels on TPU, the object-vectorized jnp path
-            # elsewhere (the HARD Pallas kernels would silently drop the
-            # taus — they refuse). The soft kernels require soft_tau > 0;
-            # the rare checker-only relaxation runs on the jnp path.
-            on_tpu = jax.default_backend() == "tpu"
-            impl = "pallas_vec_soft" if (on_tpu and cfg.soft_tau > 0.0) else "jnp_vec"
-        elif jax.default_backend() == "tpu":
+        elif on_tpu:
             # Unrolled fused kernels compile O(N) (fastest for small object
             # counts); the object-chunked kernels compile O(1) — pick by N.
             # Crossover measured on v5e at 512^2 fwd+bwd: unrolled 0.172 ms
@@ -65,10 +77,8 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
             # (spp = 4 multiplies both families by ~4x — the unrolled path
             # fuses subsamples in-kernel, the vec wrappers average four
             # launches — so the crossover is unchanged.)
-            n_obj = scene.spheres.count + scene.rects.count
             impl = "pallas" if n_obj <= 24 else "pallas_vec"
         else:
-            n_obj = scene.spheres.count + scene.rects.count
             impl = "jnp" if n_obj <= 24 else "jnp_vec"
     if impl == "jnp":
         return render_jnp(scene, cfg)
@@ -109,6 +119,7 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
         jax.default_backend() == "tpu"
         and cfg.soft_tau == 0.0
         and cfg.checker_tau == 0.0
+        and not scene_like.rects.textured  # texture grids: jnp paths only
         and loss in ("mse", "sum")
         and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
     )

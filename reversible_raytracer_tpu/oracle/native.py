@@ -15,7 +15,7 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liboracle.so"))
-_ABI_VERSION = 3  # must equal oracle.cpp's rrt_version()
+_ABI_VERSION = 4  # must equal oracle.cpp's rrt_version()
 _lib = None
 _build_failed = False
 
@@ -73,7 +73,8 @@ def _load():
     lib.rrt_render.argtypes = (
         [D, D, D, ctypes.c_int] + [D, D, D, D, ctypes.c_int]
         + [D, D, ctypes.c_int] + [D, D, D]
-        + [ctypes.c_int] * 4 + [ctypes.c_double, ctypes.c_int] + [D]
+        + [ctypes.c_int] * 4 + [ctypes.c_double, ctypes.c_int]
+        + [D, ctypes.c_int] + [D]
     )
     lib.rrt_render.restype = None
     _lib = lib
@@ -113,6 +114,9 @@ def render(scene, height: int, width: int, shadows: bool = True, clip: bool = Tr
     c = np.ascontiguousarray
     f64 = np.float64
     sp, rc = scene.spheres, scene.rects
+    tex = np.asarray(rc.texture, f64)
+    tex_k = int(tex.shape[1]) if tex.size else 0
+    rtex = c(tex) if tex_k else np.zeros((1,), f64)
     sc = c(np.asarray(sp.center, f64))
     sr = c(np.asarray(sp.radius, f64))
     smat = c(_mat_block(sp.material))
@@ -140,6 +144,7 @@ def render(scene, height: int, width: int, shadows: bool = True, clip: bool = Tr
         p(lp), p(lc), scene.lights.count,
         p(cam), p(ambient), p(bg),
         height, width, int(shadows), int(clip),
-        ctypes.c_double(float(checker_tau)), int(reflections), p(out),
+        ctypes.c_double(float(checker_tau)), int(reflections),
+        p(rtex), tex_k, p(out),
     )
     return out

@@ -116,6 +116,27 @@ def _checker_soft(mat_checker, c1, c2, parts, tau):
     return c1 + use2[..., None] * (c2 - c1)
 
 
+def _sample_texture(tex, a, b):
+    """f64 mirror of pipeline.sample_texture: bilinear, clamp-at-edge.
+    tex (Ka, Kb, 3); a, b (H, W) in [0, 1]. Returns (H, W, 3)."""
+    ka, kb = tex.shape[0], tex.shape[1]
+    u = a * ka - 0.5
+    v = b * kb - 0.5
+    i0 = np.clip(np.floor(u), 0.0, ka - 1)
+    j0 = np.clip(np.floor(v), 0.0, kb - 1)
+    fi = np.clip(u - i0, 0.0, 1.0)[..., None]
+    fj = np.clip(v - j0, 0.0, 1.0)[..., None]
+    i0 = i0.astype(np.int64)
+    j0 = j0.astype(np.int64)
+    i1 = np.minimum(i0 + 1, ka - 1)
+    j1 = np.minimum(j0 + 1, kb - 1)
+    t00 = tex[i0, j0]
+    t01 = tex[i0, j1]
+    t10 = tex[i1, j0]
+    t11 = tex[i1, j1]
+    return (1.0 - fi) * ((1.0 - fj) * t00 + fj * t01) + fi * ((1.0 - fj) * t10 + fj * t11)
+
+
 _MAT_FIELDS = ("color", "color2", "checker", "checker_scale", "ka", "kd",
                "ks", "shininess", "mirror")
 
@@ -130,6 +151,7 @@ def _scene_arrays(scene):
         "ro": _np(rc.origin),
         "ru": _np(rc.edge_u),
         "rv": _np(rc.edge_v),
+        "rtex": _np(rc.texture),  # (M, K, K, 3); K == 0 -> untextured
         "rmat": {f: _np(getattr(rc.material, f)) for f in _MAT_FIELDS},
         "lp": _np(scene.lights.position),
         "lc": _np(scene.lights.color),
@@ -249,7 +271,11 @@ def _shade_level(arr, o, d, H, W, shadows, checker_tau):
             facing = np.where(np.einsum("hwc,c->hw", d, n_unit) < 0.0, 1.0, -1.0)
             nrm = nrm * facing[..., None]
             s = m["checker_scale"][mk]
-            if checker_tau > 0.0:
+            if arr["rtex"].size:
+                # Image texture replaces the checker/solid base color
+                # (pipeline.rect_color semantics).
+                col = _sample_texture(arr["rtex"][mk], ra[mk], rb[mk])
+            elif checker_tau > 0.0:
                 col = _checker_soft(
                     m["checker"][mk], m["color"][mk], m["color2"][mk],
                     (ra[mk] * s, rb[mk] * s), checker_tau,

@@ -54,6 +54,8 @@ def test_spp4_gradients_finite_and_pallas_matches():
         jax.tree_util.tree_flatten_with_path(gp)[0],
     ):
         x, y = np.asarray(x), np.asarray(y)
+        if not x.size:
+            continue
         assert np.isfinite(x).all() and np.isfinite(y).all()
         scale = max(np.abs(x).max(), 1e-6)
         np.testing.assert_allclose(x, y, atol=1e-2 * scale, err_msg=str(path))

@@ -95,6 +95,8 @@ def test_pallas_interpret_matches_jnp():
         jax.tree_util.tree_flatten_with_path(gp)[0],
     ):
         a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
         # Interpret-mode eval order differs from XLA's fused jnp graph; a
         # handful of geometric-boundary pixels flip hit/miss under f32 and
         # contribute legitimately different subgradients — 1% group scale.

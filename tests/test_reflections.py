@@ -268,6 +268,21 @@ def test_mirror_inversion_converges():
     assert err1 < 5e-3, (err0, err1)
 
 
+def test_sharded_reflective_render_matches_single_device():
+    """Row-band shard_map composes with the bounce replay (each band's
+    secondary rays re-trace the WHOLE scene — scene params are replicated,
+    so no cross-band communication is needed)."""
+    from reversible_raytracer_tpu.parallel import make_ray_mesh
+    from reversible_raytracer_tpu.parallel.shard import render_sharded
+
+    scene, _ = _mirror_scene()
+    cfg = RenderConfig(height=48, width=48, reflections=1)
+    mesh = make_ray_mesh()
+    a = np.asarray(render_sharded(scene, cfg, mesh, impl="jnp"))
+    b = np.asarray(render_jnp(scene, cfg))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_checkpoint_schema_change_raises_clearly(tmp_path):
     """A checkpoint written under an older scene schema (no mirror leaf)
     must fail with a schema error naming the missing keys — NOT a bare

@@ -103,6 +103,8 @@ def test_sharded_psum_grads_match_single_device():
         jax.tree_util.tree_flatten_with_path(g_shard)[0],
     ):
         a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
         scale = max(np.abs(a).max(), 1e-8)
         np.testing.assert_allclose(a, b, atol=1e-4 * scale + 1e-8, err_msg=str(path))
 

@@ -1,0 +1,204 @@
+"""Image-texture materials (Rects.texture, bilinear sampling) and texture
+recovery via inverse rendering (config 7).
+
+Capability extension beyond the reference. Fidelity triangulation follows
+the house pattern (SURVEY.md §4.2): f64 numpy oracle == native C++ oracle
+(ABI v4) == jnp == jnp_vec; gradients FD-checked against the f64 oracle
+both INTO the texel grid and THROUGH the bilinear weights to the camera.
+Untextured scenes are bitwise unaffected (empty texture leaf), which the
+whole pre-existing suite enforces.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reversible_raytracer_tpu.models import configs
+from reversible_raytracer_tpu.ops.pipeline import RenderConfig
+from reversible_raytracer_tpu.ops.render import mse_loss, render, render_jnp
+from reversible_raytracer_tpu.oracle import native
+from reversible_raytracer_tpu.oracle import reference_np as ref
+
+
+def _tex_scene(size=64):
+    scene, spec, _ = configs.config7_texture(size)
+    return scene, spec
+
+
+def test_jnp_matches_f64_oracle():
+    scene, _ = _tex_scene()
+    cfg = RenderConfig(height=64, width=64)
+    img = np.asarray(render_jnp(scene, cfg))
+    orc = ref.render(scene, 64, 64)
+    assert np.abs(img - orc).max() < 1e-3
+    assert np.abs(img - orc).mean() < 1e-5
+
+
+def test_native_oracle_matches_numpy():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    scene, _ = _tex_scene()
+    a = ref.render(scene, 48, 56)
+    b = native.render(scene, 48, 56)
+    assert np.abs(a - b).max() < 1e-12
+
+
+def test_jnp_vec_and_auto_match_unrolled():
+    scene, _ = _tex_scene()
+    cfg = RenderConfig(height=64, width=64)
+    a = np.asarray(render_jnp(scene, cfg))
+    assert np.abs(np.asarray(render(scene, cfg, impl="jnp_vec")) - a).max() == 0.0
+    assert np.abs(np.asarray(render(scene, cfg, impl="auto")) - a).max() == 0.0
+
+
+def test_texture_with_reflections_and_spp():
+    """Orthogonal features compose: textured floor + mirror sphere + SSAA,
+    jnp_vec bitwise vs unrolled."""
+    scene, _ = _tex_scene()
+    mat = scene.spheres.material
+    scene = dataclasses.replace(
+        scene,
+        spheres=dataclasses.replace(
+            scene.spheres,
+            material=dataclasses.replace(
+                mat, mirror=jnp.full_like(mat.mirror, 0.5)
+            ),
+        ),
+    )
+    cfg = RenderConfig(height=48, width=48, reflections=1, spp=4)
+    a = np.asarray(render_jnp(scene, cfg))
+    b = np.asarray(render(scene, cfg, impl="jnp_vec"))
+    assert np.abs(a - b).max() < 1e-6
+    orc = ref.render(scene, 48, 48, reflections=1)  # oracle is spp=1
+    a1 = np.asarray(render_jnp(scene, dataclasses.replace(cfg, spp=1)))
+    assert np.abs(a1 - orc).max() < 1e-3
+
+
+def test_kernels_refuse_textures():
+    scene, _ = _tex_scene()
+    cfg = RenderConfig(height=16, width=128)
+    from reversible_raytracer_tpu.ops.kernels.fused import (
+        loss_grad_pallas,
+        render_pallas,
+    )
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
+
+    with pytest.raises(NotImplementedError, match="texture"):
+        render_pallas(scene, cfg, interpret=True)
+    with pytest.raises(NotImplementedError, match="texture"):
+        loss_grad_pallas(scene, cfg, jnp.zeros((16, 128, 3)), interpret=True)
+    with pytest.raises(NotImplementedError, match="texture"):
+        render_pallas_vec(scene, cfg, interpret=True)
+
+
+def test_untextured_kernel_scalar_view_still_works():
+    """The empty texture leaf must pass through the kernels' SMEM scalar
+    plan as a sentinel — interpret-mode kernel equals jnp as before."""
+    from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+
+    scene, _, _ = configs.config2_four_spheres(32)
+    cfg = RenderConfig(height=16, width=128)
+    a = np.asarray(render_jnp(scene, cfg))
+    b = np.asarray(render_pallas(scene, cfg, interpret=True))
+    # ULP-class accumulation differences only (different fusion choices in
+    # the tile-shaped graph).
+    assert np.abs(a - b).max() < 1e-4
+    assert np.abs(a - b).mean() < 1e-6
+
+
+def test_texture_grads_match_oracle_fd():
+    """Analytic gradients vs f64-oracle central differences: (a) into a
+    texel, (b) through the bilinear weights to the camera eye."""
+    scene, _ = _tex_scene()
+    H = W = 48
+    cfg = RenderConfig(height=H, width=W)
+    tgt64 = ref.render(scene, H, W) * 0.9
+    tgt = jnp.asarray(tgt64, jnp.float32)
+    g = jax.grad(lambda s: mse_loss(render_jnp(s, cfg), tgt))(scene)
+
+    def oracle_loss(s):
+        return ref.mse_loss(ref.render(s, H, W), tgt64)
+
+    eps = 1e-4
+    gt = np.asarray(g.rects.texture)[0]
+    # Pick the texel with the largest analytic gradient (clearly visible).
+    ti, tj, tc = np.unravel_index(np.abs(gt).argmax(), gt.shape)
+
+    def upd_texel(d):
+        t = np.asarray(scene.rects.texture).copy()
+        t[0, ti, tj, tc] += d
+        return dataclasses.replace(
+            scene, rects=dataclasses.replace(scene.rects, texture=jnp.asarray(t))
+        )
+
+    fd_t = (oracle_loss(upd_texel(+eps)) - oracle_loss(upd_texel(-eps))) / (2 * eps)
+    an_t = float(gt[ti, tj, tc])
+    assert abs(an_t - fd_t) / max(abs(fd_t), 1e-9) < 0.02, (an_t, fd_t)
+
+    def upd_eye(d):
+        e = np.asarray(scene.camera.eye).copy()
+        e[0] += d
+        return dataclasses.replace(
+            scene, camera=dataclasses.replace(scene.camera, eye=jnp.asarray(e))
+        )
+
+    fd_e = (oracle_loss(upd_eye(+eps)) - oracle_loss(upd_eye(-eps))) / (2 * eps)
+    an_e = float(np.asarray(g.camera.eye)[0])
+    # The camera gradient crosses many bilinear-cell boundaries; FD vs the
+    # piecewise-linear analytic value agrees to a few percent at 48^2.
+    assert abs(an_e - fd_e) / max(abs(fd_e), 1e-9) < 0.05, (an_e, fd_e)
+
+
+def test_texture_recovery_converges():
+    """Config 7's capability: recover the texel grid from a 40%
+    perturbation. Only OBSERVABLE texels (nonzero gradient at the truth)
+    can recover — occluded/out-of-view ones have no signal by construction."""
+    from reversible_raytracer_tpu.optim import OptConfig, optimize_scan
+
+    scene, spec = _tex_scene()
+    cfg = RenderConfig(height=64, width=64)
+    target = render_jnp(scene, cfg)
+    g = jax.grad(lambda s: mse_loss(render_jnp(s, cfg), target * 0.9))(scene)
+    vis = np.abs(np.asarray(g.rects.texture)) > 1e-10
+    assert vis.mean() > 0.5  # most of the grid is observable in config 7
+
+    start = configs.perturb(scene, spec, scale=0.4, seed=11)
+    final, losses = optimize_scan(
+        start, target, spec, cfg,
+        OptConfig(iters=200, lr=3e-2, schedule="cosine"),
+        cache_key="test-tex-recovery",
+    )
+    truth = np.asarray(scene.rects.texture)
+    err0 = np.sqrt(np.mean((np.asarray(start.rects.texture) - truth)[vis] ** 2))
+    err1 = np.sqrt(np.mean((np.asarray(final.rects.texture) - truth)[vis] ** 2))
+    assert float(losses[-1]) < 1e-5
+    assert err1 < 0.25 * err0, (err0, err1)
+
+
+def test_sharded_textured_render_matches_single_device():
+    """Row-band shard_map composes with texture sampling (the texel grid is
+    replicated scene state like every other parameter)."""
+    from reversible_raytracer_tpu.parallel import make_ray_mesh
+    from reversible_raytracer_tpu.parallel.shard import render_sharded
+
+    scene, _ = _tex_scene()
+    cfg = RenderConfig(height=48, width=48)
+    mesh = make_ray_mesh()
+    a = np.asarray(render_sharded(scene, cfg, mesh, impl="jnp"))
+    b = np.asarray(render_jnp(scene, cfg))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sceneio_roundtrip_texture(tmp_path):
+    from reversible_raytracer_tpu.utils.sceneio import load_scene, save_scene
+
+    scene, _ = _tex_scene()
+    p = str(tmp_path / "scene.json")
+    save_scene(p, scene)
+    back = load_scene(p, scene)
+    np.testing.assert_array_equal(
+        np.asarray(back.rects.texture), np.asarray(scene.rects.texture)
+    )
