@@ -504,6 +504,8 @@ def main():
             _log(f"textured (XLA jnp path) 512^2 fwd+bwd: {t7*1e3:.3f} ms/step "
                  f"[compile+bench {time.perf_counter()-t0:.0f}s]")
             details["config7_texture_fwdbwd_ms"] = t7 * 1e3
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)  # flush before the long scan
 
             tgt7r = jax.jit(lambda s: render_jnp(s, cfg7))(scene7)
             start7 = configs.perturb(scene7, spec7, scale=0.4, seed=11)

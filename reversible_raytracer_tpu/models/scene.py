@@ -265,6 +265,11 @@ def rect(origin, edge_u, edge_v, material: Materials, texture=None) -> Rects:
     else:
         tex = _f32(texture)
         assert tex.ndim == 3 and tex.shape[-1] == 3, tex.shape
+        # Square grids only: the native oracle's ABI carries one K for
+        # both axes (oracle/native.py), so the builder enforces it.
+        assert tex.shape[0] == tex.shape[1], (
+            f"texture must be square (K, K, 3), got {tuple(tex.shape)}"
+        )
         tex = tex[None]
     return Rects(
         origin=_f32(origin).reshape(1, 3),
@@ -294,6 +299,13 @@ def merge_spheres(parts: "list[Spheres]") -> Spheres:
 
 
 def merge_rects(parts: "list[Rects]") -> Rects:
+    ks = {tuple(np.shape(p.texture)[1:3]) for p in parts}
+    if len(ks) > 1:
+        raise ValueError(
+            f"merge_rects: all rects must share one texture resolution "
+            f"(got K grids {sorted(ks)}); give every rect a (K, K, 3) "
+            f"texture — a constant-color grid stands in for 'untextured'"
+        )
     return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *parts)
 
 

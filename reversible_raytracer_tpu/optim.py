@@ -429,7 +429,10 @@ def optimize_annealed(
     # Elsewhere both run through render_jnp_vec. Stage targets are rendered
     # with the SAME renderer as the stage optimization, so the stage loss
     # floor is exactly zero regardless of implementation.
-    on_tpu = jax.default_backend() == "tpu"
+    # Textured scenes (Rects.texture): every Pallas family refuses texel
+    # grids, so the anneal runs its stages on the jnp_vec path even on TPU
+    # (the soft compositor gained texture support alongside the feature).
+    on_tpu = jax.default_backend() == "tpu" and not scene.rects.textured
     if on_tpu:
         from .ops.kernels.fused_vec import render_pallas_vec
         from .ops.kernels.fused_vec_soft import render_pallas_vec_soft

@@ -116,6 +116,11 @@ def render(scene, height: int, width: int, shadows: bool = True, clip: bool = Tr
     sp, rc = scene.spheres, scene.rects
     tex = np.asarray(rc.texture, f64)
     tex_k = int(tex.shape[1]) if tex.size else 0
+    if tex_k and tex.shape[1] != tex.shape[2]:
+        # The ABI carries a single K for both axes; indexing a non-square
+        # grid with it would read out of bounds in the C++ sampler.
+        raise ValueError(f"native oracle requires square textures, got "
+                         f"{tuple(tex.shape)}")
     rtex = c(tex) if tex_k else np.zeros((1,), f64)
     sc = c(np.asarray(sp.center, f64))
     sr = c(np.asarray(sp.radius, f64))
