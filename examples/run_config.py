@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Run one of the five driver benchmark configs end-to-end (see README.md).
+"""Run one of the benchmark configs end-to-end (see README.md; 6/7 are
+the mirror-reflection / texture-recovery extension scenes).
 
 Usage: python examples/run_config.py <config#> [extra cli flags...]
 """
@@ -27,5 +28,11 @@ if __name__ == "__main__":
     elif num == "5" and "--anneal" not in extra:
         recipe = ["--anneal", "0.08,0.03,0.01,0", "--lr", "2e-3",
                   "--perturb", "0.03"]
+    elif num == "6" and "--lr" not in extra:
+        # Mirror-coefficient recovery through the bounce (README).
+        recipe = ["--lr", "2e-2", "--perturb", "0.3", "--iters", "150"]
+    elif num == "7" and "--lr" not in extra:
+        # Texture recovery: 768 texel parameters (README).
+        recipe = ["--lr", "3e-2", "--perturb", "0.4", "--iters", "200"]
     main(["invert", "--config", num, "--metrics", f"config{num}_metrics.jsonl",
           "-o", f"config{num}_final.png", *recipe, *extra])
