@@ -192,6 +192,27 @@ def test_sharded_textured_render_matches_single_device():
     np.testing.assert_array_equal(a, b)
 
 
+def test_annealed_inversion_routes_textured_scenes_off_kernels(monkeypatch):
+    """optimize_annealed's TPU branch picks the vec Pallas kernels, which
+    refuse texel grids — textured scenes must take the jnp_vec stages even
+    when the backend reports 'tpu' (regression: crashed with
+    NotImplementedError at the first stage's target render)."""
+    from reversible_raytracer_tpu import optim as optim_mod
+    from reversible_raytracer_tpu.optim import OptConfig, optimize_annealed
+
+    monkeypatch.setattr(optim_mod.jax, "default_backend", lambda: "tpu")
+    scene, spec = _tex_scene(32)
+    cfg = RenderConfig(height=32, width=32)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.2, seed=1)
+    final, losses = optimize_annealed(
+        start, target, spec, cfg,
+        OptConfig(iters=5, lr=1e-2), taus=(0.05, 0.0), target_scene=scene,
+        hard_ocfg=None,
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+
+
 def test_sceneio_roundtrip_texture(tmp_path):
     from reversible_raytracer_tpu.utils.sceneio import load_scene, save_scene
 
