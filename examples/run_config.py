@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Run one of the benchmark configs end-to-end (see README.md; 6/7 are
-the mirror-reflection / texture-recovery extension scenes).
+"""Run one of the benchmark configs end-to-end (see README.md; 6/7/8 are
+the mirror-reflection / rect-texture / sphere-texture extension scenes).
 
 Usage: python examples/run_config.py <config#> [extra cli flags...]
 """
@@ -33,6 +33,10 @@ if __name__ == "__main__":
         recipe = ["--lr", "2e-2", "--perturb", "0.3", "--iters", "150"]
     elif num == "7" and "--lr" not in extra:
         # Texture recovery: 768 texel parameters (README).
+        recipe = ["--lr", "3e-2", "--perturb", "0.4", "--iters", "200"]
+    elif num == "8" and "--lr" not in extra:
+        # Globe recovery: visible-hemisphere texels get direct bilinear
+        # gradients, same regime as config 7.
         recipe = ["--lr", "3e-2", "--perturb", "0.4", "--iters", "200"]
     main(["invert", "--config", num, "--metrics", f"config{num}_metrics.jsonl",
           "-o", f"config{num}_final.png", *recipe, *extra])

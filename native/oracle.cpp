@@ -52,6 +52,8 @@ inline Mat load_mat(const double* p) {
 struct SceneView {
   const double *sc, *sr, *smat;
   int n_sph;
+  const double* stex;  // (n_sph, sph_tex_k, sph_tex_k, 3) or nullptr
+  int sph_tex_k;       // 0 = untextured spheres
   const double *ro, *ru, *rv, *rmat;
   int n_rct;
   const double* rtex;  // (n_rct, tex_k, tex_k, 3) texel grid, or nullptr
@@ -116,21 +118,36 @@ inline double soft_q1(double x, double tau) {
 }
 
 // f64 mirror of pipeline.sample_texture / reference_np._sample_texture:
-// bilinear with clamp-at-edge, identical clamp/floor sequence.
-inline Vec3 sample_texture(const double* tex, int k, double a, double b) {
+// bilinear with clamp-at-edge (wrap_a wraps the first axis — the lat-long
+// azimuth seam), identical clamp/floor/mod sequence.
+inline Vec3 sample_texture(const double* tex, int k, double a, double b,
+                           bool wrap_a = false) {
   double u = a * k - 0.5, v = b * k - 0.5;
-  double i0f = std::floor(u), j0f = std::floor(v);
-  if (i0f < 0.0) i0f = 0.0;
-  if (i0f > k - 1) i0f = k - 1;
+  int i0, i1;
+  double fi;
+  if (wrap_a) {
+    double i0f = std::floor(u);
+    fi = u - i0f;
+    i0 = int(i0f) % k;
+    if (i0 < 0) i0 += k;
+    i1 = (i0 + 1) % k;
+  } else {
+    double i0f = std::floor(u);
+    if (i0f < 0.0) i0f = 0.0;
+    if (i0f > k - 1) i0f = k - 1;
+    fi = u - i0f;
+    if (fi < 0.0) fi = 0.0;
+    if (fi > 1.0) fi = 1.0;
+    i0 = int(i0f);
+    i1 = i0 + 1 < k ? i0 + 1 : k - 1;
+  }
+  double j0f = std::floor(v);
   if (j0f < 0.0) j0f = 0.0;
   if (j0f > k - 1) j0f = k - 1;
-  double fi = u - i0f, fj = v - j0f;
-  if (fi < 0.0) fi = 0.0;
-  if (fi > 1.0) fi = 1.0;
+  double fj = v - j0f;
   if (fj < 0.0) fj = 0.0;
   if (fj > 1.0) fj = 1.0;
-  int i0 = int(i0f), j0 = int(j0f);
-  int i1 = i0 + 1 < k ? i0 + 1 : k - 1;
+  int j0 = int(j0f);
   int j1 = j0 + 1 < k ? j0 + 1 : k - 1;
   const double* t00 = tex + (size_t(i0) * k + j0) * 3;
   const double* t01 = tex + (size_t(i0) * k + j1) * 3;
@@ -181,7 +198,18 @@ inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d, int depth) {
     Vec3 c = load3(s.sc + 3 * best);
     Vec3 pl = p - c;
     normal = pl * (1.0 / s.sr[best]);
-    if (s.checker_tau > 0.0) {
+    if (s.sph_tex_k > 0) {
+      // Lat-long texture (pipeline.sphere_uv, guard included): azimuth
+      // wraps, polar clamps.
+      double uu = std::atan2(normal.z, normal.x) * (0.5 / M_PI) + 0.5;
+      double ny = normal.y;
+      if (ny < -1.0 + 1e-6) ny = -1.0 + 1e-6;
+      if (ny > 1.0 - 1e-6) ny = 1.0 - 1e-6;
+      double vv = 0.5 - std::asin(ny) / M_PI;
+      base = sample_texture(
+          s.stex + size_t(best) * s.sph_tex_k * s.sph_tex_k * 3,
+          s.sph_tex_k, uu, vv, /*wrap_a=*/true);
+    } else if (s.checker_tau > 0.0) {
       double q = soft_q1(pl.x * m.scale, s.checker_tau) *
                  soft_q1(pl.y * m.scale, s.checker_tau) *
                  soft_q1(pl.z * m.scale, s.checker_tau);
@@ -261,8 +289,10 @@ void rrt_render(const double* sph_center, const double* sph_radius,
                 int n_lights, const double* cam, const double* ambient,
                 const double* background, int H, int W, int shadows, int clip,
                 double checker_tau, int reflections, const double* rct_tex,
-                int tex_k, double* out) {
+                int tex_k, const double* sph_tex, int sph_tex_k,
+                double* out) {
   SceneView s{sph_center, sph_radius, sph_mat, n_sph,
+              sph_tex,    sph_tex_k,
               rct_origin, rct_eu,     rct_ev,  rct_mat,
               n_rct,      rct_tex,    tex_k,
               light_pos,  light_col,  n_lights,
@@ -297,6 +327,6 @@ void rrt_render(const double* sph_center, const double* sph_radius,
   }
 }
 
-int rrt_version() { return 4; }  // v4: rect image textures (rct_tex, tex_k)
+int rrt_version() { return 5; }  // v5: sphere lat-long textures (sph_tex, sph_tex_k)
 
 }  // extern "C"

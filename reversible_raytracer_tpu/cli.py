@@ -17,10 +17,11 @@ import time
 
 
 def _add_common(p):
-    p.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5, 6, 7],
+    p.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5, 6, 7, 8],
                    help="driver benchmark config number (BASELINE.json); "
                         "6 = mirror-reflections extension scene, "
-                        "7 = texture-recovery extension scene")
+                        "7 = rect-texture-recovery extension scene, "
+                        "8 = sphere-texture (globe) recovery extension scene")
     p.add_argument("--size", type=int, default=None,
                    help="image size (default: the config's native size)")
     p.add_argument("--impl", choices=["auto", "jnp", "jnp_vec", "pallas", "pallas_vec"], default="auto",
@@ -111,7 +112,7 @@ def cmd_render(args):
     if getattr(args, "shader", "phong") != "phong":
         cfg = dataclasses.replace(cfg, shader=args.shader)
     render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count,
-                              textured=scene.rects.textured)
+                              textured=scene.rects.textured or scene.spheres.textured)
     t0 = time.perf_counter()
     img = jax.jit(render)(scene)
     jax.block_until_ready(img)
@@ -142,7 +143,7 @@ def cmd_invert(args):
         # ~100 ms with a fast XLA compile on every backend.
         args.impl = "jnp_vec"
     render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count,
-                              textured=scene.rects.textured)
+                              textured=scene.rects.textured or scene.spheres.textured)
 
     if args.paranoid:
         from .utils.paranoid import checked_render, enable_nan_debugging

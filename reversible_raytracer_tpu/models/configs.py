@@ -294,6 +294,56 @@ def config7_texture(size: int = 512, tex_k: int = 16, seed: int = 0):
     return scene, spec, cfg
 
 
+def config8_globe(size: int = 512, tex_k: int = 16, seed: int = 0):
+    """Config 8 (extension beyond the driver set): sphere-texture recovery.
+
+    A "globe" — a sphere carrying a (tex_k, tex_k, 3) lat-long image
+    texture (`Spheres.texture`, sampled via `pipeline.sphere_uv`: azimuth
+    wraps at the atan2 seam, polar clamps) — over a plain floor. The
+    inverse render recovers the texel grid itself from a noise-perturbed
+    start. Only the camera-facing hemisphere's texels receive gradient
+    (the far side is invisible — no signal), so recovery tests mask by
+    texel visibility like config 7 masks occluded floor texels. Renders
+    via the jnp paths (impl='auto' routes; the SMEM-scalar Pallas kernels
+    refuse texel grids by design).
+    """
+    rng = np.random.default_rng(seed)
+    # Continent-ish blobs on an ocean gradient: recognizable in artifacts,
+    # smooth enough that bilinear sampling resolves it at K=16.
+    ii, jj = np.meshgrid(np.linspace(0, 1, tex_k), np.linspace(0, 1, tex_k),
+                         indexing="ij")
+    tex = np.stack([
+        0.15 + 0.1 * jj,
+        0.25 + 0.25 * ii,
+        0.55 + 0.3 * jj,
+    ], axis=-1)
+    for _ in range(5):
+        ci, cj = rng.uniform(0.1, 0.9, size=2)
+        r2 = (ii - ci) ** 2 + (jj - cj) ** 2
+        tex += np.array([0.35, 0.3, -0.25]) * np.exp(-r2 / 0.015)[..., None]
+    tex = np.clip(tex, 0.05, 0.95).astype(np.float32)
+
+    globe = sphere(
+        (0.0, 0.3, 0.0),
+        1.1,
+        _mat((1.0, 1.0, 1.0), ka=0.25, kd=0.9, ks=0.25, shininess=40.0),
+        texture=tex,
+    )
+    floor = ground_plane(-0.9, 5.0, _mat((0.75, 0.75, 0.78), ka=0.2, kd=0.8))
+    scene = Scene.make(
+        spheres=globe,
+        rects=floor,
+        lights=Lights(
+            position=jnp.array([[3.5, 5.0, 4.0]], jnp.float32),
+            color=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        ),
+        camera=Camera.make((0.0, 0.9, 3.6), (0.0, 0.1, 0.0), fov_deg=50.0),
+    )
+    spec = ParamSpec.none(scene).train("spheres.texture", lower=0.0, upper=1.0)
+    cfg = RenderConfig(height=size, width=size, shadows=True)
+    return scene, spec, cfg
+
+
 CONFIGS = {
     1: config1_single_sphere,
     2: config2_four_spheres,
@@ -302,6 +352,7 @@ CONFIGS = {
     5: config5_many_spheres,
     6: config6_mirror,
     7: config7_texture,
+    8: config8_globe,
 }
 
 

@@ -115,10 +115,22 @@ class Spheres:
     center: jnp.ndarray  # (N, 3)
     radius: jnp.ndarray  # (N,)
     material: Materials  # fields have leading dim N
+    # Optional per-sphere image texture: (N, K, K, 3) texel grid sampled
+    # at lat-long UV (pipeline.sphere_uv: azimuth wraps, polar clamps),
+    # replacing the checker/solid base color when non-empty. Same rules as
+    # Rects.texture: square static K shared across the group; jnp paths
+    # only (the Pallas kernel families refuse texel grids).
+    texture: jnp.ndarray  # (N, K, K, 3); K == 0 -> untextured
 
     @property
     def count(self) -> int:
         return _leading_dim(self.center)
+
+    @property
+    def textured(self) -> bool:
+        if isinstance(self.texture, (tuple, list)):
+            return len(self.texture) > 0
+        return self.texture.size > 0
 
     @staticmethod
     def empty() -> "Spheres":
@@ -130,6 +142,7 @@ class Spheres:
             material=Materials(
                 color=z, color2=z, checker=z1, checker_scale=z1, ka=z1, kd=z1, ks=z1, shininess=z1, mirror=z1
             ),
+            texture=jnp.zeros((0, 0, 0, 3), jnp.float32),
         )
 
 
@@ -250,33 +263,38 @@ class Scene:
 # ---------------------------------------------------------------------------
 
 
-def sphere(center, radius, material: Materials) -> Spheres:
+def _texture_leaf(texture) -> jnp.ndarray:
+    """(K, K, 3) grid (or None) -> the (1, K, K, 3) stacked-texture leaf."""
+    if texture is None:
+        return jnp.zeros((1, 0, 0, 3), jnp.float32)
+    tex = _f32(texture)
+    assert tex.ndim == 3 and tex.shape[-1] == 3, tex.shape
+    # Square grids only: the native oracle's ABI carries one K per group
+    # (oracle/native.py), so the builders enforce it.
+    assert tex.shape[0] == tex.shape[1], (
+        f"texture must be square (K, K, 3), got {tuple(tex.shape)}"
+    )
+    return tex[None]
+
+
+def sphere(center, radius, material: Materials, texture=None) -> Spheres:
+    """``texture``: optional (K, K, 3) lat-long texel grid (Spheres.texture)."""
     return Spheres(
         center=_f32(center).reshape(1, 3),
         radius=_f32(radius).reshape(1),
         material=material,
+        texture=_texture_leaf(texture),
     )
 
 
 def rect(origin, edge_u, edge_v, material: Materials, texture=None) -> Rects:
     """``texture``: optional (K, K, 3) texel grid (see Rects.texture)."""
-    if texture is None:
-        tex = jnp.zeros((1, 0, 0, 3), jnp.float32)
-    else:
-        tex = _f32(texture)
-        assert tex.ndim == 3 and tex.shape[-1] == 3, tex.shape
-        # Square grids only: the native oracle's ABI carries one K for
-        # both axes (oracle/native.py), so the builder enforces it.
-        assert tex.shape[0] == tex.shape[1], (
-            f"texture must be square (K, K, 3), got {tuple(tex.shape)}"
-        )
-        tex = tex[None]
     return Rects(
         origin=_f32(origin).reshape(1, 3),
         edge_u=_f32(edge_u).reshape(1, 3),
         edge_v=_f32(edge_v).reshape(1, 3),
         material=material,
-        texture=tex,
+        texture=_texture_leaf(texture),
     )
 
 
@@ -294,19 +312,30 @@ def ground_plane(y, half_extent, material: Materials, center_xz=(0.0, 0.0),
     )
 
 
+def _check_texture_ks(parts, what: str):
+    ks = {tuple(np.shape(p.texture)[1:3]) for p in parts}
+    if len(ks) > 1:
+        raise ValueError(
+            f"{what}: all objects must share one texture resolution "
+            f"(got K grids {sorted(ks)}); give every object a (K, K, 3) "
+            f"texture — a constant-color grid stands in for 'untextured'"
+        )
+
+
 def merge_spheres(parts: "list[Spheres]") -> Spheres:
+    _check_texture_ks(parts, "merge_spheres")
     return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *parts)
 
 
 def merge_rects(parts: "list[Rects]") -> Rects:
-    ks = {tuple(np.shape(p.texture)[1:3]) for p in parts}
-    if len(ks) > 1:
-        raise ValueError(
-            f"merge_rects: all rects must share one texture resolution "
-            f"(got K grids {sorted(ks)}); give every rect a (K, K, 3) "
-            f"texture — a constant-color grid stands in for 'untextured'"
-        )
+    _check_texture_ks(parts, "merge_rects")
     return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs), *parts)
+
+
+def scene_textured(scene: Scene) -> bool:
+    """True when any object group carries an image-texture grid (the
+    dispatch predicate: textured scenes render on the jnp paths)."""
+    return scene.rects.textured or scene.spheres.textured
 
 
 def lights(positions, colors) -> Lights:

@@ -165,7 +165,7 @@ def _make_fused(
             "render_jnp_vec and kernels.fused_vec_soft (render impl='auto' "
             "routes there)"
         )
-    if scene_like.rects.textured:
+    if scene_like.rects.textured or scene_like.spheres.textured:
         raise NotImplementedError(
             "image-textured scenes render via the jnp paths (XLA lowers "
             "the bilinear texture gathers; a K*K*3 grid does not fit the "
@@ -347,7 +347,7 @@ def _make_loss_grad(
             "fused step kernel implements the hard reference semantics; "
             "soft_tau/checker_tau training steps run through fused_vec_soft"
         )
-    if scene_like.rects.textured:
+    if scene_like.rects.textured or scene_like.spheres.textured:
         raise NotImplementedError(
             "image-textured training steps run through jax.value_and_grad "
             "over the jnp renderers (ops.render.loss_and_grad_fn routes)"

@@ -431,7 +431,7 @@ def _make_fused_vec(
             "mirror reflections run through the unrolled family (jnp / "
             "pallas) or jnp_vec (render impl='auto' routes there)"
         )
-    if scene_like.rects.textured:
+    if scene_like.rects.textured or scene_like.spheres.textured:
         raise NotImplementedError(
             "image-textured scenes render via the jnp paths (the SMEM "
             "object rows hold scalars, not texel grids) — impl='auto' routes"

@@ -269,7 +269,7 @@ def _make_fused_vec_soft(
             "mirror reflections require hard semantics (reflections=0 when "
             "soft_tau > 0; anneal to hard, then polish with reflections on)"
         )
-    if scene_like.rects.textured:
+    if scene_like.rects.textured or scene_like.spheres.textured:
         raise NotImplementedError(
             "image-textured scenes render via the jnp paths (the SMEM "
             "object rows hold scalars, not texel grids) — impl='auto' routes"

@@ -255,27 +255,43 @@ def soft_checker_q(parts, tau):
     return q
 
 
-def sample_texture(tex, a, b) -> Vec3:
-    """Bilinear sample of a (Ka, Kb, 3) texel grid at uv (a, b) in [0,1]^2
-    (a indexes the first texture axis), clamp-at-edge addressing.
+def texture_weights(a, b, ka: int, kb: int, wrap_a: bool = False):
+    """Bilinear corner indices + weights for uv (a, b) over a (ka, kb)
+    grid: returns (i0, i1, j0, j1, fi, fj), all (pixel-shaped). ``wrap_a``
+    wraps the first axis (lat-long azimuth seam) instead of clamping —
+    the b axis always clamps. Shared by every implementation (unrolled,
+    object-vectorized flat-gather, and the oracles mirror it) so the
+    corner/weight choice is identical everywhere.
 
     Differentiable BOTH ways: d/d(texels) is the gather's scatter-add
     transpose (every visible texel receives gradient — texture recovery),
     and d/d(a, b) is the piecewise-linear interpolation weight gradient,
-    which flows through the hit coordinates to rect geometry and the
-    camera pose. Shared by the unrolled and object-vectorized paths so
-    they agree bitwise."""
-    ka, kb = tex.shape[0], tex.shape[1]
+    which flows through the hit coordinates to geometry and the camera."""
     u = a * ka - 0.5
     v = b * kb - 0.5
-    i0f = jnp.clip(jnp.floor(u), 0.0, ka - 1)
+    if wrap_a:
+        i0f = jnp.floor(u)
+        fi = u - i0f
+        i0 = jnp.mod(i0f.astype(jnp.int32), ka)
+        i1 = jnp.mod(i0 + 1, ka)
+    else:
+        i0f = jnp.clip(jnp.floor(u), 0.0, ka - 1)
+        fi = jnp.clip(u - i0f, 0.0, 1.0)
+        i0 = i0f.astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, ka - 1)
     j0f = jnp.clip(jnp.floor(v), 0.0, kb - 1)
-    fi = jnp.clip(u - i0f, 0.0, 1.0)
     fj = jnp.clip(v - j0f, 0.0, 1.0)
-    i0 = i0f.astype(jnp.int32)
     j0 = j0f.astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, ka - 1)
     j1 = jnp.minimum(j0 + 1, kb - 1)
+    return i0, i1, j0, j1, fi, fj
+
+
+def sample_texture(tex, a, b, wrap_a: bool = False) -> Vec3:
+    """Bilinear sample of a (Ka, Kb, 3) texel grid at uv (a, b) in [0,1]^2
+    (a indexes the first texture axis). Clamp-at-edge addressing; pass
+    ``wrap_a`` for the lat-long azimuth axis. See `texture_weights`."""
+    ka, kb = tex.shape[0], tex.shape[1]
+    i0, i1, j0, j1, fi, fj = texture_weights(a, b, ka, kb, wrap_a)
     out = []
     for c in range(3):
         t00 = tex[i0, j0, c]
@@ -285,6 +301,19 @@ def sample_texture(tex, a, b) -> Vec3:
         out.append((1.0 - fi) * ((1.0 - fj) * t00 + fj * t01)
                    + fi * ((1.0 - fj) * t10 + fj * t11))
     return tuple(out)
+
+
+def sphere_uv(n_unit: Vec3):
+    """Lat-long UV of a unit sphere normal (y up): u = azimuth of (x, z)
+    in [0, 1) (wraps at the atan2 seam — sample with wrap_a), v = polar
+    angle in [0, 1] (0 at +y). The asin argument is clamped INSIDE ±1 so
+    the pole derivative stays finite (asin' diverges at ±1; the clamp's
+    zero-gradient band is one ulp-scale ring at the poles). Both oracles
+    mirror this exact formula, guard included."""
+    nx, ny, nz = n_unit
+    u = jnp.arctan2(nz, nx) * (0.5 / jnp.pi) + 0.5
+    v = 0.5 - jnp.arcsin(jnp.clip(ny, -1.0 + 1e-6, 1.0 - 1e-6)) / jnp.pi
+    return u, v
 
 
 def rect_color(rc, k, a, b) -> Vec3:
@@ -299,9 +328,15 @@ def rect_color(rc, k, a, b) -> Vec3:
     return _checker_select(mat, k, parity)
 
 
-def sphere_color(mat, k, p_local: Vec3) -> Vec3:
-    """3-D solid checker in the sphere's local frame (transcendental-free —
-    no atan2 needed in the kernel; VPU-friendly floor/mod only)."""
+def sphere_color(sp, k, p_local: Vec3, n_unit: Vec3) -> Vec3:
+    """Base color of sphere ``k``: the lat-long texture sample when the
+    group is textured (``sp`` is the Spheres pytree), else the 3-D solid
+    checker in the sphere's local frame (transcendental-free — no atan2
+    needed in the kernel; VPU-friendly floor/mod only)."""
+    if sp.textured:
+        u, v = sphere_uv(n_unit)
+        return sample_texture(sp.texture[k], u, v, wrap_a=True)
+    mat = sp.material
     s = mat.checker_scale[k]
     parity = jnp.mod(
         jnp.floor(p_local[0] * s)
@@ -364,7 +399,7 @@ def trace_nearest(scene: Scene, o: Vec3, d: Vec3, shape, with_mirror: bool = Fal
         # Outward unit normal; radius>0 enforced by bounds.
         inv_r = 1.0 / sp.radius[k]
         n_unit = vm.vscale(p_local, inv_r)
-        col = sphere_color(sp.material, k, p_local)
+        col = sphere_color(sp, k, p_local, n_unit)
         update(t, closer, n_unit, col, sp.material, k)
 
     rc = scene.rects

@@ -35,6 +35,8 @@ from .pipeline import (
     shade_from_attrs,
     shadow_origin,
     soft_checker_q,
+    sphere_uv,
+    texture_weights,
 )
 
 
@@ -337,6 +339,30 @@ def _gather_layer(scene: Scene, k_best, t, o, d, ra, rb, checker_tau: float = 0.
             sel_m = k_best == (n_sph + m_i)
             tex_base = [jnp.where(sel_m, t, tb) for t, tb in zip(tm, tex_base)]
         base = [jnp.where(is_sph, b, tb) for b, tb in zip(base, tex_base)]
+
+    if n_sph and scene.spheres.textured:
+        # Lat-long sphere texture (pipeline.sphere_color semantics), but
+        # O(1) trace in N: gather the 4 bilinear corners from the FLAT
+        # (N*K*K, 3) texel table with per-pixel indices (winner k_best +
+        # texture_weights corners) — the arithmetic matches
+        # pipeline.sample_texture term-for-term, so this path stays
+        # bitwise-equal to the unrolled renderer.
+        tex = scene.spheres.texture  # (N, K, K, 3)
+        K = tex.shape[1]
+        u, v = sphere_uv(sph_n)
+        i0, i1, j0, j1, fi, fj = texture_weights(u, v, K, K, wrap_a=True)
+        ksel = jnp.clip(k_best, 0, n_sph - 1)
+        flat = tex.reshape(n_sph * K * K, 3)
+
+        def g(i, j, c):
+            return jnp.take(flat[:, c], (ksel * K + i) * K + j)
+
+        tex_sph = [
+            (1.0 - fi) * ((1.0 - fj) * g(i0, j0, c) + fj * g(i0, j1, c))
+            + fi * ((1.0 - fj) * g(i1, j0, c) + fj * g(i1, j1, c))
+            for c in range(3)
+        ]
+        base = [jnp.where(is_sph, t, b) for t, b in zip(tex_sph, base)]
 
     # Shading is shared VERBATIM with the unrolled pipeline and the
     # object-chunked Pallas kernels (fused_vec): only the object stage

@@ -432,7 +432,8 @@ def optimize_annealed(
     # Textured scenes (Rects.texture): every Pallas family refuses texel
     # grids, so the anneal runs its stages on the jnp_vec path even on TPU
     # (the soft compositor gained texture support alongside the feature).
-    on_tpu = jax.default_backend() == "tpu" and not scene.rects.textured
+    on_tpu = (jax.default_backend() == "tpu"
+              and not (scene.rects.textured or scene.spheres.textured))
     if on_tpu:
         from .ops.kernels.fused_vec import render_pallas_vec
         from .ops.kernels.fused_vec_soft import render_pallas_vec_soft

@@ -15,7 +15,7 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liboracle.so"))
-_ABI_VERSION = 4  # must equal oracle.cpp's rrt_version()
+_ABI_VERSION = 5  # must equal oracle.cpp's rrt_version()
 _lib = None
 _build_failed = False
 
@@ -74,7 +74,7 @@ def _load():
         [D, D, D, ctypes.c_int] + [D, D, D, D, ctypes.c_int]
         + [D, D, ctypes.c_int] + [D, D, D]
         + [ctypes.c_int] * 4 + [ctypes.c_double, ctypes.c_int]
-        + [D, ctypes.c_int] + [D]
+        + [D, ctypes.c_int] + [D, ctypes.c_int] + [D]
     )
     lib.rrt_render.restype = None
     _lib = lib
@@ -114,14 +114,18 @@ def render(scene, height: int, width: int, shadows: bool = True, clip: bool = Tr
     c = np.ascontiguousarray
     f64 = np.float64
     sp, rc = scene.spheres, scene.rects
-    tex = np.asarray(rc.texture, f64)
-    tex_k = int(tex.shape[1]) if tex.size else 0
-    if tex_k and tex.shape[1] != tex.shape[2]:
-        # The ABI carries a single K for both axes; indexing a non-square
-        # grid with it would read out of bounds in the C++ sampler.
-        raise ValueError(f"native oracle requires square textures, got "
-                         f"{tuple(tex.shape)}")
-    rtex = c(tex) if tex_k else np.zeros((1,), f64)
+    def _tex_block(t, what):
+        t = np.asarray(t, f64)
+        k = int(t.shape[1]) if t.size else 0
+        if k and t.shape[1] != t.shape[2]:
+            # The ABI carries a single K per group; indexing a non-square
+            # grid with it would read out of bounds in the C++ sampler.
+            raise ValueError(f"native oracle requires square {what} "
+                             f"textures, got {tuple(t.shape)}")
+        return (c(t) if k else np.zeros((1,), f64)), k
+
+    rtex, tex_k = _tex_block(rc.texture, "rect")
+    stex, sph_tex_k = _tex_block(sp.texture, "sphere")
     sc = c(np.asarray(sp.center, f64))
     sr = c(np.asarray(sp.radius, f64))
     smat = c(_mat_block(sp.material))
@@ -150,6 +154,6 @@ def render(scene, height: int, width: int, shadows: bool = True, clip: bool = Tr
         p(cam), p(ambient), p(bg),
         height, width, int(shadows), int(clip),
         ctypes.c_double(float(checker_tau)), int(reflections),
-        p(rtex), tex_k, p(out),
+        p(rtex), tex_k, p(stex), sph_tex_k, p(out),
     )
     return out

@@ -116,19 +116,26 @@ def _checker_soft(mat_checker, c1, c2, parts, tau):
     return c1 + use2[..., None] * (c2 - c1)
 
 
-def _sample_texture(tex, a, b):
-    """f64 mirror of pipeline.sample_texture: bilinear, clamp-at-edge.
+def _sample_texture(tex, a, b, wrap_a=False):
+    """f64 mirror of pipeline.sample_texture: bilinear, clamp-at-edge
+    (``wrap_a`` wraps the first axis — the lat-long azimuth seam).
     tex (Ka, Kb, 3); a, b (H, W) in [0, 1]. Returns (H, W, 3)."""
     ka, kb = tex.shape[0], tex.shape[1]
     u = a * ka - 0.5
     v = b * kb - 0.5
-    i0 = np.clip(np.floor(u), 0.0, ka - 1)
-    j0 = np.clip(np.floor(v), 0.0, kb - 1)
-    fi = np.clip(u - i0, 0.0, 1.0)[..., None]
-    fj = np.clip(v - j0, 0.0, 1.0)[..., None]
-    i0 = i0.astype(np.int64)
-    j0 = j0.astype(np.int64)
-    i1 = np.minimum(i0 + 1, ka - 1)
+    if wrap_a:
+        i0f = np.floor(u)
+        fi = (u - i0f)[..., None]
+        i0 = np.mod(i0f.astype(np.int64), ka)
+        i1 = np.mod(i0 + 1, ka)
+    else:
+        i0f = np.clip(np.floor(u), 0.0, ka - 1)
+        fi = np.clip(u - i0f, 0.0, 1.0)[..., None]
+        i0 = i0f.astype(np.int64)
+        i1 = np.minimum(i0 + 1, ka - 1)
+    j0f = np.clip(np.floor(v), 0.0, kb - 1)
+    fj = np.clip(v - j0f, 0.0, 1.0)[..., None]
+    j0 = j0f.astype(np.int64)
     j1 = np.minimum(j0 + 1, kb - 1)
     t00 = tex[i0, j0]
     t01 = tex[i0, j1]
@@ -148,6 +155,7 @@ def _scene_arrays(scene):
         "sc": _np(sp.center),
         "sr": _np(sp.radius),
         "smat": {f: _np(getattr(sp.material, f)) for f in _MAT_FIELDS},
+        "stex": _np(sp.texture),  # (N, K, K, 3); K == 0 -> untextured
         "ro": _np(rc.origin),
         "ru": _np(rc.edge_u),
         "rv": _np(rc.edge_v),
@@ -247,7 +255,15 @@ def _shade_level(arr, o, d, H, W, shadows, checker_tau):
             plocal = p - center
             nrm = plocal / arr["sr"][k]
             s = m["checker_scale"][k]
-            if checker_tau > 0.0:
+            if arr["stex"].size:
+                # Lat-long texture (pipeline.sphere_uv semantics, guard
+                # included): azimuth wraps, polar clamps.
+                uu = np.arctan2(nrm[..., 2], nrm[..., 0]) * (0.5 / np.pi) + 0.5
+                vv = 0.5 - np.arcsin(
+                    np.clip(nrm[..., 1], -1.0 + 1e-6, 1.0 - 1e-6)
+                ) / np.pi
+                col = _sample_texture(arr["stex"][k], uu, vv, wrap_a=True)
+            elif checker_tau > 0.0:
                 col = _checker_soft(
                     m["checker"][k], m["color"][k], m["color2"][k],
                     (plocal[..., 0] * s, plocal[..., 1] * s, plocal[..., 2] * s),

@@ -192,6 +192,124 @@ def test_sharded_textured_render_matches_single_device():
     np.testing.assert_array_equal(a, b)
 
 
+def _globe_scene(seed=0, camera=None, K=12):
+    """Textured sphere ('globe') over a plain floor — the sphere-texture
+    test scene. ``camera``: override to view the lat-long seam (-x axis)."""
+    from reversible_raytracer_tpu.models import scene as S
+
+    rng = np.random.default_rng(seed)
+    tex = rng.uniform(0.1, 0.9, size=(K, K, 3)).astype(np.float32)
+    sp = S.sphere((0.0, 0.2, 0.0), 1.0, S.Materials.make((1, 1, 1), ks=0.2),
+                  texture=tex)
+    floor = S.ground_plane(-1.0, 6.0, S.Materials.make((0.8, 0.8, 0.8)))
+    cam = camera or S.Camera.make((0, 1.0, 4.0), (0, 0, 0))
+    scene = S.Scene.make(
+        spheres=sp, rects=floor,
+        lights=S.lights([[3.0, 5.0, 3.0]], [[1.0, 1.0, 1.0]]),
+        camera=cam,
+    )
+    spec = S.ParamSpec.none(scene).train("spheres.texture", lower=0.0, upper=1.0)
+    return scene, spec
+
+
+def test_sphere_texture_matches_oracles_including_seam():
+    from reversible_raytracer_tpu.models import scene as S
+
+    for cam in (None, S.Camera.make((-4.0, 1.0, 0.0), (0, 0, 0))):
+        scene, _ = _globe_scene(camera=cam)
+        cfg = RenderConfig(height=48, width=48)
+        a = np.asarray(render_jnp(scene, cfg))
+        o = ref.render(scene, 48, 48)
+        # The -x camera looks straight at the atan2 wrap seam: the wrap
+        # addressing must keep all four bilinear corners consistent there.
+        assert np.abs(a - o).max() < 1e-3
+        assert np.abs(np.asarray(render(scene, cfg, impl="jnp_vec")) - a).max() == 0.0
+        if native.available():
+            n = native.render(scene, 48, 48)
+            assert np.abs(n - o).max() < 1e-12
+
+
+def test_sphere_texture_grads_flow_and_match_fd():
+    scene, _ = _globe_scene()
+    H = W = 40
+    cfg = RenderConfig(height=H, width=W)
+    tgt64 = ref.render(scene, H, W) * 0.9
+    tgt = jnp.asarray(tgt64, jnp.float32)
+    g = jax.grad(lambda s: mse_loss(render_jnp(s, cfg), tgt))(scene)
+    gt = np.asarray(g.spheres.texture)[0]
+    assert np.isfinite(gt).all() and (np.abs(gt) > 0).mean() > 0.2
+
+    def oracle_loss(s):
+        return ref.mse_loss(ref.render(s, H, W), tgt64)
+
+    ti, tj, tc = np.unravel_index(np.abs(gt).argmax(), gt.shape)
+    eps = 1e-4
+
+    def upd(d):
+        t = np.asarray(scene.spheres.texture).copy()
+        t[0, ti, tj, tc] += d
+        return dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres, texture=jnp.asarray(t))
+        )
+
+    fd = (oracle_loss(upd(+eps)) - oracle_loss(upd(-eps))) / (2 * eps)
+    an = float(gt[ti, tj, tc])
+    assert abs(an - fd) / max(abs(fd), 1e-9) < 0.02, (an, fd)
+
+
+def test_sphere_texture_recovery_converges():
+    """Paint the globe: recover the sphere's texel grid from a perturbed
+    start (observable texels only — the far hemisphere has no signal)."""
+    from reversible_raytracer_tpu.optim import OptConfig, optimize_scan
+
+    scene, spec = _globe_scene()
+    cfg = RenderConfig(height=64, width=64)
+    target = render_jnp(scene, cfg)
+    g = jax.grad(lambda s: mse_loss(render_jnp(s, cfg), target * 0.9))(scene)
+    vis = np.abs(np.asarray(g.spheres.texture)) > 1e-10
+    assert 0.1 < vis.mean() < 0.9  # roughly the visible hemisphere
+
+    start = configs.perturb(scene, spec, scale=0.4, seed=5)
+    final, losses = optimize_scan(
+        start, target, spec, cfg,
+        OptConfig(iters=200, lr=3e-2, schedule="cosine"),
+        cache_key="test-globe-recovery",
+    )
+    truth = np.asarray(scene.spheres.texture)
+    err0 = np.sqrt(np.mean((np.asarray(start.spheres.texture) - truth)[vis] ** 2))
+    err1 = np.sqrt(np.mean((np.asarray(final.spheres.texture) - truth)[vis] ** 2))
+    assert float(losses[-1]) < 1e-5
+    assert err1 < 0.3 * err0, (err0, err1)
+
+
+def test_kernels_refuse_sphere_textures():
+    scene, _ = _globe_scene()
+    cfg = RenderConfig(height=16, width=128)
+    from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+
+    with pytest.raises(NotImplementedError, match="texture"):
+        render_pallas(scene, cfg, interpret=True)
+    img = np.asarray(render(scene, cfg, impl="auto"))  # routes to jnp
+    assert np.isfinite(img).all()
+
+
+def test_config8_globe_builds_and_matches_oracles():
+    """Pin the config-8 registry entry: textured-sphere scene, texture-only
+    ParamSpec, and three-way implementation agreement at a small size."""
+    scene, spec, _ = configs.config8_globe(48)
+    assert scene.spheres.textured and not scene.rects.textured
+    import jax.tree_util as jtu
+    trainable = [bool(t) for t in jtu.tree_leaves(spec.trainable)]
+    assert sum(trainable) == 1  # only spheres.texture
+    cfg = RenderConfig(height=48, width=48)
+    a = np.asarray(render_jnp(scene, cfg))
+    o = ref.render(scene, 48, 48)
+    assert np.abs(a - o).max() < 1e-3
+    assert np.abs(np.asarray(render(scene, cfg, impl="jnp_vec")) - a).max() == 0.0
+    if native.available():
+        assert np.abs(native.render(scene, 48, 48) - o).max() < 1e-12
+
+
 def test_annealed_inversion_routes_textured_scenes_off_kernels(monkeypatch):
     """optimize_annealed's TPU branch picks the vec Pallas kernels, which
     refuse texel grids — textured scenes must take the jnp_vec stages even
