@@ -91,6 +91,19 @@ class TileConfig:
 # ---------------------------------------------------------------------------
 
 
+def tile_object_count(scene: Scene, cfg: RenderConfig) -> int:
+    """Effective object count for TileConfig's VMEM budget. Each mirror
+    bounce replays the whole object chain in VMEM; a textured group keeps
+    ~2K hat-weight tiles live through the dense sampler
+    (`pipeline.sample_texture_dense`), worth roughly K/4
+    object-equivalents (10 live arrays/object forward, 24 backward)."""
+    n_obj = scene.spheres.count + scene.rects.count
+    for grp in (scene.spheres, scene.rects):
+        if grp.textured:
+            n_obj += max(2, int(np.shape(grp.texture)[1]) // 4)
+    return n_obj * (1 + cfg.reflections)
+
+
 def scene_layout(scene_like: Scene):
     """(treedef, [(start, shape)], total_size) for row-major flat packing."""
     leaves, treedef = jax.tree_util.tree_flatten(scene_like)
@@ -113,26 +126,25 @@ def flatten_scene(scene: Scene):
 
 def _scalar_view(treedef, meta, read):
     """Rebuild the Scene dataclass structure with nested-tuple leaves whose
-    elements are ``read(flat_index)`` scalars. Supports rank 0/1/2 leaves
-    (the only ranks the Scene schema uses)."""
+    elements are ``read(flat_index)`` scalars, for any leaf rank (rank 4 is
+    the (N, K, K, 3) texture grids; `pipeline.sample_texture` dispatches
+    tuple-leaf textures to its gather-free dense path)."""
+
+    def nest(start, shape):
+        if not shape:
+            return read(start)
+        stride = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+        return tuple(nest(start + i * stride, shape[1:]) for i in range(shape[0]))
+
     leaves = []
     for start, shape in meta:
         size = int(np.prod(shape)) if shape else 1
         if size == 0:
-            # Size-0 leaf (the untextured Rects.texture grid): an empty
-            # tuple sentinel — Rects.textured and _leading_dim tolerate it.
+            # Size-0 leaf (an untextured group's texture grid): an empty
+            # tuple sentinel — .textured and _leading_dim tolerate it.
             leaves.append(())
-        elif len(shape) == 0:
-            leaves.append(read(start))
-        elif len(shape) == 1:
-            leaves.append(tuple(read(start + i) for i in range(shape[0])))
-        elif len(shape) == 2:
-            n, m = shape
-            leaves.append(
-                tuple(tuple(read(start + i * m + j) for j in range(m)) for i in range(n))
-            )
-        else:  # pragma: no cover - non-empty rank>2 leaves are kernel-refused
-            raise ValueError(f"unsupported leaf rank {len(shape)}")
+        else:
+            leaves.append(nest(start, shape))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -165,11 +177,11 @@ def _make_fused(
             "render_jnp_vec and kernels.fused_vec_soft (render impl='auto' "
             "routes there)"
         )
-    if scene_like.rects.textured or scene_like.spheres.textured:
+    if (scene_like.rects.textured or scene_like.spheres.textured) and cfg.reflections:
         raise NotImplementedError(
-            "image-textured scenes render via the jnp paths (XLA lowers "
-            "the bilinear texture gathers; a K*K*3 grid does not fit the "
-            "kernels' SMEM scalar plan) — render impl='auto' routes there"
+            "textured scenes with mirror reflections render via the jnp "
+            "paths (each bounce would replay the O(K^2) dense texture chain "
+            "in-kernel — trace/compile explosion); impl='auto' routes there"
         )
     out_h = cfg.height if out_h is None else out_h
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
@@ -347,10 +359,11 @@ def _make_loss_grad(
             "fused step kernel implements the hard reference semantics; "
             "soft_tau/checker_tau training steps run through fused_vec_soft"
         )
-    if scene_like.rects.textured or scene_like.spheres.textured:
+    if (scene_like.rects.textured or scene_like.spheres.textured) and cfg.reflections:
         raise NotImplementedError(
-            "image-textured training steps run through jax.value_and_grad "
-            "over the jnp renderers (ops.render.loss_and_grad_fn routes)"
+            "textured training steps with mirror reflections run through "
+            "jax.value_and_grad over the jnp renderers (loss_and_grad_fn "
+            "routes) — see the render-kernel refusal"
         )
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
     hit = _LG_CACHE.get(key)
@@ -453,10 +466,7 @@ def loss_grad_pallas(
     """
     H = out_height or cfg.height
     if tiles is None:
-        # Each reflection bounce replays the full object chain, multiplying
-        # the VMEM-live set — scale the tile-size budget accordingly.
-        n_obj = (scene.spheres.count + scene.rects.count) * (1 + cfg.reflections)
-        tiles = TileConfig.for_shape(H, cfg.width, n_obj)
+        tiles = TileConfig.for_shape(H, cfg.width, tile_object_count(scene, cfg))
     apply = _make_loss_grad(scene, cfg, tiles, interpret, out_h=out_height)
 
     bhb = min(tiles.bh_bwd, _round_up(H, 8))
@@ -499,9 +509,8 @@ def render_pallas(
     ``out_height`` to its band height.
     """
     if tiles is None:
-        # (1 + reflections): each bounce replays the object chain in VMEM.
-        n_obj = (scene.spheres.count + scene.rects.count) * (1 + cfg.reflections)
-        tiles = TileConfig.for_shape(out_height or cfg.height, cfg.width, n_obj)
+        tiles = TileConfig.for_shape(out_height or cfg.height, cfg.width,
+                                     tile_object_count(scene, cfg))
     apply = _make_fused(scene, cfg, tiles, interpret, out_h=out_height)
     flat = flatten_scene(scene)
     offsets = jnp.stack(

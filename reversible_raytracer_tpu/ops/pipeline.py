@@ -289,7 +289,20 @@ def texture_weights(a, b, ka: int, kb: int, wrap_a: bool = False):
 def sample_texture(tex, a, b, wrap_a: bool = False) -> Vec3:
     """Bilinear sample of a (Ka, Kb, 3) texel grid at uv (a, b) in [0,1]^2
     (a indexes the first texture axis). Clamp-at-edge addressing; pass
-    ``wrap_a`` for the lat-long azimuth axis. See `texture_weights`."""
+    ``wrap_a`` for the lat-long azimuth axis. See `texture_weights`.
+
+    Two implementations of the SAME math, chosen by the texel container:
+
+    - jnp array: 4-corner gather (`texture_weights` indices) — XLA's job.
+    - nested tuple (the Pallas kernels' SMEM scalar view of the scene —
+      ops/kernels/fused.py): `sample_texture_dense`, which needs only
+      STATICALLY-indexed texel reads, because Mosaic has no per-pixel
+      gather. Dispatching on the container keeps every caller
+      (rect_color/sphere_color, hence render_tile and all kernels that
+      trace it) on one code path.
+    """
+    if isinstance(tex, (tuple, list)):
+        return sample_texture_dense(tex, a, b, wrap_a)
     ka, kb = tex.shape[0], tex.shape[1]
     i0, i1, j0, j1, fi, fj = texture_weights(a, b, ka, kb, wrap_a)
     out = []
@@ -300,6 +313,62 @@ def sample_texture(tex, a, b, wrap_a: bool = False) -> Vec3:
         t11 = tex[i1, j1, c]
         out.append((1.0 - fi) * ((1.0 - fj) * t00 + fj * t01)
                    + fi * ((1.0 - fj) * t10 + fj * t11))
+    return tuple(out)
+
+
+def sample_texture_dense(tex, a, b, wrap_a: bool = False) -> Vec3:
+    """Gather-free bilinear sample for the Pallas kernels: ``tex`` is a
+    nested tuple (Ka)(Kb)(3) of scalars (the SMEM scene view).
+
+    Bilinear interpolation is the hat-basis expansion
+        out_c = sum_i w_i(u) * sum_j w_j(v) * tex[i][j][c],
+    with w_i(u) = max(0, 1 - |clip(u) - i|) (tent function; circular
+    distance on a wrapped axis). At most two w's per axis are non-zero and
+    they equal the gather's (1-f, f) weights, so this is the SAME function
+    as the gather path — zero terms add exactly (+0.0) in f32, leaving
+    only ulp-level differences in the half-texel edge bands, where the
+    clamp makes the gather split its weight across one texel ((1-f)+f
+    rounds once) while the hat reads it directly. Every texel read is
+    statically indexed, so the whole sample is scalar*tile multiply-adds —
+    the Mosaic VPU's happy path (no per-pixel gather, which Mosaic cannot
+    lower). Cost: O(Ka*Kb) MACs/pixel vs the gather's O(4) — at K=16 and
+    512^2 that is ~0.2 GFLOP/render, noise on a VPU.
+
+    d/d(texels) is exact (each texel's weight is its hat product);
+    d/d(a, b) matches the gather's piecewise-linear subgradient except at
+    texel centers (measure-zero kinks of the tent).
+    """
+    ka, kb = len(tex), len(tex[0])
+    u = a * ka - 0.5
+    v = b * kb - 0.5
+    if wrap_a and ka == 1:
+        def wi(i):
+            # Degenerate 1-texel wrapped axis: the gather's two corners
+            # coincide and their weights sum to 1.
+            return jnp.ones_like(u)
+    elif wrap_a:
+        def wi(i):
+            # Circular tent: distance to texel i around the seam.
+            m = jnp.mod(u - i, float(ka))
+            return jnp.maximum(0.0, 1.0 - jnp.minimum(m, ka - m))
+    else:
+        uc = jnp.clip(u, 0.0, ka - 1)
+
+        def wi(i):
+            return jnp.maximum(0.0, 1.0 - jnp.abs(uc - i))
+
+    vc = jnp.clip(v, 0.0, kb - 1)
+    wis = [wi(i) for i in range(ka)]
+    wjs = [jnp.maximum(0.0, 1.0 - jnp.abs(vc - j)) for j in range(kb)]
+    out = []
+    for c in range(3):
+        acc = 0.0
+        for i in range(ka):
+            row = 0.0
+            for j in range(kb):
+                row = row + tex[i][j][c] * wjs[j]
+            acc = acc + wis[i] * row
+        out.append(acc)
     return tuple(out)
 
 

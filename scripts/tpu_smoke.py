@@ -192,6 +192,40 @@ def main():
     print(f"fused_vec_soft config-4 @256² ctau=0.5: fwd_diff={fwd_diff:.2e} "
           f"grads_finite={finite} camera_grad_live={cam_live} "
           f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
+
+    # Image textures in the unrolled kernels (dense hat-basis sampler,
+    # pipeline.sample_texture_dense): validates the Mosaic lowering of the
+    # O(K^2) scalar-MAC chain + its in-kernel vjp. Dense-vs-gather is the
+    # same math up to ulp-level edge bands, so fwd tolerance is 1e-5 (not
+    # bit-exact like the untextured rows). Configs 7 (rect grid) and 8
+    # (sphere lat-long grid, wrapped azimuth).
+    for num, name in ((7, "rect"), (8, "globe")):
+        scene_t, spec_t, _ = configs.CONFIGS[num](128)
+        cfg_t = RenderConfig(height=128, width=128, shadows=True)
+        t0 = time.time()
+        img_p = np.asarray(jax.jit(lambda s: render_pallas(s, cfg_t))(scene_t))
+        img_j = np.asarray(jax.jit(lambda s: render_jnp(s, cfg_t))(scene_t))
+        fwd_diff = np.abs(img_p - img_j).max()
+        target = jnp.asarray(img_j)
+        start_t = configs.perturb(scene_t, spec_t, scale=0.4, seed=num)
+        l2, g2 = jax.jit(
+            jax.value_and_grad(lambda s: mse_loss(render_jnp(s, cfg_t), target))
+        )(start_t)
+        l1, g1 = jax.jit(lambda s: loss_grad_pallas(s, cfg_t, target))(start_t)
+        ldiff = abs(float(l1) - float(l2)) / max(float(l2), 1e-12)
+        gdiff, finite = 0.0, True
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size:
+                scale = max(float(np.abs(b).max()), 1e-10)
+                gdiff = max(gdiff, float(np.abs(a - b).max()) / scale)
+                finite &= bool(np.isfinite(a).all())
+        ok = fwd_diff <= 1e-5 and ldiff <= 1e-4 and gdiff <= 1e-2 and finite
+        failures += (not ok)
+        print(f"textured kernel config-{num} ({name}) @128²: "
+              f"fwd_diff={fwd_diff:.2e} loss_rel={ldiff:.2e} "
+              f"grad_rel={gdiff:.2e} finite={finite} "
+              f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
     sys.exit(1 if failures else 0)
 
 

@@ -77,21 +77,54 @@ def test_texture_with_reflections_and_spp():
     assert np.abs(a1 - orc).max() < 1e-3
 
 
-def test_kernels_refuse_textures():
-    scene, _ = _tex_scene()
+def test_unrolled_kernels_render_textures():
+    """The unrolled Pallas family samples textures via the gather-free
+    dense hat-basis path (`pipeline.sample_texture_dense` through the SMEM
+    scalar view) — same function as the jnp gather up to ulp-level edge
+    bands; the vec family still refuses (SMEM object rows hold scalars)."""
+    scene, _, _ = configs.config7_texture(48, tex_k=8)  # small K: trace cost
     cfg = RenderConfig(height=16, width=128)
-    from reversible_raytracer_tpu.ops.kernels.fused import (
-        loss_grad_pallas,
-        render_pallas,
-    )
+    from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
     from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
 
-    with pytest.raises(NotImplementedError, match="texture"):
-        render_pallas(scene, cfg, interpret=True)
-    with pytest.raises(NotImplementedError, match="texture"):
-        loss_grad_pallas(scene, cfg, jnp.zeros((16, 128, 3)), interpret=True)
+    a = np.asarray(render_jnp(scene, cfg))
+    b = np.asarray(render_pallas(scene, cfg, interpret=True))
+    assert np.abs(a - b).max() < 1e-5
     with pytest.raises(NotImplementedError, match="texture"):
         render_pallas_vec(scene, cfg, interpret=True)
+    # Textures + mirror reflections stay off the kernels (per-bounce
+    # replay of the dense chain would explode the trace).
+    with pytest.raises(NotImplementedError, match="texture"):
+        render_pallas(scene, dataclasses.replace(cfg, reflections=1),
+                      interpret=True)
+
+
+def test_step_kernel_texture_grads_match_jnp():
+    """Fused training-step kernel on a textured scene: loss and texel
+    gradients match jax.value_and_grad of the jnp renderer (the in-kernel
+    vjp pulls cotangents through the dense sampler into the SMEM texel
+    scalars)."""
+    from reversible_raytracer_tpu.ops.kernels.fused import loss_grad_pallas
+
+    scene, _, _ = configs.config7_texture(48, tex_k=8)  # small K: trace cost
+    H, W = 16, 128
+    cfg = RenderConfig(height=H, width=W)
+    target = render_jnp(scene, cfg) * 0.9
+    l0, g0 = jax.value_and_grad(
+        lambda s: mse_loss(render_jnp(s, cfg), target)
+    )(scene)
+    l1, g1 = loss_grad_pallas(scene, cfg, target, interpret=True)
+    assert abs(float(l0) - float(l1)) < 1e-8
+    t0 = np.asarray(g0.rects.texture)
+    t1 = np.asarray(g1.rects.texture)
+    assert np.isfinite(t1).all()
+    scale = np.abs(t0).max()
+    assert np.abs(t0 - t1).max() < 2e-3 * scale
+    # Geometry/camera grads too (through the interpolation weights).
+    for name in ("center", "radius"):
+        a = np.asarray(getattr(g0.spheres, name))
+        b = np.asarray(getattr(g1.spheres, name))
+        assert np.abs(a - b).max() < 2e-3 * max(np.abs(a).max(), 1e-12)
 
 
 def test_untextured_kernel_scalar_view_still_works():
@@ -282,14 +315,20 @@ def test_sphere_texture_recovery_converges():
     assert err1 < 0.3 * err0, (err0, err1)
 
 
-def test_kernels_refuse_sphere_textures():
-    scene, _ = _globe_scene()
-    cfg = RenderConfig(height=16, width=128)
+def test_unrolled_kernel_renders_sphere_texture_including_seam():
+    """Sphere lat-long textures in the unrolled kernel: the dense sampler's
+    circular tent on the azimuth axis must agree with the wrap gather,
+    including for a camera looking straight at the atan2 seam."""
+    from reversible_raytracer_tpu.models import scene as S
     from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
 
-    with pytest.raises(NotImplementedError, match="texture"):
-        render_pallas(scene, cfg, interpret=True)
-    img = np.asarray(render(scene, cfg, impl="auto"))  # routes to jnp
+    for cam in (None, S.Camera.make((-4.0, 1.0, 0.0), (0, 0, 0))):
+        scene, _ = _globe_scene(camera=cam, K=8)  # small K: trace cost
+        cfg = RenderConfig(height=16, width=128)
+        a = np.asarray(render_jnp(scene, cfg))
+        b = np.asarray(render_pallas(scene, cfg, interpret=True))
+        assert np.abs(a - b).max() < 1e-5
+    img = np.asarray(render(scene, cfg, impl="auto"))  # auto still works
     assert np.isfinite(img).all()
 
 
