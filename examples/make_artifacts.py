@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Produce the reference-style visual-verification artifacts for configs 1-8
+"""Produce the reference-style visual-verification artifacts for configs 1-9
 in one command (VERDICT round-1 item #9): for each config, render
 
     examples/artifacts/config<N>/target.png   — ground-truth render
@@ -29,7 +29,7 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="*",
-                    default=[1, 2, 3, 4, 5, 6, 7, 8])
+                    default=[1, 2, 3, 4, 5, 6, 7, 8, 9])
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--outdir", default="examples/artifacts")
@@ -41,7 +41,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     # Small-but-recognizable defaults off-TPU; native config sizes on TPU.
-    size_default = ({1: 64, 2: 128, 3: 128, 4: 128, 5: 96, 6: 128, 7: 128, 8: 128}
+    size_default = ({1: 64, 2: 128, 3: 128, 4: 128, 5: 96, 6: 128, 7: 128, 8: 128, 9: 128}
                     if not on_tpu else {})
     iters = args.iters or (400 if on_tpu else 120)
 
@@ -62,7 +62,7 @@ def main():
         # Perturb scales must match the full-inversion call below.
         start_perturb = (["--perturb", "0.03"] if num == 5
                          else ["--perturb", "0.3"] if num == 6
-                         else ["--perturb", "0.4"] if num in (7, 8) else [])
+                         else ["--perturb", "0.4"] if num in (7, 8, 9) else [])
         cli(["invert", "--config", str(num), *size_args, "--iters", "1",
              "--lr", "0", "--log-every", "0", *start_perturb,
              "-o", os.path.join(out, "start.png")])
@@ -78,11 +78,12 @@ def main():
                  *anneal,
                  "--metrics", os.path.join(out, "metrics.jsonl"),
                  "-o", os.path.join(out, "final.png")])
-        elif num in (7, 8):
+        elif num in (7, 8, 9):
             # Texture recovery: optimize the texel grid itself (768 params)
             # from a 40% perturbation — config 7 the floor's grid, config 8
-            # the globe's lat-long grid. Observable texels recover; occluded
-            # / far-hemisphere ones have no signal (README).
+            # the globe's lat-long grid, config 9 the sky env map (via miss
+            # pixels + mirror-reflected misses). Observable texels recover;
+            # unobserved ones have no signal (README).
             n_it = args.iters or (200 if on_tpu else 150)
             cli(["invert", "--config", str(num), *size_args,
                  "--iters", str(n_it), "--lr", "3e-2", "--perturb", "0.4",

@@ -38,5 +38,9 @@ if __name__ == "__main__":
         # Globe recovery: visible-hemisphere texels get direct bilinear
         # gradients, same regime as config 7.
         recipe = ["--lr", "3e-2", "--perturb", "0.4", "--iters", "200"]
+    elif num == "9" and "--lr" not in extra:
+        # Sky recovery: miss pixels + mirror-reflected misses give direct
+        # env-texel gradients (README "Environment maps").
+        recipe = ["--lr", "3e-2", "--perturb", "0.4", "--iters", "200"]
     main(["invert", "--config", num, "--metrics", f"config{num}_metrics.jsonl",
           "-o", f"config{num}_final.png", *recipe, *extra])

@@ -61,6 +61,8 @@ struct SceneView {
   const double *lp, *lc;
   int n_lights;
   Vec3 ambient, background;
+  const double* env;   // (env_k, env_k, 3) lat-long environment map
+  int env_k;           // 0 = flat background
   bool shadows;
   double checker_tau;  // 0 = hard reference checker; > 0 = soft blend
   int reflections;     // mirror bounces (RenderConfig.reflections)
@@ -188,7 +190,19 @@ inline Vec3 shade_pixel(const SceneView& s, Vec3 o, Vec3 d, int depth) {
                       load3(s.rv + 3 * k), &a, &b, &n);
     if (t < t_best) { t_best = t; best = s.n_sph + k; ra = a; rb = b; rn = n; }
   }
-  if (best < 0) return s.background;
+  if (best < 0) {
+    if (s.env_k > 0) {
+      // Lat-long env-map sample of the (unit) ray direction — f64 mirror
+      // of pipeline.miss_color (sphere_uv of d, guard included).
+      double uu = std::atan2(d.z, d.x) * (0.5 / M_PI) + 0.5;
+      double dy = d.y;
+      if (dy < -1.0 + 1e-6) dy = -1.0 + 1e-6;
+      if (dy > 1.0 - 1e-6) dy = 1.0 - 1e-6;
+      double vv = 0.5 - std::asin(dy) / M_PI;
+      return sample_texture(s.env, s.env_k, uu, vv, /*wrap_a=*/true);
+    }
+    return s.background;
+  }
 
   Vec3 p = o + d * t_best;
   Vec3 normal, base;
@@ -290,14 +304,15 @@ void rrt_render(const double* sph_center, const double* sph_radius,
                 const double* background, int H, int W, int shadows, int clip,
                 double checker_tau, int reflections, const double* rct_tex,
                 int tex_k, const double* sph_tex, int sph_tex_k,
+                const double* env, int env_k,
                 double* out) {
   SceneView s{sph_center, sph_radius, sph_mat, n_sph,
               sph_tex,    sph_tex_k,
               rct_origin, rct_eu,     rct_ev,  rct_mat,
               n_rct,      rct_tex,    tex_k,
               light_pos,  light_col,  n_lights,
-              load3(ambient), load3(background), shadows != 0, checker_tau,
-              reflections};
+              load3(ambient), load3(background), env, env_k,
+              shadows != 0, checker_tau, reflections};
 
   Vec3 eye = load3(cam), look = load3(cam + 3), up_hint = load3(cam + 6);
   double fov = cam[9];
@@ -327,6 +342,6 @@ void rrt_render(const double* sph_center, const double* sph_radius,
   }
 }
 
-int rrt_version() { return 5; }  // v5: sphere lat-long textures (sph_tex, sph_tex_k)
+int rrt_version() { return 6; }  // v6: lat-long environment map (env, env_k)
 
 }  // extern "C"

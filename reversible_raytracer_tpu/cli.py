@@ -17,11 +17,12 @@ import time
 
 
 def _add_common(p):
-    p.add_argument("--config", type=int, default=2, choices=[1, 2, 3, 4, 5, 6, 7, 8],
+    p.add_argument("--config", type=int, default=2,
+                   choices=[1, 2, 3, 4, 5, 6, 7, 8, 9],
                    help="driver benchmark config number (BASELINE.json); "
-                        "6 = mirror-reflections extension scene, "
-                        "7 = rect-texture-recovery extension scene, "
-                        "8 = sphere-texture (globe) recovery extension scene")
+                        "extensions: 6 = mirror reflections, 7 = rect-"
+                        "texture recovery, 8 = sphere-texture (globe) "
+                        "recovery, 9 = environment-map (sky) recovery")
     p.add_argument("--size", type=int, default=None,
                    help="image size (default: the config's native size)")
     p.add_argument("--impl", choices=["auto", "jnp", "jnp_vec", "pallas", "pallas_vec"], default="auto",
@@ -108,11 +109,13 @@ def cmd_render(args):
 
     from .utils.imageio import save_png
 
+    from .models.scene import scene_textured
+
     scene, _, cfg = _build(args)
     if getattr(args, "shader", "phong") != "phong":
         cfg = dataclasses.replace(cfg, shader=args.shader)
     render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count,
-                              textured=scene.rects.textured or scene.spheres.textured)
+                              textured=scene_textured(scene))
     t0 = time.perf_counter()
     img = jax.jit(render)(scene)
     jax.block_until_ready(img)
@@ -142,8 +145,10 @@ def cmd_invert(args):
         # exactly two images (target + final.png). jnp_vec renders them in
         # ~100 ms with a fast XLA compile on every backend.
         args.impl = "jnp_vec"
+    from .models.scene import scene_textured
+
     render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count,
-                              textured=scene.rects.textured or scene.spheres.textured)
+                              textured=scene_textured(scene))
 
     if args.paranoid:
         from .utils.paranoid import checked_render, enable_nan_debugging

@@ -344,6 +344,57 @@ def config8_globe(size: int = 512, tex_k: int = 16, seed: int = 0):
     return scene, spec, cfg
 
 
+def config9_sky(size: int = 512, env_k: int = 16, seed: int = 0):
+    """Config 9 (extension beyond the driver set): environment-map ("sky")
+    recovery.
+
+    A chrome-ish mirror sphere over a floor under a (env_k, env_k, 3)
+    lat-long environment map (`Scene.env` — sampled by missed-ray
+    direction, azimuth wraps). The inverse render recovers the sky's
+    texel grid from a perturbed start: miss pixels give DIRECT bilinear
+    gradients into the visible sky band, and the mirror sphere adds
+    signal from directions behind the camera (the reflected rays' misses
+    sample the env too). Texels no ray reaches keep their start value.
+    Renders via the jnp paths (impl='auto' routes textured scenes there).
+    """
+    rng = np.random.default_rng(seed)
+    ii, jj = np.meshgrid(np.linspace(0, 1, env_k), np.linspace(0, 1, env_k),
+                         indexing="ij")
+    # Sky-ish vertical gradient (jj is the polar axis via the lat-long
+    # convention: texture axis 0 = azimuth, axis 1 = polar) + sun blobs.
+    env = np.stack([
+        0.2 + 0.15 * ii,
+        0.3 + 0.2 * jj,
+        0.6 + 0.3 * (1.0 - jj),
+    ], axis=-1)
+    for _ in range(3):
+        ci, cj = rng.uniform(0.1, 0.9, size=2)
+        r2 = (ii - ci) ** 2 + (jj - cj) ** 2
+        env += np.array([0.5, 0.4, 0.1]) * np.exp(-r2 / 0.01)[..., None]
+    env = np.clip(env, 0.05, 0.95).astype(np.float32)
+
+    chrome = sphere(
+        (0.0, 0.1, 0.0),
+        0.9,
+        _mat((0.9, 0.9, 0.9), ka=0.1, kd=0.3, ks=0.5, shininess=80.0,
+             mirror=0.7),
+    )
+    floor = ground_plane(-0.8, 4.5, _mat((0.55, 0.5, 0.45), ka=0.2, kd=0.8))
+    scene = Scene.make(
+        spheres=chrome,
+        rects=floor,
+        lights=Lights(
+            position=jnp.array([[3.0, 6.0, 3.0]], jnp.float32),
+            color=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        ),
+        camera=Camera.make((0.0, 0.6, 3.8), (0.0, 0.1, 0.0), fov_deg=55.0),
+        env=env,
+    )
+    spec = ParamSpec.none(scene).train("env", lower=0.0, upper=1.0)
+    cfg = RenderConfig(height=size, width=size, shadows=True, reflections=1)
+    return scene, spec, cfg
+
+
 CONFIGS = {
     1: config1_single_sphere,
     2: config2_four_spheres,
@@ -353,6 +404,7 @@ CONFIGS = {
     6: config6_mirror,
     7: config7_texture,
     8: config8_globe,
+    9: config9_sky,
 }
 
 

@@ -236,6 +236,19 @@ class Scene:
     camera: Camera
     ambient: jnp.ndarray  # (3,) ambient light color
     background: jnp.ndarray  # (3,) miss color
+    # Optional lat-long environment map: (K, K, 3) texel grid sampled by
+    # the (unit) ray direction on every miss — primary rays AND missed
+    # mirror bounces — replacing the flat `background` color. Same
+    # addressing as Spheres.texture (pipeline.sphere_uv of the direction:
+    # azimuth wraps, polar clamps) and fully differentiable: "recover the
+    # sky" is config 9. K == 0 -> flat background.
+    env: jnp.ndarray  # (K, K, 3)
+
+    @property
+    def env_mapped(self) -> bool:
+        if isinstance(self.env, (tuple, list)):
+            return len(self.env) > 0
+        return self.env.size > 0
 
     @staticmethod
     def make(
@@ -245,7 +258,18 @@ class Scene:
         camera: Camera | None = None,
         ambient=(1.0, 1.0, 1.0),
         background=(0.0, 0.0, 0.0),
+        env=None,
     ) -> "Scene":
+        if env is None:
+            env_leaf = jnp.zeros((0, 0, 3), jnp.float32)
+        else:
+            env_leaf = _f32(env)
+            assert env_leaf.ndim == 3 and env_leaf.shape[-1] == 3, env_leaf.shape
+            # Square grids only, like the object textures (the native
+            # oracle ABI carries one K per grid).
+            assert env_leaf.shape[0] == env_leaf.shape[1], (
+                f"env map must be square (K, K, 3), got {tuple(env_leaf.shape)}"
+            )
         return Scene(
             spheres=spheres if spheres is not None else Spheres.empty(),
             rects=rects if rects is not None else Rects.empty(),
@@ -255,6 +279,7 @@ class Scene:
             camera=camera if camera is not None else Camera.make((0, 0, 5), (0, 0, 0)),
             ambient=_f32(ambient),
             background=_f32(background),
+            env=env_leaf,
         )
 
 
@@ -333,9 +358,11 @@ def merge_rects(parts: "list[Rects]") -> Rects:
 
 
 def scene_textured(scene: Scene) -> bool:
-    """True when any object group carries an image-texture grid (the
-    dispatch predicate: textured scenes render on the jnp paths)."""
-    return scene.rects.textured or scene.spheres.textured
+    """True when the scene carries any image-texture grid — object
+    textures or the environment map (the dispatch predicate: textured
+    scenes route off the object-vectorized kernels, and off the unrolled
+    kernels in impl='auto' until the dense sampler is TPU-validated)."""
+    return scene.rects.textured or scene.spheres.textured or scene.env_mapped
 
 
 def lights(positions, colors) -> Lights:

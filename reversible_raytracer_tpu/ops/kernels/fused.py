@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.scene import Scene
+from ...models.scene import Scene, scene_textured
 from ..pipeline import RenderConfig, n_vis_planes, render_tile
 
 
@@ -101,6 +101,8 @@ def tile_object_count(scene: Scene, cfg: RenderConfig) -> int:
     for grp in (scene.spheres, scene.rects):
         if grp.textured:
             n_obj += max(2, int(np.shape(grp.texture)[1]) // 4)
+    if scene.env_mapped:
+        n_obj += max(2, int(np.shape(scene.env)[0]) // 4)
     return n_obj * (1 + cfg.reflections)
 
 
@@ -177,11 +179,12 @@ def _make_fused(
             "render_jnp_vec and kernels.fused_vec_soft (render impl='auto' "
             "routes there)"
         )
-    if (scene_like.rects.textured or scene_like.spheres.textured) and cfg.reflections:
+    if scene_textured(scene_like) and cfg.reflections:
         raise NotImplementedError(
-            "textured scenes with mirror reflections render via the jnp "
-            "paths (each bounce would replay the O(K^2) dense texture chain "
-            "in-kernel — trace/compile explosion); impl='auto' routes there"
+            "textured/env-mapped scenes with mirror reflections render via "
+            "the jnp paths (each bounce would replay the O(K^2) dense "
+            "texture chain in-kernel — trace/compile explosion); "
+            "impl='auto' routes there"
         )
     out_h = cfg.height if out_h is None else out_h
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
@@ -359,11 +362,11 @@ def _make_loss_grad(
             "fused step kernel implements the hard reference semantics; "
             "soft_tau/checker_tau training steps run through fused_vec_soft"
         )
-    if (scene_like.rects.textured or scene_like.spheres.textured) and cfg.reflections:
+    if scene_textured(scene_like) and cfg.reflections:
         raise NotImplementedError(
-            "textured training steps with mirror reflections run through "
-            "jax.value_and_grad over the jnp renderers (loss_and_grad_fn "
-            "routes) — see the render-kernel refusal"
+            "textured/env-mapped training steps with mirror reflections run "
+            "through jax.value_and_grad over the jnp renderers "
+            "(loss_and_grad_fn routes) — see the render-kernel refusal"
         )
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
     hit = _LG_CACHE.get(key)

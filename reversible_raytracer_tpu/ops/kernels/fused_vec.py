@@ -54,7 +54,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.scene import Scene
+from ...models.scene import Scene, scene_textured
 from .. import vecmath as vm
 from ..pipeline import (
     BIG,
@@ -431,10 +431,11 @@ def _make_fused_vec(
             "mirror reflections run through the unrolled family (jnp / "
             "pallas) or jnp_vec (render impl='auto' routes there)"
         )
-    if scene_like.rects.textured or scene_like.spheres.textured:
+    if scene_textured(scene_like):
         raise NotImplementedError(
-            "image-textured scenes render via the jnp paths (the SMEM "
-            "object rows hold scalars, not texel grids) — impl='auto' routes"
+            "image-textured / env-mapped scenes render via the jnp paths "
+            "(the SMEM object rows hold scalars, not texel grids) — "
+            "impl='auto' routes"
         )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count

@@ -385,6 +385,21 @@ def sphere_uv(n_unit: Vec3):
     return u, v
 
 
+def miss_color(scene, d: Vec3, shape) -> Vec3:
+    """Color a missed ray sees: the lat-long environment-map sample of the
+    (unit) ray direction when `Scene.env` is present (azimuth wraps —
+    `sphere_uv` of d, same addressing as sphere textures; the Pallas
+    kernels get the dense hat-basis sampler via the tuple-leaf dispatch),
+    else the flat background color. Shared by the unrolled pipeline, the
+    object-vectorized paths, and the soft compositor so the miss/blend
+    color is identical everywhere; both oracles mirror it."""
+    if getattr(scene, "env_mapped", False):
+        u, v = sphere_uv(d)
+        return sample_texture(scene.env, u, v, wrap_a=True)
+    bg = vm.splat(scene.background)
+    return vm.vbroadcast(bg, shape)
+
+
 def rect_color(rc, k, a, b) -> Vec3:
     """Base color of rect ``k`` at its (a, b) hit coordinates: the bilinear
     texture sample when the scene is textured, else the checker/solid
@@ -594,8 +609,7 @@ def shade_from_attrs(scene, o: Vec3, d: Vec3, cfg: RenderConfig, shape,
         contrib_b = vis * (at["kd"] * ndotl * base[2] + spec) * lcol[2]
         col = vm.vadd(col, (contrib_r, contrib_g, contrib_b))
 
-    bg = vm.splat(scene.background)
-    col = vm.vwhere(hit, col, vm.vbroadcast(bg, shape))
+    col = vm.vwhere(hit, col, miss_color(scene, d, shape))
     if cfg.clip:
         col = tuple(jnp.clip(c, 0.0, 1.0) for c in col)
     if return_vis:

@@ -31,6 +31,7 @@ from .pipeline import (
     RenderConfig,
     camera_rays,
     reflect_dir,
+    miss_color,
     sample_texture,
     shade_from_attrs,
     shadow_origin,
@@ -184,7 +185,7 @@ def _render_hard_once(scene: Scene, cfg: RenderConfig, row0=0,
     d = tuple(jnp.broadcast_to(c, (H, W)) for c in d)
 
     if not (scene.spheres.count or scene.rects.count):
-        img = jnp.broadcast_to(scene.background, (H, W, 3))
+        img = jnp.stack(miss_color(scene, d, (H, W)), axis=-1)
         return jnp.clip(img, 0.0, 1.0) if cfg.clip else img
 
     bounces = cfg.reflections if cfg.shader == "phong" else 0
@@ -484,7 +485,7 @@ def _render_soft(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = N
         t_parts.append(tr)
         a_parts.append((tr < BIG * 0.5).astype(jnp.float32))
     if not t_parts:
-        img = jnp.broadcast_to(scene.background, (H, W, 3))
+        img = jnp.stack(miss_color(scene, (dx, dy, dz), (H, W)), axis=-1)
         return jnp.clip(img, 0.0, 1.0) if cfg.clip else img
 
     t_all = jnp.concatenate(t_parts, axis=0)
@@ -519,7 +520,10 @@ def _render_soft(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = N
     t_all2 = jnp.where(winner, BIG, t_all)
     _, a2, c2 = shade_layer(t_all2)
 
-    bg = scene.background
+    # Per-pixel miss color: the env-map sample of the primary ray when
+    # Scene.env is present, else the flat background (shared miss_color —
+    # identical to the hard paths' blend target).
+    bg = miss_color(scene, (dx, dy, dz), (H, W))
     out = []
     for ch in range(3):
         behind = a2 * c2[ch] + (1.0 - a2) * bg[ch]

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models.scene import Scene
+from ..models.scene import Scene, scene_textured
 from .pipeline import RenderConfig, render_tile
 
 
@@ -39,7 +39,7 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     if impl == "auto":
         n_obj = scene.spheres.count + scene.rects.count
         on_tpu = jax.default_backend() == "tpu"
-        textured = scene.rects.textured or scene.spheres.textured
+        textured = scene_textured(scene)
         if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
             # Soft-visibility / soft-checker rendering: the dedicated soft
             # Pallas kernels on TPU, the object-vectorized jnp path
@@ -119,7 +119,7 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
         jax.default_backend() == "tpu"
         and cfg.soft_tau == 0.0
         and cfg.checker_tau == 0.0
-        and not (scene_like.rects.textured or scene_like.spheres.textured)
+        and not scene_textured(scene_like)
         and loss in ("mse", "sum")
         and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
     )

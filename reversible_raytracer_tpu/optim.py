@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from .models.scene import ParamSpec, Scene
+from .models.scene import ParamSpec, Scene, scene_textured
 from .ops.pipeline import RenderConfig
 from .ops.render import mse_loss, render_jnp, sum_squared_loss
 
@@ -433,7 +433,7 @@ def optimize_annealed(
     # grids, so the anneal runs its stages on the jnp_vec path even on TPU
     # (the soft compositor gained texture support alongside the feature).
     on_tpu = (jax.default_backend() == "tpu"
-              and not (scene.rects.textured or scene.spheres.textured))
+              and not scene_textured(scene))
     if on_tpu:
         from .ops.kernels.fused_vec import render_pallas_vec
         from .ops.kernels.fused_vec_soft import render_pallas_vec_soft

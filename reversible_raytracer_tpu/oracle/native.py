@@ -15,7 +15,7 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "liboracle.so"))
-_ABI_VERSION = 5  # must equal oracle.cpp's rrt_version()
+_ABI_VERSION = 6  # must equal oracle.cpp's rrt_version()
 _lib = None
 _build_failed = False
 
@@ -74,7 +74,7 @@ def _load():
         [D, D, D, ctypes.c_int] + [D, D, D, D, ctypes.c_int]
         + [D, D, ctypes.c_int] + [D, D, D]
         + [ctypes.c_int] * 4 + [ctypes.c_double, ctypes.c_int]
-        + [D, ctypes.c_int] + [D, ctypes.c_int] + [D]
+        + [D, ctypes.c_int] + [D, ctypes.c_int] + [D, ctypes.c_int] + [D]
     )
     lib.rrt_render.restype = None
     _lib = lib
@@ -126,6 +126,11 @@ def render(scene, height: int, width: int, shadows: bool = True, clip: bool = Tr
 
     rtex, tex_k = _tex_block(rc.texture, "rect")
     stex, sph_tex_k = _tex_block(sp.texture, "sphere")
+    # Env map: (K, K, 3) — reuse the per-group block logic by lifting to
+    # the (1, K, K, 3) layout it expects.
+    env3 = np.asarray(scene.env, f64)
+    envb, env_k = _tex_block(env3[None] if env3.size else env3.reshape(1, 0, 0, 3),
+                             "environment")
     sc = c(np.asarray(sp.center, f64))
     sr = c(np.asarray(sp.radius, f64))
     smat = c(_mat_block(sp.material))
@@ -154,6 +159,6 @@ def render(scene, height: int, width: int, shadows: bool = True, clip: bool = Tr
         p(cam), p(ambient), p(bg),
         height, width, int(shadows), int(clip),
         ctypes.c_double(float(checker_tau)), int(reflections),
-        p(rtex), tex_k, p(stex), sph_tex_k, p(out),
+        p(rtex), tex_k, p(stex), sph_tex_k, p(envb), env_k, p(out),
     )
     return out

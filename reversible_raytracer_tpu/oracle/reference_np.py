@@ -165,6 +165,7 @@ def _scene_arrays(scene):
         "lc": _np(scene.lights.color),
         "ambient": _np(scene.ambient),
         "bg": _np(scene.background),
+        "env": _np(scene.env),  # (K, K, 3); K == 0 -> flat background
     }
 
 
@@ -220,6 +221,19 @@ def _radiance(arr, o, d, H, W, shadows, checker_tau, depth):
     return col
 
 
+def _miss_color(arr, d, H, W):
+    """f64 mirror of pipeline.miss_color: the lat-long env-map sample of
+    the (unit) ray direction when Scene.env is present (sphere_uv of d —
+    azimuth wraps, polar clamps, guard included), else the background."""
+    if arr["env"].size:
+        uu = np.arctan2(d[..., 2], d[..., 0]) * (0.5 / np.pi) + 0.5
+        vv = 0.5 - np.arcsin(
+            np.clip(d[..., 1], -1.0 + 1e-6, 1.0 - 1e-6)
+        ) / np.pi
+        return _sample_texture(arr["env"], uu, vv, wrap_a=True)
+    return np.broadcast_to(arr["bg"], (H, W, 3))
+
+
 def _shade_level(arr, o, d, H, W, shadows, checker_tau):
     """One trace + local shade. Returns (color-with-bg-select, hit, hit
     point, normal, mirror plane) — everything a bounce level needs."""
@@ -229,7 +243,7 @@ def _shade_level(arr, o, d, H, W, shadows, checker_tau):
     n_obj = t_all.shape[0]
 
     if n_obj == 0:
-        img = np.broadcast_to(arr["bg"], (H, W, 3)).copy()
+        img = _miss_color(arr, d, H, W).copy()
         zero = np.zeros((H, W))
         return img, np.zeros((H, W), bool), o * np.ones((H, W, 3)), np.zeros((H, W, 3)), zero
 
@@ -325,7 +339,7 @@ def _shade_level(arr, o, d, H, W, shadows, checker_tau):
         contrib = (coeff["kd"] * ndotl)[..., None] * base + spec[..., None]
         colimg = colimg + (vis[..., None] * contrib) * arr["lc"][li][None, None, :]
 
-    colimg = np.where(hit[..., None], colimg, arr["bg"][None, None, :])
+    colimg = np.where(hit[..., None], colimg, _miss_color(arr, d, H, W))
     return colimg, hit, p, normal, coeff["mirror"]
 
 

@@ -1,0 +1,163 @@
+"""Environment-map backgrounds (`Scene.env`: lat-long sky texture sampled
+by missed-ray direction) and sky recovery via inverse rendering (config 9).
+
+Capability extension beyond the reference. Fidelity triangulation follows
+the house pattern (SURVEY.md §4.2): f64 numpy oracle == native C++ oracle
+(ABI v6) == jnp == jnp_vec; gradients flow into the env texels both from
+primary-ray misses and THROUGH mirror bounces (a reflected ray's miss
+samples the env). Env-free scenes are bitwise unaffected (empty env leaf),
+which the whole pre-existing suite enforces.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reversible_raytracer_tpu.models import configs
+from reversible_raytracer_tpu.models import scene as S
+from reversible_raytracer_tpu.ops.pipeline import RenderConfig
+from reversible_raytracer_tpu.ops.render import mse_loss, render, render_jnp
+from reversible_raytracer_tpu.oracle import native
+from reversible_raytracer_tpu.oracle import reference_np as ref
+
+
+def _sky_scene(size=48, env_k=8, reflections=1):
+    scene, spec, cfg = configs.config9_sky(size, env_k=env_k)
+    if reflections != cfg.reflections:
+        cfg = dataclasses.replace(cfg, reflections=reflections)
+    return scene, spec, cfg
+
+
+def test_env_render_matches_oracles_including_seam():
+    """jnp == f64 oracle == native C++ oracle, for a front view and for a
+    seam-facing camera (-x: the atan2 azimuth wrap runs down mid-frame)."""
+    for cam in (None, S.Camera.make((-3.8, 0.6, 0.0), (0.0, 0.1, 0.0))):
+        scene, _, cfg = _sky_scene()
+        if cam is not None:
+            scene = dataclasses.replace(scene, camera=cam)
+        for refl in (0, 1):
+            c = dataclasses.replace(cfg, reflections=refl)
+            a = np.asarray(render_jnp(scene, c))
+            o = ref.render(scene, c.height, c.width, reflections=refl)
+            assert np.abs(a - o).max() < 1e-3
+            b = np.asarray(render(scene, c, impl="jnp_vec"))
+            assert np.abs(b - a).max() < 1e-6
+            if native.available():
+                n = native.render(scene, c.height, c.width, reflections=refl)
+                assert np.abs(n - o).max() < 1e-12
+
+
+def test_env_grads_flow_from_misses_and_reflections():
+    """Direct miss pixels AND mirror-reflected misses both contribute env
+    gradient: turning reflections on must strictly grow the set of texels
+    receiving signal (the chrome sphere sees sky behind the camera)."""
+    scene, _, cfg = _sky_scene()
+    target = render_jnp(scene, cfg) * 0.9
+
+    def g(refl):
+        c = dataclasses.replace(cfg, reflections=refl)
+        t = render_jnp(scene, c) * 0.9
+        grad = jax.grad(lambda s: mse_loss(render_jnp(s, c), t))(scene)
+        return np.abs(np.asarray(grad.env)) > 1e-12
+
+    live0, live1 = g(0), g(1)
+    assert 0.05 < live0.mean() < 0.95
+    assert live1.sum() > live0.sum()
+    del target
+
+
+def test_env_grad_matches_fd_oracle():
+    scene, _, cfg = _sky_scene(reflections=1)
+    H = W = cfg.height
+    tgt64 = ref.render(scene, H, W, reflections=1) * 0.9
+    tgt = jnp.asarray(tgt64, jnp.float32)
+    genv = np.asarray(
+        jax.grad(lambda s: mse_loss(render_jnp(s, cfg), tgt))(scene).env
+    )
+    assert np.isfinite(genv).all()
+    ti, tj, tc = np.unravel_index(np.abs(genv).argmax(), genv.shape)
+
+    def oracle_loss(d):
+        e = np.asarray(scene.env).copy()
+        e[ti, tj, tc] += d
+        s2 = dataclasses.replace(scene, env=jnp.asarray(e))
+        return ref.mse_loss(ref.render(s2, H, W, reflections=1), tgt64)
+
+    eps = 1e-4
+    fd = (oracle_loss(+eps) - oracle_loss(-eps)) / (2 * eps)
+    an = float(genv[ti, tj, tc])
+    assert abs(an - fd) / max(abs(fd), 1e-9) < 0.02, (an, fd)
+
+
+def test_sky_recovery_converges():
+    """Config-9 capability: recover observable env texels from a 40%
+    perturbation (unobserved texels keep their start — masked out)."""
+    from reversible_raytracer_tpu.optim import OptConfig, optimize_scan
+
+    scene, spec, _ = _sky_scene(size=64)
+    cfg = RenderConfig(height=64, width=64, shadows=True, reflections=1)
+    target = render_jnp(scene, cfg)
+    g = jax.grad(lambda s: mse_loss(render_jnp(s, cfg), target * 0.9))(scene)
+    vis = np.abs(np.asarray(g.env)) > 1e-10
+    assert 0.05 < vis.mean() < 0.95
+
+    start = configs.perturb(scene, spec, scale=0.4, seed=9)
+    final, losses = optimize_scan(
+        start, target, spec, cfg,
+        OptConfig(iters=200, lr=3e-2, schedule="cosine"),
+        cache_key="test-sky-recovery",
+    )
+    truth = np.asarray(scene.env)
+    err0 = np.sqrt(np.mean((np.asarray(start.env) - truth)[vis] ** 2))
+    err1 = np.sqrt(np.mean((np.asarray(final.env) - truth)[vis] ** 2))
+    assert float(losses[-1]) < 1e-5
+    assert err1 < 0.3 * err0, (err0, err1)
+
+
+def test_env_kernel_dispatch_and_unrolled_support():
+    """Vec kernels refuse env-mapped scenes; the unrolled kernel renders
+    them (dense sampler) when reflections are off, refuses with
+    reflections on; auto routing works everywhere."""
+    from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
+
+    scene, _, _ = _sky_scene(env_k=8)
+    cfg = RenderConfig(height=16, width=128)  # reflections=0
+    a = np.asarray(render_jnp(scene, cfg))
+    b = np.asarray(render_pallas(scene, cfg, interpret=True))
+    assert np.abs(a - b).max() < 1e-5
+    with pytest.raises(NotImplementedError, match="env"):
+        render_pallas_vec(scene, cfg, interpret=True)
+    with pytest.raises(NotImplementedError, match="env"):
+        render_pallas(scene, dataclasses.replace(cfg, reflections=1),
+                      interpret=True)
+    img = np.asarray(render(scene, dataclasses.replace(cfg, reflections=1),
+                            impl="auto"))
+    assert np.isfinite(img).all()
+
+
+def test_env_soft_compositor_blends_to_env():
+    """The soft-visibility compositor must blend silhouettes toward the
+    per-pixel env sample (miss_color), converging to the hard image as
+    tau -> 0."""
+    scene, _, _ = _sky_scene()
+    hard = np.asarray(render_jnp(scene, RenderConfig(height=32, width=32)))
+    for tau, tol in ((1e-4, 2e-2), (1e-6, 2e-3)):
+        cfg = RenderConfig(height=32, width=32, soft_tau=tau)
+        soft = np.asarray(render(scene, cfg, impl="jnp_vec"))
+        assert np.abs(soft - hard).mean() < tol
+
+
+def test_env_scene_json_roundtrip(tmp_path):
+    from reversible_raytracer_tpu.utils.sceneio import load_scene, save_scene
+
+    scene, _, _ = _sky_scene(env_k=4)
+    p = str(tmp_path / "sky.json")
+    save_scene(p, scene)
+    back = load_scene(p, scene)
+    for a, b in zip(jax.tree_util.tree_leaves(scene),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -10,6 +10,8 @@ exact elementwise equality, and use a probe step small enough that flips are
 rare at the test resolution.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,12 +77,9 @@ def test_grad_sphere_center(sphere_setup):
     fd = _fd_grad_leaf(
         start, cfg, target64,
         get=lambda s: np.asarray(s.spheres.center, np.float64),
-        set_=lambda s, v: s.__class__(
-            spheres=s.spheres.__class__(
-                center=jnp.asarray(v, jnp.float32), radius=s.spheres.radius,
-                material=s.spheres.material),
-            rects=s.rects, lights=s.lights, camera=s.camera,
-            ambient=s.ambient, background=s.background),
+        set_=lambda s, v: dataclasses.replace(
+            s, spheres=dataclasses.replace(
+                s.spheres, center=jnp.asarray(v, jnp.float32))),
         shape=(1, 3), h=3e-4,
     )
     _check_group(grads.spheres.center, fd, "spheres.center")
@@ -91,12 +90,9 @@ def test_grad_sphere_radius(sphere_setup):
     fd = _fd_grad_leaf(
         start, cfg, target64,
         get=lambda s: np.asarray(s.spheres.radius, np.float64),
-        set_=lambda s, v: s.__class__(
-            spheres=s.spheres.__class__(
-                center=s.spheres.center, radius=jnp.asarray(v, jnp.float32),
-                material=s.spheres.material),
-            rects=s.rects, lights=s.lights, camera=s.camera,
-            ambient=s.ambient, background=s.background),
+        set_=lambda s, v: dataclasses.replace(
+            s, spheres=dataclasses.replace(
+                s.spheres, radius=jnp.asarray(v, jnp.float32))),
         shape=(1,), h=3e-4,
     )
     _check_group(grads.spheres.radius, fd, "spheres.radius")
@@ -107,13 +103,9 @@ def test_grad_material_color(sphere_setup):
     mat = start.spheres.material
 
     def set_color(s, v):
-        import dataclasses
-
         m = dataclasses.replace(mat, color=jnp.asarray(v, jnp.float32))
-        return s.__class__(
-            spheres=s.spheres.__class__(center=s.spheres.center, radius=s.spheres.radius, material=m),
-            rects=s.rects, lights=s.lights, camera=s.camera,
-            ambient=s.ambient, background=s.background)
+        return dataclasses.replace(
+            s, spheres=dataclasses.replace(s.spheres, material=m))
 
     fd = _fd_grad_leaf(
         start, cfg, target64,
@@ -138,10 +130,9 @@ def test_grad_light_position():
     grads = jax.jit(jax.grad(loss_fn))(start)
 
     def set_lp(s, v):
-        return s.__class__(
-            spheres=s.spheres, rects=s.rects,
-            lights=s.lights.__class__(position=jnp.asarray(v, jnp.float32), color=s.lights.color),
-            camera=s.camera, ambient=s.ambient, background=s.background)
+        return dataclasses.replace(
+            s, lights=dataclasses.replace(
+                s.lights, position=jnp.asarray(v, jnp.float32)))
 
     fd = _fd_grad_leaf(
         start, cfg, target64,
@@ -165,12 +156,9 @@ def test_grad_camera_pose():
     grads = jax.jit(jax.grad(loss_fn))(start)
 
     def set_eye(s, v):
-        return s.__class__(
-            spheres=s.spheres, rects=s.rects, lights=s.lights,
-            camera=s.camera.__class__(
-                eye=jnp.asarray(v, jnp.float32), look_at=s.camera.look_at,
-                up=s.camera.up, fov_deg=s.camera.fov_deg),
-            ambient=s.ambient, background=s.background)
+        return dataclasses.replace(
+            s, camera=dataclasses.replace(
+                s.camera, eye=jnp.asarray(v, jnp.float32)))
 
     fd = _fd_grad_leaf(
         start, cfg, target64,

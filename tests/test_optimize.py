@@ -83,15 +83,11 @@ def test_gradient_masking_freezes_untrained_leaves():
 def test_bounds_projection():
     scene, spec, _ = configs.config1_single_sphere()
     # Force radius outside its [0.2, 2.5] bounds and project.
-    bad = scene.__class__(
-        spheres=scene.spheres.__class__(
-            center=scene.spheres.center,
-            radius=jnp.asarray([9.0], jnp.float32),
-            material=scene.spheres.material,
-        ),
-        rects=scene.rects, lights=scene.lights, camera=scene.camera,
-        ambient=scene.ambient, background=scene.background,
-    )
+    import dataclasses
+
+    bad = dataclasses.replace(
+        scene, spheres=dataclasses.replace(
+            scene.spheres, radius=jnp.asarray([9.0], jnp.float32)))
     fixed = project_bounds(bad, spec)
     assert float(fixed.spheres.radius[0]) == 2.5
     # Non-trainable leaves are untouched even if out of any range.
