@@ -488,22 +488,33 @@ def main():
         except Exception as e:  # noqa: BLE001 — bench row is best-effort
             _log(f"config-6 bench row skipped: {type(e).__name__}: {e}")
 
-    # --- config-7 capability row: texture recovery (jnp/XLA path) ---
-    # Textures are gather-shaped work the SMEM-scalar kernels refuse; this
-    # row records what the XLA fallback costs per step at 512^2 and the
-    # 768-parameter texture-recovery wall-clock.
+    # --- config-7 capability row: texture recovery ---
+    # Since the TPU validation of the dense hat-basis sampler
+    # (scripts/tpu_textured_check.py), loss_and_grad_fn dispatches small
+    # textured scenes to the UNROLLED step kernel; this row records that
+    # step cost, the XLA-fallback cost it replaced (the speedup the flip
+    # buys), and the 768-parameter texture-recovery wall-clock on the
+    # kernel step.
     if on_tpu:
         try:
             scene7, spec7, cfg7 = configs.config7_texture(512)
-            vag7 = loss_and_grad_fn(scene7, cfg7)  # falls back to XLA v&g
+            vag7 = loss_and_grad_fn(scene7, cfg7)  # -> fused step kernel
             tgt7 = jnp.zeros((512, 512, 3), jnp.float32)
             t0 = time.perf_counter()
             t7, _, _ = _median_slope(
                 lambda n: _vag_total(vag7, scene7, tgt7, n), 10, 60, k=3
             )
-            _log(f"textured (XLA jnp path) 512^2 fwd+bwd: {t7*1e3:.3f} ms/step "
+            _log(f"textured (fused step kernel) 512^2 fwd+bwd: "
+                 f"{t7*1e3:.3f} ms/step "
                  f"[compile+bench {time.perf_counter()-t0:.0f}s]")
             details["config7_texture_fwdbwd_ms"] = t7 * 1e3
+            vag7j = loss_and_grad_fn(scene7, cfg7, impl="jnp")
+            t7j, _, _ = _median_slope(
+                lambda n: _vag_total(vag7j, scene7, tgt7, n), 10, 60, k=3
+            )
+            _log(f"textured (XLA jnp fallback) 512^2 fwd+bwd: "
+                 f"{t7j*1e3:.3f} ms/step")
+            details["config7_texture_fwdbwd_ms_jnp"] = t7j * 1e3
             with open("bench_details.json", "w") as fh:
                 json.dump(details, fh, indent=2)  # flush before the long scan
 
@@ -514,7 +525,8 @@ def main():
             final7, losses7 = optimize_scan(
                 start7, tgt7r, spec7, cfg7, ocfg7,
                 render_fn=lambda s: render_jnp(s, cfg7),
-                cache_key="bench-config7",
+                vag_fn=vag7,
+                cache_key="bench-config7-step",
             )
             l7 = float(losses7[-1])  # value fetch before reading the clock
             t7w = time.perf_counter() - t0

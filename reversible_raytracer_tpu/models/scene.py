@@ -360,8 +360,9 @@ def merge_rects(parts: "list[Rects]") -> Rects:
 def scene_textured(scene: Scene) -> bool:
     """True when the scene carries any image-texture grid — object
     textures or the environment map (the dispatch predicate: textured
-    scenes route off the object-vectorized kernels, and off the unrolled
-    kernels in impl='auto' until the dense sampler is TPU-validated)."""
+    scenes route off the object-vectorized kernels; the UNROLLED kernels
+    sample them gather-free and take small textured scenes in impl='auto'
+    — TPU-validated, scripts/tpu_textured_check.py)."""
     return scene.rects.textured or scene.spheres.textured or scene.env_mapped
 
 

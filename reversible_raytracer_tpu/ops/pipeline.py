@@ -378,10 +378,14 @@ def sphere_uv(n_unit: Vec3):
     angle in [0, 1] (0 at +y). The asin argument is clamped INSIDE ±1 so
     the pole derivative stays finite (asin' diverges at ±1; the clamp's
     zero-gradient band is one ulp-scale ring at the poles). Both oracles
-    mirror this exact formula, guard included."""
+    mirror this exact formula, guard included (they use libm
+    atan2/asin — the ~2 ulp polynomial error of `vecmath.atan2` is far
+    inside the oracle tolerances). vm.atan2/vm.asin, NOT jnp.arctan2:
+    Mosaic has no atan/atan2/asin lowering, and using the polynomial in
+    the jnp path too keeps kernel-vs-jnp comparisons tight."""
     nx, ny, nz = n_unit
-    u = jnp.arctan2(nz, nx) * (0.5 / jnp.pi) + 0.5
-    v = 0.5 - jnp.arcsin(jnp.clip(ny, -1.0 + 1e-6, 1.0 - 1e-6)) / jnp.pi
+    u = vm.atan2(nz, nx) * (0.5 / jnp.pi) + 0.5
+    v = 0.5 - vm.asin(jnp.clip(ny, -1.0 + 1e-6, 1.0 - 1e-6)) / jnp.pi
     return u, v
 
 

@@ -34,52 +34,67 @@ def render_jnp(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = Non
     return jnp.stack([r, g, b], axis=-1)
 
 
+def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
+    """The impl='auto' dispatch decision, exposed for tests and callers
+    that need to know which renderer `render` would pick."""
+    n_obj = scene.spheres.count + scene.rects.count
+    on_tpu = jax.default_backend() == "tpu"
+    textured = scene_textured(scene)
+    if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
+        # Soft-visibility / soft-checker rendering: the dedicated soft
+        # Pallas kernels on TPU, the object-vectorized jnp path
+        # elsewhere (the HARD Pallas kernels would silently drop the
+        # taus — they refuse). The soft kernels require soft_tau > 0
+        # and no texture grids; the checker-only relaxation and
+        # textured soft scenes run on the jnp path. (reflections +
+        # taus raises in jnp_vec — the relaxations are
+        # reflections-exclusive.)
+        return (
+            "pallas_vec_soft"
+            if (on_tpu and cfg.soft_tau > 0.0 and not textured)
+            else "jnp_vec"
+        )
+    if textured:
+        # Image textures / env maps: the unrolled kernels sample them
+        # gather-free (dense hat-basis, `pipeline.sample_texture_dense`)
+        # — TPU-validated vs jnp in scripts/tpu_textured_check.py
+        # (fwd ≤1e-7, grads ≤1e-6 rel on configs 7/8/9-noreflect).
+        # Routed by the VMEM-effective object count (texture grids keep
+        # ~K/4 object-equivalents of hat-weight tiles live). The vec
+        # kernels refuse texel grids, and textured+reflections would
+        # replay the O(K^2) dense chain per bounce — both stay on the
+        # jnp paths. spp>1 textured is unvalidated in-kernel: jnp too.
+        from .kernels.fused import tile_object_count
+
+        if (on_tpu and not cfg.reflections and cfg.spp == 1
+                and tile_object_count(scene, cfg) <= 24):
+            return "pallas"
+        return "jnp" if n_obj <= 24 else "jnp_vec"
+    if cfg.reflections:
+        # Mirror reflections: the unrolled family traces the bounce
+        # replay for free; the object-chunked Pallas kernels refuse.
+        # Large reflective scenes fall back to the object-vectorized
+        # jnp path (O(1) compile; XLA still fuses well).
+        if n_obj <= 24:
+            return "pallas" if on_tpu else "jnp"
+        return "jnp_vec"
+    if on_tpu:
+        # Unrolled fused kernels compile O(N) (fastest for small object
+        # counts); the object-chunked kernels compile O(1) — pick by N.
+        # Crossover measured on v5e at 512^2 fwd+bwd: unrolled 0.172 ms
+        # at 6 objects vs vec 0.686; vec 0.916 ms at 25 objects while
+        # the unrolled chain reaches ~1 ms around 25-30 — threshold 24.
+        # (spp = 4 multiplies both families by ~4x — the unrolled path
+        # fuses subsamples in-kernel, the vec wrappers average four
+        # launches — so the crossover is unchanged.)
+        return "pallas" if n_obj <= 24 else "pallas_vec"
+    return "jnp" if n_obj <= 24 else "jnp_vec"
+
+
 def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     """Render the full image with the best available implementation."""
     if impl == "auto":
-        n_obj = scene.spheres.count + scene.rects.count
-        on_tpu = jax.default_backend() == "tpu"
-        textured = scene_textured(scene)
-        if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
-            # Soft-visibility / soft-checker rendering: the dedicated soft
-            # Pallas kernels on TPU, the object-vectorized jnp path
-            # elsewhere (the HARD Pallas kernels would silently drop the
-            # taus — they refuse). The soft kernels require soft_tau > 0
-            # and no texture grids; the checker-only relaxation and
-            # textured soft scenes run on the jnp path. (reflections +
-            # taus raises in jnp_vec — the relaxations are
-            # reflections-exclusive.)
-            impl = (
-                "pallas_vec_soft"
-                if (on_tpu and cfg.soft_tau > 0.0 and not textured)
-                else "jnp_vec"
-            )
-        elif textured:
-            # Image textures: gather-shaped work — XLA's job, not the SMEM
-            # scalar kernels' (they refuse). Works combined with
-            # reflections (both jnp paths trace the bounce replay).
-            impl = "jnp" if n_obj <= 24 else "jnp_vec"
-        elif cfg.reflections:
-            # Mirror reflections: the unrolled family traces the bounce
-            # replay for free; the object-chunked Pallas kernels refuse.
-            # Large reflective scenes fall back to the object-vectorized
-            # jnp path (O(1) compile; XLA still fuses well).
-            if n_obj <= 24:
-                impl = "pallas" if on_tpu else "jnp"
-            else:
-                impl = "jnp_vec"
-        elif on_tpu:
-            # Unrolled fused kernels compile O(N) (fastest for small object
-            # counts); the object-chunked kernels compile O(1) — pick by N.
-            # Crossover measured on v5e at 512^2 fwd+bwd: unrolled 0.172 ms
-            # at 6 objects vs vec 0.686; vec 0.916 ms at 25 objects while
-            # the unrolled chain reaches ~1 ms around 25-30 — threshold 24.
-            # (spp = 4 multiplies both families by ~4x — the unrolled path
-            # fuses subsamples in-kernel, the vec wrappers average four
-            # launches — so the crossover is unchanged.)
-            impl = "pallas" if n_obj <= 24 else "pallas_vec"
-        else:
-            impl = "jnp" if n_obj <= 24 else "jnp_vec"
+        impl = resolve_impl(scene, cfg)
     if impl == "jnp":
         return render_jnp(scene, cfg)
     if impl == "jnp_vec":
@@ -115,14 +130,36 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
     `render_tile`).
     """
     n_obj = scene_like.spheres.count + scene_like.rects.count
+    textured = scene_textured(scene_like)
     fused_ok = (
         jax.default_backend() == "tpu"
         and cfg.soft_tau == 0.0
         and cfg.checker_tau == 0.0
-        and not scene_textured(scene_like)
         and loss in ("mse", "sum")
         and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
     )
+    if textured:
+        # The unrolled step kernel samples textures/env gather-free
+        # (TPU-validated, scripts/tpu_textured_check.py) — but refuses
+        # reflections (per-bounce dense-chain replay), and textured spp>1
+        # in-kernel is unvalidated. Threshold on the VMEM-effective
+        # object count; the vec step kernel refuses texel grids entirely.
+        from .kernels.fused import tile_object_count
+
+        if impl == "auto":
+            want_unrolled = (
+                cfg.reflections == 0 and cfg.spp == 1
+                and tile_object_count(scene_like, cfg) <= 24
+            )
+        else:
+            want_unrolled = impl == "pallas"
+        if fused_ok and want_unrolled and not cfg.reflections and cfg.spp == 1:
+            from .kernels.fused import loss_grad_pallas
+
+            return lambda scene, target: loss_grad_pallas(
+                scene, cfg, target, loss=loss
+            )
+        fused_ok = False  # vec step kernel refuses textures — fall through
     want_unrolled = (
         impl == "pallas" or (impl != "pallas_vec" and n_obj <= 24)
     )

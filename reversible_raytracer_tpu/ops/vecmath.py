@@ -115,3 +115,58 @@ def safe_pow(x, p):
     """
     safe_x = jnp.where(x > 0.0, x, 1.0)
     return jnp.where(x > 0.0, jnp.exp(p * jnp.log(safe_x)), 0.0)
+
+
+# Cephes atanf minimax coefficients for atan(r), r in [0, 1] after the
+# tan(pi/8) fold below: atan(r) ~= r + r^3 * P(r^2), ~1-2 ulp in f32.
+_ATAN_P = (8.05374449538e-2, -1.38776856032e-1, 1.99777106478e-1,
+           -3.33329491539e-1)
+
+_TAN_PI_8 = 0.4142135623730951  # tan(pi/8): the Cephes fold point
+
+
+def _atan_01(r):
+    """atan of r in [0, 1] (branchless Cephes fold): for r above tan(pi/8)
+    use atan(r) = pi/4 + atan((r-1)/(r+1)), whose argument lies back in
+    [-0.1716, 0.1716]; then the odd minimax polynomial. All elementary
+    mul/add/div/select — lowers in Mosaic (no atan/atan2 primitive there,
+    see pallas/mosaic/lowering.py: only tan/tanh are registered)."""
+    fold = r > _TAN_PI_8
+    x = jnp.where(fold, (r - 1.0) / (r + 1.0), r)
+    z = x * x
+    p = _ATAN_P[0]
+    for c in _ATAN_P[1:]:
+        p = p * z + c
+    y = p * z * x + x
+    return jnp.where(fold, y + jnp.pi / 4, y)
+
+
+def atan2(y, x):
+    """Branchless, overflow-free, Mosaic-lowerable arctan2.
+
+    Octant-reduced: feed `_atan_01` the ratio min/max of |x|,|y| (always in
+    [0, 1], guarded denominator so no inf/NaN ever appears in EITHER branch
+    of a where — the 0*NaN cotangent-poisoning trap), then unfold swap /
+    x-sign / y-sign. atan2(0, 0) = 0 (numpy convention). Max error ~2 ulp
+    f32 vs the libm atan2 the jnp/XLA paths would otherwise call — the
+    pipeline uses THIS everywhere (sphere_uv) so the jnp path and the
+    Pallas kernel trace identical math and stay bit-comparable.
+    """
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    r = lo / jnp.where(hi > 0.0, hi, 1.0)
+    a = _atan_01(r)
+    a = jnp.where(ay > ax, jnp.pi / 2 - a, a)
+    a = jnp.where(x < 0.0, jnp.pi - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def asin(t):
+    """Mosaic-lowerable arcsin via atan2(t, sqrt((1-t)(1+t))).
+
+    Callers must keep |t| strictly below 1 (sphere_uv clips to 1 - 1e-6) so
+    the sqrt argument stays positive and its derivative finite; the guard
+    in `safe_sqrt` protects the cotangent if they don't.
+    """
+    return atan2(t, safe_sqrt((1.0 - t) * (1.0 + t), guard=1.0))

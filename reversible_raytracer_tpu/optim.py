@@ -429,9 +429,11 @@ def optimize_annealed(
     # Elsewhere both run through render_jnp_vec. Stage targets are rendered
     # with the SAME renderer as the stage optimization, so the stage loss
     # floor is exactly zero regardless of implementation.
-    # Textured scenes (Rects.texture): every Pallas family refuses texel
-    # grids, so the anneal runs its stages on the jnp_vec path even on TPU
-    # (the soft compositor gained texture support alongside the feature).
+    # Textured scenes (texture grids / env maps): the anneal's VEC kernel
+    # families refuse texel grids (only the unrolled kernels sample them,
+    # and those are the small-N hard-semantics family), so textured
+    # anneals run their stages on the jnp_vec path even on TPU (the soft
+    # compositor gained texture support alongside the feature).
     on_tpu = (jax.default_backend() == "tpu"
               and not scene_textured(scene))
     if on_tpu:

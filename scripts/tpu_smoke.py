@@ -226,6 +226,39 @@ def main():
               f"fwd_diff={fwd_diff:.2e} loss_rel={ldiff:.2e} "
               f"grad_rel={gdiff:.2e} finite={finite} "
               f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
+
+    # Environment map through the unrolled kernel (config 9 with
+    # reflections=0 — as shipped it has reflections=1, which the textured
+    # kernels refuse; `miss_color`'s dense env sample is what's validated
+    # here). Duplicated in scripts/tpu_textured_check.py (the fast subset
+    # run before the impl='auto' flip).
+    import dataclasses
+
+    scene9, spec9, cfg9 = configs.config9_sky(128)
+    cfg9 = dataclasses.replace(cfg9, reflections=0)
+    t0 = time.time()
+    img_p = np.asarray(jax.jit(lambda s: render_pallas(s, cfg9))(scene9))
+    img_j = np.asarray(jax.jit(lambda s: render_jnp(s, cfg9))(scene9))
+    fwd_diff = np.abs(img_p - img_j).max()
+    target = jnp.asarray(img_j)
+    start9 = configs.perturb(scene9, spec9, scale=0.4, seed=9)
+    l2, g2 = jax.jit(
+        jax.value_and_grad(lambda s: mse_loss(render_jnp(s, cfg9), target))
+    )(start9)
+    l1, g1 = jax.jit(lambda s: loss_grad_pallas(s, cfg9, target))(start9)
+    ldiff = abs(float(l1) - float(l2)) / max(float(l2), 1e-12)
+    gdiff, finite = 0.0, True
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.size:
+            scale = max(float(np.abs(b).max()), 1e-10)
+            gdiff = max(gdiff, float(np.abs(a - b).max()) / scale)
+            finite &= bool(np.isfinite(a).all())
+    ok = fwd_diff <= 1e-5 and ldiff <= 1e-4 and gdiff <= 1e-2 and finite
+    failures += (not ok)
+    print(f"env kernel config-9 (reflections=0) @128²: fwd_diff={fwd_diff:.2e} "
+          f"loss_rel={ldiff:.2e} grad_rel={gdiff:.2e} finite={finite} "
+          f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
     sys.exit(1 if failures else 0)
 
 

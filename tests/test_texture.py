@@ -380,3 +380,79 @@ def test_sceneio_roundtrip_texture(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(back.rects.texture), np.asarray(scene.rects.texture)
     )
+
+
+def test_auto_dispatch_textured_unrolled_kernel(monkeypatch):
+    """impl='auto' routing for textured/env scenes after the TPU
+    validation of the dense sampler (scripts/tpu_textured_check.py):
+    small textured scenes take the UNROLLED kernel on TPU; reflections,
+    spp>1, large VMEM-effective counts, and CPU all stay on jnp paths."""
+    from reversible_raytracer_tpu.ops.kernels.fused import tile_object_count
+    from reversible_raytracer_tpu.ops.render import resolve_impl
+
+    scene, _ = _tex_scene(32)
+    sky, _, cfg9 = configs.config9_sky(32, env_k=8)
+    cfg = RenderConfig(height=32, width=32, shadows=True)
+    assert tile_object_count(scene, cfg) <= 24  # stays a small-N scene
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_impl(scene, cfg) == "pallas"
+    assert resolve_impl(sky, dataclasses.replace(cfg9, reflections=0)) == "pallas"
+    # kernel-refusing combos route off:
+    assert resolve_impl(scene, dataclasses.replace(cfg, reflections=1)) == "jnp"
+    assert resolve_impl(sky, cfg9) == "jnp"  # config 9 ships reflections=1
+    assert resolve_impl(scene, dataclasses.replace(cfg, spp=4)) == "jnp"
+    big = dataclasses.replace(
+        scene, spheres=configs.config5_many_spheres(32, n_spheres=40)[0].spheres
+    )
+    assert resolve_impl(big, cfg) == "jnp_vec"
+    # a texture grid big enough to blow the VMEM-effective count: jnp
+    k = 128
+    huge_tex = jnp.zeros((scene.rects.count, k, k, 3), jnp.float32)
+    huge = dataclasses.replace(
+        scene, rects=dataclasses.replace(scene.rects, texture=huge_tex)
+    )
+    assert tile_object_count(huge, cfg) > 24
+    assert resolve_impl(huge, cfg) == "jnp"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolve_impl(scene, cfg) == "jnp"
+
+
+def test_loss_and_grad_fn_textured_dispatch(monkeypatch):
+    """loss_and_grad_fn picks the unrolled step kernel for small textured
+    scenes on TPU (validated combo: spp=1, no reflections); everything
+    else falls back to value_and_grad."""
+    import sys
+
+    import reversible_raytracer_tpu.ops.render  # noqa: F401
+
+    R = sys.modules["reversible_raytracer_tpu.ops.render"]
+    scene, _ = _tex_scene(32)
+    cfg = RenderConfig(height=32, width=32, shadows=True)
+
+    def kind(fn):
+        if "vag" in getattr(fn, "__qualname__", ""):
+            return "fallback"
+        cells = [
+            getattr(c.cell_contents, "__name__", "")
+            for c in (fn.__closure__ or ())
+        ]
+        return "vec" if "loss_grad_pallas_vec" in cells else "unrolled"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert kind(R.loss_and_grad_fn(scene, cfg)) == "unrolled"
+    assert kind(
+        R.loss_and_grad_fn(scene, dataclasses.replace(cfg, reflections=1))
+    ) == "fallback"
+    assert kind(
+        R.loss_and_grad_fn(scene, dataclasses.replace(cfg, spp=4))
+    ) == "fallback"
+    big = dataclasses.replace(
+        scene, spheres=configs.config5_many_spheres(32, n_spheres=40)[0].spheres
+    )
+    assert kind(R.loss_and_grad_fn(big, cfg)) == "fallback"  # vec refuses tex
+    # explicit impl='pallas' is honored for the validated combo
+    assert kind(R.loss_and_grad_fn(scene, cfg, impl="pallas")) == "unrolled"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert kind(R.loss_and_grad_fn(scene, cfg)) == "fallback"
