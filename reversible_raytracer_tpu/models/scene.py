@@ -366,6 +366,16 @@ def scene_textured(scene: Scene) -> bool:
     return scene.rects.textured or scene.spheres.textured or scene.env_mapped
 
 
+def scene_object_textured(scene: Scene) -> bool:
+    """True when an OBJECT carries a texel grid (env map excluded). The
+    unrolled kernels' reflections refusal keys on this: a mirror bounce
+    replays each object-texture's O(K^2) dense chain (trace/compile
+    explosion), but an env-only scene adds just ONE extra dense env
+    sample per bounce (`miss_color` of the bounced ray) — cheap, so
+    env-only reflective scenes (config 9 as shipped) run in-kernel."""
+    return scene.rects.textured or scene.spheres.textured
+
+
 def lights(positions, colors) -> Lights:
     return Lights(position=_f32(positions).reshape(-1, 3), color=_f32(colors).reshape(-1, 3))
 

@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.scene import Scene, scene_textured
+from ...models.scene import Scene, scene_object_textured, scene_textured
 from ..pipeline import RenderConfig, n_vis_planes, render_tile
 
 
@@ -179,12 +179,13 @@ def _make_fused(
             "render_jnp_vec and kernels.fused_vec_soft (render impl='auto' "
             "routes there)"
         )
-    if scene_textured(scene_like) and cfg.reflections:
+    if scene_object_textured(scene_like) and cfg.reflections:
         raise NotImplementedError(
-            "textured/env-mapped scenes with mirror reflections render via "
+            "object-textured scenes with mirror reflections render via "
             "the jnp paths (each bounce would replay the O(K^2) dense "
             "texture chain in-kernel — trace/compile explosion); "
-            "impl='auto' routes there"
+            "impl='auto' routes there. Env-only scenes are fine: a bounce "
+            "adds ONE dense env sample."
         )
     out_h = cfg.height if out_h is None else out_h
     key = (_scene_signature(scene_like), cfg, tiles, interpret, out_h)
@@ -362,9 +363,9 @@ def _make_loss_grad(
             "fused step kernel implements the hard reference semantics; "
             "soft_tau/checker_tau training steps run through fused_vec_soft"
         )
-    if scene_textured(scene_like) and cfg.reflections:
+    if scene_object_textured(scene_like) and cfg.reflections:
         raise NotImplementedError(
-            "textured/env-mapped training steps with mirror reflections run "
+            "object-textured training steps with mirror reflections run "
             "through jax.value_and_grad over the jnp renderers "
             "(loss_and_grad_fn routes) — see the render-kernel refusal"
         )

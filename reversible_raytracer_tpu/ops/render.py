@@ -61,12 +61,16 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
         # (fwd ≤1e-7, grads ≤1e-6 rel on configs 7/8/9-noreflect).
         # Routed by the VMEM-effective object count (texture grids keep
         # ~K/4 object-equivalents of hat-weight tiles live). The vec
-        # kernels refuse texel grids, and textured+reflections would
-        # replay the O(K^2) dense chain per bounce — both stay on the
-        # jnp paths. spp>1 textured is unvalidated in-kernel: jnp too.
+        # kernels refuse texel grids, and OBJECT-textured+reflections
+        # would replay the O(K^2) dense chain per bounce — both stay on
+        # the jnp paths (env-only reflective scenes, e.g. config 9, add
+        # just one dense env sample per bounce and run in-kernel).
+        # spp>1 textured is unvalidated in-kernel: jnp too.
+        from ..models.scene import scene_object_textured
         from .kernels.fused import tile_object_count
 
-        if (on_tpu and not cfg.reflections and cfg.spp == 1
+        if (on_tpu and cfg.spp == 1
+                and not (cfg.reflections and scene_object_textured(scene))
                 and tile_object_count(scene, cfg) <= 24):
             return "pallas"
         return "jnp" if n_obj <= 24 else "jnp_vec"
@@ -141,19 +145,23 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
     if textured:
         # The unrolled step kernel samples textures/env gather-free
         # (TPU-validated, scripts/tpu_textured_check.py) — but refuses
-        # reflections (per-bounce dense-chain replay), and textured spp>1
-        # in-kernel is unvalidated. Threshold on the VMEM-effective
-        # object count; the vec step kernel refuses texel grids entirely.
+        # OBJECT-textured reflections (per-bounce dense-chain replay;
+        # env-only bounces are one extra dense sample and run in-kernel),
+        # and textured spp>1 in-kernel is unvalidated. Threshold on the
+        # VMEM-effective object count; the vec step kernel refuses texel
+        # grids entirely.
+        from ..models.scene import scene_object_textured
         from .kernels.fused import tile_object_count
 
+        obj_tex_refl = bool(cfg.reflections) and scene_object_textured(scene_like)
         if impl == "auto":
             want_unrolled = (
-                cfg.reflections == 0 and cfg.spp == 1
+                not obj_tex_refl and cfg.spp == 1
                 and tile_object_count(scene_like, cfg) <= 24
             )
         else:
             want_unrolled = impl == "pallas"
-        if fused_ok and want_unrolled and not cfg.reflections and cfg.spp == 1:
+        if fused_ok and want_unrolled and not obj_tex_refl and cfg.spp == 1:
             from .kernels.fused import loss_grad_pallas
 
             return lambda scene, target: loss_grad_pallas(

@@ -228,10 +228,10 @@ def main():
               f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
 
     # Environment map through the unrolled kernel (config 9 with
-    # reflections=0 — as shipped it has reflections=1, which the textured
-    # kernels refuse; `miss_color`'s dense env sample is what's validated
-    # here). Duplicated in scripts/tpu_textured_check.py (the fast subset
-    # run before the impl='auto' flip).
+    # reflections=0; `miss_color`'s dense env sample is what's validated
+    # here — the reflections=1 as-shipped variant, which also runs
+    # in-kernel since env-only bounces add just one dense sample, is
+    # covered by scripts/tpu_textured_check.py).
     import dataclasses
 
     scene9, spec9, cfg9 = configs.config9_sky(128)

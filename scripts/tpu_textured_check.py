@@ -74,9 +74,16 @@ def main():
             scene, spec, cfg, perturb_scale=0.4, seed=num)
 
     scene9, spec9, cfg9 = configs.config9_sky(128)
-    cfg9 = dataclasses.replace(cfg9, reflections=0)
     failures += not check_row(
         "env kernel config-9 (sky, reflections=0) @128²",
+        scene9, spec9, dataclasses.replace(cfg9, reflections=0),
+        perturb_scale=0.4, seed=9)
+    # config 9 AS SHIPPED (reflections=1): env-only reflective scenes run
+    # in-kernel — each bounce adds one dense env sample (miss_color of the
+    # bounced ray), unlike object textures whose per-bounce chain replay
+    # the kernel refuses.
+    failures += not check_row(
+        "env kernel config-9 (sky, reflections=1) @128²",
         scene9, spec9, cfg9, perturb_scale=0.4, seed=9)
     sys.exit(1 if failures else 0)
 

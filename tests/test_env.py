@@ -119,8 +119,10 @@ def test_sky_recovery_converges():
 
 def test_env_kernel_dispatch_and_unrolled_support():
     """Vec kernels refuse env-mapped scenes; the unrolled kernel renders
-    them (dense sampler) when reflections are off, refuses with
-    reflections on; auto routing works everywhere."""
+    them (dense sampler) with reflections off AND on — env-only bounces
+    add just one dense env sample (unlike object textures, whose
+    per-bounce dense-chain replay the kernel refuses); auto routing
+    works everywhere."""
     from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
     from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
 
@@ -131,11 +133,11 @@ def test_env_kernel_dispatch_and_unrolled_support():
     assert np.abs(a - b).max() < 1e-5
     with pytest.raises(NotImplementedError, match="env"):
         render_pallas_vec(scene, cfg, interpret=True)
-    with pytest.raises(NotImplementedError, match="env"):
-        render_pallas(scene, dataclasses.replace(cfg, reflections=1),
-                      interpret=True)
-    img = np.asarray(render(scene, dataclasses.replace(cfg, reflections=1),
-                            impl="auto"))
+    cfg_r = dataclasses.replace(cfg, reflections=1)
+    a_r = np.asarray(render_jnp(scene, cfg_r))
+    b_r = np.asarray(render_pallas(scene, cfg_r, interpret=True))
+    assert np.abs(a_r - b_r).max() < 1e-5
+    img = np.asarray(render(scene, cfg_r, impl="auto"))
     assert np.isfinite(img).all()
 
 
@@ -161,3 +163,33 @@ def test_env_scene_json_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(scene),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_env_reflective_step_kernel_grads_interpret():
+    """config-9-shaped scene (env + mirror sphere, reflections=1) through
+    the fused step kernel in interpret mode: loss and grads match
+    jax.value_and_grad of the jnp path (the env texels' gradients flow
+    through BOTH primary-miss and bounced-miss samples)."""
+    from reversible_raytracer_tpu.models import configs
+    from reversible_raytracer_tpu.ops.kernels.fused import loss_grad_pallas
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    scene, spec, _ = configs.config9_sky(32, env_k=8)
+    cfg = RenderConfig(height=32, width=32, shadows=True, reflections=1)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.3, seed=9)
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_jnp(s, cfg), target)
+    )(start)
+    l_k, g_k = loss_grad_pallas(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_k)) <= 1e-6 * max(float(l_ref), 1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.size:
+            # house textured-grads tolerance (dense-vs-gather half-texel
+            # edge bands; tiny-magnitude leaves see ~1e-4 relative noise)
+            scale = max(float(np.abs(b).max()), 1e-10)
+            assert float(np.abs(a - b).max()) <= 1e-2 * scale
+    # env grads are live (the sky is trainable in config 9)
+    assert float(np.abs(np.asarray(g_k.env)).max()) > 0.0

@@ -398,9 +398,11 @@ def test_auto_dispatch_textured_unrolled_kernel(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resolve_impl(scene, cfg) == "pallas"
     assert resolve_impl(sky, dataclasses.replace(cfg9, reflections=0)) == "pallas"
+    # env-only reflective scenes run in-kernel (one extra dense env
+    # sample per bounce); config 9 as shipped (reflections=1) qualifies
+    assert resolve_impl(sky, cfg9) == "pallas"
     # kernel-refusing combos route off:
     assert resolve_impl(scene, dataclasses.replace(cfg, reflections=1)) == "jnp"
-    assert resolve_impl(sky, cfg9) == "jnp"  # config 9 ships reflections=1
     assert resolve_impl(scene, dataclasses.replace(cfg, spp=4)) == "jnp"
     big = dataclasses.replace(
         scene, spheres=configs.config5_many_spheres(32, n_spheres=40)[0].spheres
