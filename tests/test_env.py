@@ -183,6 +183,21 @@ def test_env_reflective_step_kernel_grads_interpret():
     )(start)
     l_k, g_k = loss_grad_pallas(start, cfg, target, interpret=True)
     assert abs(float(l_ref) - float(l_k)) <= 1e-6 * max(float(l_ref), 1e-9)
+    # Absolute floor for exact-zero reference leaves, tied to the gradient
+    # scale of the whole tree. Diagnosed (round 3): the eager reference
+    # evaluates op-by-op while the kernel evaluates under jit, where XLA:CPU
+    # fuses multiply-adds into FMAs; the ~1-ulp ray-direction differences
+    # make floor-pixel residuals (exactly 0 eagerly) ~1e-7, which puts
+    # ~1e-7 * gmax of gradient dust on the rect leaves. Confirmed NOT to be
+    # kernel cotangent leakage: `jax.jit(jax.value_and_grad(...))` of the
+    # PURE gather-based jnp path reproduces the identical 5.5e-11 dust.
+    # Real masking bugs leak at full residual scale (>= 1e-3 * gmax), far
+    # above this floor.
+    gmax = max(
+        float(np.abs(np.asarray(l)).max())
+        for l in jax.tree_util.tree_leaves(g_ref)
+        if np.asarray(l).size
+    )
     for a, b in zip(jax.tree_util.tree_leaves(g_k),
                     jax.tree_util.tree_leaves(g_ref)):
         a, b = np.asarray(a), np.asarray(b)
@@ -190,6 +205,6 @@ def test_env_reflective_step_kernel_grads_interpret():
             # house textured-grads tolerance (dense-vs-gather half-texel
             # edge bands; tiny-magnitude leaves see ~1e-4 relative noise)
             scale = max(float(np.abs(b).max()), 1e-10)
-            assert float(np.abs(a - b).max()) <= 1e-2 * scale
+            assert float(np.abs(a - b).max()) <= max(1e-2 * scale, 1e-6 * gmax)
     # env grads are live (the sky is trainable in config 9)
     assert float(np.abs(np.asarray(g_k.env)).max()) > 0.0
