@@ -25,9 +25,14 @@ def _add_common(p):
                         "recovery, 9 = environment-map (sky) recovery")
     p.add_argument("--size", type=int, default=None,
                    help="image size (default: the config's native size)")
-    p.add_argument("--impl", choices=["auto", "jnp", "jnp_vec", "pallas", "pallas_vec"], default="auto",
+    p.add_argument("--impl",
+                   choices=["auto", "jnp", "jnp_vec", "pallas", "pallas_vec",
+                            "pallas_vec_soft", "pallas_step"],
+                   default="auto",
                    help="render implementation (auto: Pallas on TPU; jnp_vec: "
-                        "object-vectorized, O(1) compile for huge object counts)")
+                        "object-vectorized, O(1) compile for huge object "
+                        "counts; pallas_step: force the fused loss+grad "
+                        "training-step kernel for `invert`)")
     p.add_argument("--scene", type=str, default=None,
                    help="JSON scene file overriding the config's parameters")
     p.add_argument("--spp", type=int, default=1, choices=[1, 4],
@@ -61,45 +66,23 @@ def _build(args):
     return scene, spec, cfg
 
 
-def _render_fn(cfg, impl, n_obj=None, textured=False):
-    import jax
+def _render_fn(scene, cfg, impl):
+    """Resolve the render implementation and return (callable, impl name).
 
-    if impl == "auto":
-        small = n_obj is None or n_obj <= 24
-        if textured:
-            # Image textures are gather-shaped work — the jnp paths (XLA)
-            # render them; the SMEM-scalar kernels refuse (same policy as
-            # ops.render.render).
-            impl = "jnp" if small else "jnp_vec"
-        elif cfg.reflections and not small:
-            # The object-chunked kernels refuse reflections; large
-            # reflective scenes run object-vectorized jnp (same policy as
-            # ops.render.render).
-            impl = "jnp_vec"
-        elif jax.default_backend() == "tpu":
-            # Unrolled kernels compile O(N); chunked kernels O(1) — pick by N
-            # (same policy as ops.render.render).
-            impl = "pallas" if small else "pallas_vec"
-        else:
-            # Same O(N)-trace concern off-TPU: the unrolled jnp pipeline's
-            # trace/compile grows with N — use the object-vectorized path
-            # for large scenes.
-            impl = "jnp" if small else "jnp_vec"
-    if impl == "pallas":
-        from .ops.kernels.fused import render_pallas
+    Delegates to `ops.render.resolve_impl` — the ONE tested dispatch
+    policy. (Round 2 shipped a private re-implementation here that went
+    stale: textured scenes were routed to the jnp paths unconditionally,
+    so `cli invert --config 7` ran the ~60 ms/step XLA fallback instead
+    of the 0.5 ms fused step kernel. tests/test_cli_and_io.py now pins
+    CLI impl == resolve_impl for every config.)
+    """
+    from .ops.render import render, resolve_impl
 
-        return lambda s: render_pallas(s, cfg), impl
-    if impl == "pallas_vec":
-        from .ops.kernels.fused_vec import render_pallas_vec
-
-        return lambda s: render_pallas_vec(s, cfg), impl
-    if impl == "jnp_vec":
-        from .ops.pipeline_vec import render_jnp_vec
-
-        return lambda s: render_jnp_vec(s, cfg), impl
-    from .ops.render import render_jnp
-
-    return lambda s: render_jnp(s, cfg), impl
+    if impl in ("auto", "pallas_step"):
+        # "pallas_step" names the fused TRAINING-step kernel, not a render
+        # impl — images (targets/frames) use the auto-resolved renderer.
+        impl = resolve_impl(scene, cfg)
+    return (lambda s: render(s, cfg, impl)), impl
 
 
 def cmd_render(args):
@@ -109,13 +92,10 @@ def cmd_render(args):
 
     from .utils.imageio import save_png
 
-    from .models.scene import scene_textured
-
     scene, _, cfg = _build(args)
     if getattr(args, "shader", "phong") != "phong":
         cfg = dataclasses.replace(cfg, shader=args.shader)
-    render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count,
-                              textured=scene_textured(scene))
+    render, impl = _render_fn(scene, cfg, args.impl)
     t0 = time.perf_counter()
     img = jax.jit(render)(scene)
     jax.block_until_ready(img)
@@ -145,10 +125,7 @@ def cmd_invert(args):
         # exactly two images (target + final.png). jnp_vec renders them in
         # ~100 ms with a fast XLA compile on every backend.
         args.impl = "jnp_vec"
-    from .models.scene import scene_textured
-
-    render, impl = _render_fn(cfg, args.impl, scene.spheres.count + scene.rects.count,
-                              textured=scene_textured(scene))
+    render, impl = _render_fn(scene, cfg, args.impl)
 
     if args.paranoid:
         from .utils.paranoid import checked_render, enable_nan_debugging
@@ -222,7 +199,9 @@ def cmd_invert(args):
         from .parallel import make_ray_mesh, optimize_sharded_scan
 
         mesh = make_ray_mesh()
-        sh_impl = impl if impl in ("pallas", "pallas_vec", "jnp_vec") else "jnp"
+        sh_impl = impl if impl in (
+            "pallas", "pallas_vec", "pallas_vec_soft", "jnp_vec"
+        ) else "jnp"
         if sh_impl == "pallas" and jax.default_backend() == "tpu" \
                 and cfg.soft_tau == 0.0 and cfg.checker_tau == 0.0:
             sh_impl = "pallas_step"  # fused per-band loss+grad kernel
@@ -236,14 +215,14 @@ def cmd_invert(args):
                    mesh=str(dict(mesh.shape)))
         history = [{"loss": float(losses[-1])}]
     else:
-        vag = None
-        if impl == "pallas" and jax.default_backend() == "tpu" \
-                and cfg.soft_tau == 0.0 and cfg.checker_tau == 0.0:
-            # Fused single-kernel training step (loss + grads in one
-            # launch) — the per-step fast path on TPU.
-            from .ops.render import loss_and_grad_fn
+        # Training-step dispatch goes through the ONE tested policy
+        # (`ops.render.loss_and_grad_fn` / `resolve_step_impl`): on TPU
+        # the fused single-kernel step where validated (incl. textured /
+        # env-mapped scenes — round 2's private CLI policy missed those
+        # and ran them ~113x slower), value_and_grad elsewhere.
+        from .ops.render import loss_and_grad_fn
 
-            vag = loss_and_grad_fn(scene, cfg, impl="pallas", loss=args.loss)
+        vag = loss_and_grad_fn(scene, cfg, impl=args.impl, loss=args.loss)
         t0 = time.perf_counter()
         final, history = optimize(
             start, target, spec, cfg, ocfg, render_fn=render, logger=logger,

@@ -120,6 +120,69 @@ def render(scene: Scene, cfg: RenderConfig, impl: str = "auto"):
     raise ValueError(f"unknown impl {impl!r}")
 
 
+def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
+                      impl: str = "auto", loss: str = "mse") -> str:
+    """Which training-step implementation `loss_and_grad_fn` builds:
+
+    - ``"step_unrolled"`` — `kernels.fused.loss_grad_pallas` (one fused
+      loss+grad launch, unrolled object chain; textures/env via the dense
+      sampler);
+    - ``"step_vec"``      — `kernels.fused_vec.loss_grad_pallas_vec`
+      (object-chunked, O(1) compile in N);
+    - ``"vag"``           — ``jax.value_and_grad`` over `render`.
+
+    Exposed (like `resolve_impl`) so the CLI and tests share ONE dispatch
+    decision — round 2 shipped a private stale copy in cli.py that sent
+    textured inversions to a ~113x slower XLA fallback.
+    """
+    n_obj = scene_like.spheres.count + scene_like.rects.count
+    fused_ok = (
+        jax.default_backend() == "tpu"
+        and cfg.soft_tau == 0.0
+        and cfg.checker_tau == 0.0
+        and loss in ("mse", "sum")
+        and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
+    )
+    if not fused_ok:
+        return "vag"
+    if scene_textured(scene_like):
+        # The unrolled step kernel samples textures/env gather-free
+        # (TPU-validated, scripts/tpu_textured_check.py) — but refuses
+        # OBJECT-textured reflections (per-bounce dense-chain replay;
+        # env-only bounces are one extra dense sample and run in-kernel),
+        # and textured spp>1 in-kernel is unvalidated. Threshold on the
+        # VMEM-effective object count; the vec step kernel refuses texel
+        # grids entirely, so everything else is value_and_grad.
+        from ..models.scene import scene_object_textured
+        from .kernels.fused import tile_object_count
+
+        validated = cfg.spp == 1 and not (
+            bool(cfg.reflections) and scene_object_textured(scene_like)
+        )
+        if impl == "auto":
+            want_unrolled = (
+                validated and tile_object_count(scene_like, cfg) <= 24
+            )
+        else:
+            # Explicit "pallas"/"pallas_step" both name the unrolled step
+            # here — it is the only step kernel that takes texel grids.
+            want_unrolled = impl in ("pallas", "pallas_step")
+        return "step_unrolled" if (want_unrolled and validated) else "vag"
+    want_unrolled = (
+        impl == "pallas" or (impl != "pallas_vec" and n_obj <= 24)
+    )
+    if want_unrolled and cfg.spp in (1, 4):
+        return "step_unrolled"
+    # Large reflective scenes fall THROUGH both kernel branches to the
+    # value_and_grad fallback (render auto -> jnp_vec): the vec step kernel
+    # refuses reflections, and the unrolled kernel's O(N)-growth compile /
+    # VMEM live set makes it wrong above the 24-object crossover even
+    # though it would trace.
+    if cfg.spp == 1 and cfg.reflections == 0:
+        return "step_vec"
+    return "vag"
+
+
 def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
                      loss: str = "mse"):
     """Return ``f(scene, target) -> (loss, grads)`` — the training step's
@@ -131,60 +194,17 @@ def loss_and_grad_fn(scene_like: Scene, cfg: RenderConfig, impl: str = "auto",
     the per-step cost drops from fwd + replaying-bwd to a single fused
     launch. Everywhere else it falls back to ``jax.value_and_grad`` over
     `render` (identical semantics; the fused kernel's vjp traces the same
-    `render_tile`).
+    `render_tile`). The dispatch decision itself is `resolve_step_impl`
+    (tested; shared with the CLI).
     """
-    n_obj = scene_like.spheres.count + scene_like.rects.count
-    textured = scene_textured(scene_like)
-    fused_ok = (
-        jax.default_backend() == "tpu"
-        and cfg.soft_tau == 0.0
-        and cfg.checker_tau == 0.0
-        and loss in ("mse", "sum")
-        and impl in ("auto", "pallas", "pallas_vec", "pallas_step")
-    )
-    if textured:
-        # The unrolled step kernel samples textures/env gather-free
-        # (TPU-validated, scripts/tpu_textured_check.py) — but refuses
-        # OBJECT-textured reflections (per-bounce dense-chain replay;
-        # env-only bounces are one extra dense sample and run in-kernel),
-        # and textured spp>1 in-kernel is unvalidated. Threshold on the
-        # VMEM-effective object count; the vec step kernel refuses texel
-        # grids entirely.
-        from ..models.scene import scene_object_textured
-        from .kernels.fused import tile_object_count
-
-        obj_tex_refl = bool(cfg.reflections) and scene_object_textured(scene_like)
-        if impl == "auto":
-            want_unrolled = (
-                not obj_tex_refl and cfg.spp == 1
-                and tile_object_count(scene_like, cfg) <= 24
-            )
-        else:
-            want_unrolled = impl == "pallas"
-        if fused_ok and want_unrolled and not obj_tex_refl and cfg.spp == 1:
-            from .kernels.fused import loss_grad_pallas
-
-            return lambda scene, target: loss_grad_pallas(
-                scene, cfg, target, loss=loss
-            )
-        fused_ok = False  # vec step kernel refuses textures — fall through
-    want_unrolled = (
-        impl == "pallas" or (impl != "pallas_vec" and n_obj <= 24)
-    )
-    if fused_ok and want_unrolled and cfg.spp in (1, 4):
+    which = resolve_step_impl(scene_like, cfg, impl, loss)
+    if which == "step_unrolled":
         from .kernels.fused import loss_grad_pallas
 
         return lambda scene, target: loss_grad_pallas(
             scene, cfg, target, loss=loss
         )
-    # Large reflective scenes fall THROUGH both kernel branches to the
-    # value_and_grad fallback (render auto -> jnp_vec): the vec step kernel
-    # refuses reflections, and the unrolled kernel's O(N)-growth compile /
-    # VMEM live set makes it wrong above the 24-object crossover even
-    # though it would trace.
-    if fused_ok and cfg.spp == 1 and cfg.reflections == 0:
-        # Large object counts: the object-chunked step kernel (O(1)
-        # compile in N, chunk-skipped backward).
+    if which == "step_vec":
         from .kernels.fused_vec import loss_grad_pallas_vec
 
         return lambda scene, target: loss_grad_pallas_vec(

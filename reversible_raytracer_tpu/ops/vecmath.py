@@ -151,6 +151,14 @@ def atan2(y, x):
     f32 vs the libm atan2 the jnp/XLA paths would otherwise call — the
     pipeline uses THIS everywhere (sphere_uv) so the jnp path and the
     Pallas kernel trace identical math and stay bit-comparable.
+
+    Signed-zero deviation from numpy: the final sign select compares
+    ``y < 0.0``, which is False for y = -0.0, so atan2(-0.0, x<0) returns
+    +pi where ``jnp.arctan2`` returns -pi. Harmless for `sphere_uv` (the
+    azimuth wraps: u = 1.0 and u = 0.0 address the same texel), and
+    deliberately NOT fixed with `signbit`: Mosaic has no signbit/bitcast
+    lowering on the f32 vector path, and a where-on-signbit would be dead
+    weight in every kernel for a convention no caller depends on.
     """
     ax, ay = jnp.abs(x), jnp.abs(y)
     hi = jnp.maximum(ax, ay)
