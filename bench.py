@@ -160,6 +160,15 @@ def _vag_total(vag_fn, scene, target, iters):
     return time.perf_counter() - t0
 
 
+def _scan_steps_vag(vag_fn, scene, target, n1=20, n2=120, k=1):
+    """Median-of-k two-point-slope per-step time of a fused (loss, grads)
+    step fn (loss_grad_pallas[_vec])."""
+    med, _, _ = _median_slope(
+        lambda n: _vag_total(vag_fn, scene, target, n), n1, n2, k
+    )
+    return med
+
+
 def _host_dispatch(fn, *args, n=30):
     jax.block_until_ready(fn(*args))
     jax.block_until_ready(fn(*args))

@@ -54,7 +54,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.scene import Scene, scene_textured
+from ...models.scene import Scene
 from .. import vecmath as vm
 from ..pipeline import (
     BIG,
@@ -62,13 +62,22 @@ from ..pipeline import (
     camera_rays,
     intersect_rect,
     intersect_sphere,
+    sample_texture_dense,
     shade_from_attrs,
     soft_checker_q,
+    sphere_uv,
 )
 from .fused import _round_up, _scalar_view, flatten_scene, scene_layout
 
 P_SPH = 16  # center(3) radius(1) color(3) color2(3) checker(1) cscale(1) ka kd ks shin
 P_RCT = 21  # origin(3) edge_u(3) edge_v(3) + same 12 material scalars
+# Textured groups append their texel grid to each object's SMEM row:
+# row = [the P_SPH/P_RCT scalars] + texture[k].ravel() (K*K*3 scalars).
+# The eval fns detect the longer row and sample gather-free (dense
+# hat-basis, like the unrolled family) instead of the checker select;
+# the backward's per-object vjp then emits texel gradients through the
+# SAME dpv write-back loop as every other row scalar — texture recovery
+# at vec scale with zero extra plumbing (VERDICT r2 item #3 phase 2).
 
 ATTR_NAMES = ("nx", "ny", "nz", "cr", "cg", "cb", "ka", "kd", "ks", "shin")
 
@@ -133,6 +142,8 @@ def pack_spheres(scene: Scene) -> jnp.ndarray:
     if sp.count == 0:
         return jnp.zeros((0, P_SPH), jnp.float32)
     cols = [sp.center, sp.radius[:, None]] + _mat_cols(sp.material)
+    if sp.textured:
+        cols.append(jnp.reshape(sp.texture, (sp.count, -1)))
     return jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
 
 
@@ -141,24 +152,87 @@ def pack_rects(scene: Scene) -> jnp.ndarray:
     if rc.count == 0:
         return jnp.zeros((0, P_RCT), jnp.float32)
     cols = [rc.origin, rc.edge_u, rc.edge_v] + _mat_cols(rc.material)
+    if rc.textured:
+        cols.append(jnp.reshape(rc.texture, (rc.count, -1)))
     return jnp.concatenate([jnp.asarray(c, jnp.float32) for c in cols], axis=1)
+
+
+def _tex_nest(pv, base: int):
+    """Rebuild the (K)(K)(3) nested-tuple texel view from a packed row's
+    tail scalars (row layout: [base scalars] + texture[k].ravel())."""
+    n = len(pv) - base
+    k = int(round(math.sqrt(n / 3)))
+    assert 3 * k * k == n, (len(pv), base)
+    return tuple(
+        tuple(tuple(pv[base + (i * k + j) * 3 + c] for c in range(3))
+              for j in range(k))
+        for i in range(k)
+    )
+
+
+def _row_plan(scene_like: Scene):
+    """Static SMEM row plan: (p_sph, p_rct, ns_pad, nr_pad, sph_tex_len,
+    rct_tex_len, smem_bytes). Shared by the kernel factory's capacity
+    guard and the dispatch predicate `vec_smem_ok` (one source of truth)."""
+    sph_tex_len = (
+        int(np.prod(np.shape(scene_like.spheres.texture)[1:]))
+        if scene_like.spheres.textured else 0
+    )
+    rct_tex_len = (
+        int(np.prod(np.shape(scene_like.rects.texture)[1:]))
+        if scene_like.rects.textured else 0
+    )
+    p_sph = P_SPH + sph_tex_len
+    p_rct = P_RCT + rct_tex_len
+    ns_pad = _round_up(max(scene_like.spheres.count, 1), CHUNK)
+    nr_pad = _round_up(max(scene_like.rects.count, 1), CHUNK)
+    smem_bytes = 4 * (ns_pad * p_sph + nr_pad * p_rct)
+    return p_sph, p_rct, ns_pad, nr_pad, sph_tex_len, rct_tex_len, smem_bytes
+
+
+# TPU scalar memory holds ~400 KiB of kernel operands (probed on v5e via
+# the axon tunnel: a (128, 784) f32 SMEM input compiles, (512, 784) does
+# not). Textured row plans beyond this budget refuse; impl='auto' routes
+# them object-vectorized.
+SMEM_BUDGET_BYTES = 384 * 1024
+
+
+def vec_smem_ok(scene_like: Scene) -> bool:
+    """Whether the scene's object rows (incl. texel tails) fit the probed
+    SMEM budget — the dispatch predicate for routing textured scenes to
+    this kernel family (ops.render.resolve_impl)."""
+    *_, sph_tex_len, rct_tex_len, smem_bytes = _row_plan(scene_like)
+    return not (sph_tex_len or rct_tex_len) or smem_bytes <= SMEM_BUDGET_BYTES
 
 
 def globals_tree(scene: Scene):
     """The object-count-independent scene parameters, as a dict pytree
-    (enters the kernel as one flat SMEM vector via fused.scene_layout)."""
+    (enters the kernel as one flat SMEM vector via fused.scene_layout).
+
+    ``env`` — the (K, K, 3) lat-long environment map — is a GLOBAL, so it
+    rides this plan exactly like the unrolled family's flat-scalar scene:
+    `_scalar_view` rebuilds it as a nested tuple, `pipeline.miss_color`
+    dispatches the tuple leaf to the gather-free dense sampler, and its
+    texel GRADIENTS come out of the shade-stage vjp with the other globals
+    (sky recovery at vec scale, VERDICT r2 item #3). Untextured scenes
+    carry the size-0 sentinel: zero scalars, zero cost."""
     return {
         "ambient": scene.ambient,
         "background": scene.background,
         "camera": scene.camera,
+        "env": scene.env,
         "lights": scene.lights,
     }
 
 
 def _globals_ns(gview):
-    """Scene-like namespace for shade_from_attrs (lights/ambient/background)."""
+    """Scene-like namespace for shade_from_attrs (lights/ambient/background
+    + env for miss_color's tuple-leaf dense-sampler dispatch)."""
+    env = gview.get("env", ())
     return SimpleNamespace(
-        lights=gview["lights"], ambient=gview["ambient"], background=gview["background"]
+        lights=gview["lights"], ambient=gview["ambient"],
+        background=gview["background"], env=env,
+        env_mapped=isinstance(env, (tuple, list)) and len(env) > 0,
     )
 
 
@@ -187,6 +261,13 @@ def _sphere_eval(pv, o, d, t_known=None, checker_tau=None):
     p_local = vm.vsub(p, vm.splat(center))
     inv_r = 1.0 / radius
     n_unit = vm.vscale(p_local, inv_r)
+    if len(pv) > P_SPH:
+        # Textured row: lat-long sample of the row's texel tail — the
+        # exact primitive sequence of pipeline.sphere_color's dense path
+        # (sphere_uv + wrap_a), so kernel == unrolled kernel bitwise.
+        u, v = sphere_uv(n_unit)
+        col = sample_texture_dense(_tex_nest(pv, P_SPH), u, v, wrap_a=True)
+        return t, n_unit, col, (pv[12], pv[13], pv[14], pv[15])
     cscale = pv[11]
     parity = jnp.mod(
         jnp.floor(p_local[0] * cscale)
@@ -214,6 +295,11 @@ def _rect_eval(pv, o, d, checker_tau=None):
     n_unit = vm.vnormalize(n)
     facing = jnp.where(vm.vdot(n_unit, d) < 0.0, 1.0, -1.0)
     n_unit = vm.vscale(n_unit, facing)
+    if len(pv) > P_RCT:
+        # Textured row: dense bilinear sample at the rect's own (a, b)
+        # hit coordinates (pipeline.rect_color's dense path).
+        col = sample_texture_dense(_tex_nest(pv, P_RCT), a, b)
+        return t, n_unit, col, (pv[17], pv[18], pv[19], pv[20])
     cscale = pv[16]
     parity = jnp.mod(jnp.floor(a * cscale) + jnp.floor(b * cscale), 2.0)
     col = _checker(pv[5:], parity)  # material scalars start at index 9 = 5+4
@@ -312,7 +398,7 @@ def _nearest_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset,
 
 
 def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
-                   rct_offset):
+                   rct_offset, p_sph: int = P_SPH, p_rct: int = P_RCT):
     """Phase 2: materialize the winner's 10 attribute planes from k_best.
 
     Chunk-skipped (same pattern as obj_backward): a CHUNK of objects none of
@@ -355,9 +441,9 @@ def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
         return jax.lax.fori_loop(0, n_chunks, chunk_body, planes)
 
     if n_sph:
-        planes = group(_sphere_eval, sph_read, P_SPH, 0, n_sph, planes, True)
+        planes = group(_sphere_eval, sph_read, p_sph, 0, n_sph, planes, True)
     if n_rct:
-        planes = group(_rect_eval, rct_read, P_RCT, rct_offset, n_rct, planes, False)
+        planes = group(_rect_eval, rct_read, p_rct, rct_offset, n_rct, planes, False)
     return dict(zip(ATTR_NAMES, planes))
 
 
@@ -431,17 +517,25 @@ def _make_fused_vec(
             "mirror reflections run through the unrolled family (jnp / "
             "pallas) or jnp_vec (render impl='auto' routes there)"
         )
-    if scene_textured(scene_like):
-        raise NotImplementedError(
-            "image-textured / env-mapped scenes render via the jnp paths "
-            "(the SMEM object rows hold scalars, not texel grids) — "
-            "impl='auto' routes"
-        )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count
     n_rct = scene_like.rects.count
     n_lights = scene_like.lights.count
-    key = ((n_sph, n_rct, n_lights), cfg, tiles, interpret, out_h)
+    env_shape = tuple(np.shape(scene_like.env))
+    sph_tex_shape = tuple(np.shape(scene_like.spheres.texture))
+    rct_tex_shape = tuple(np.shape(scene_like.rects.texture))
+    # Per-scene SMEM row lengths: textured groups append K*K*3 texel
+    # scalars per row (see the P_SPH note at the top of the module).
+    (p_sph, p_rct, ns_pad_est, nr_pad_est,
+     sph_tex_len, rct_tex_len, smem_bytes) = _row_plan(scene_like)
+    if not vec_smem_ok(scene_like):
+        raise NotImplementedError(
+            f"textured object rows need {smem_bytes//1024} KiB of SMEM "
+            f"(> the ~{SMEM_BUDGET_BYTES//1024} KiB budget) — this scene "
+            "renders via jnp_vec (impl='auto' routes)"
+        )
+    key = ((n_sph, n_rct, n_lights, env_shape, sph_tex_shape, rct_tex_shape),
+           cfg, tiles, interpret, out_h)
     hit_entry = _CACHE.get(key)
     if hit_entry is not None:
         return hit_entry
@@ -456,9 +550,17 @@ def _make_fused_vec(
     f32 = jnp.float32
     # SMEM rows padded to a CHUNK multiple (benign rows; see _SPH_PAD_ROW) —
     # the backward's chunked skip loops read whole chunks. Zero-count groups
-    # still pass one dummy chunk.
-    ns_pad = _round_up(max(n_sph, 1), CHUNK)
-    nr_pad = _round_up(max(n_rct, 1), CHUNK)
+    # still pass one dummy chunk. Textured rows pad their texel tail with
+    # 0.5 (any finite value: pad rows never win a pixel, and the dense
+    # sampler is finite everywhere, so zero cotangents stay exactly zero).
+    ns_pad = ns_pad_est
+    nr_pad = nr_pad_est
+    sph_pad_row = np.concatenate(
+        [_SPH_PAD_ROW, np.full(sph_tex_len, 0.5, np.float32)]
+    ) if sph_tex_len else _SPH_PAD_ROW
+    rct_pad_row = np.concatenate(
+        [_RCT_PAD_ROW, np.full(rct_tex_len, 0.5, np.float32)]
+    ) if rct_tex_len else _RCT_PAD_ROW
 
     n_vis = n_lights if (cfg.shadows and cfg.shader == "phong") else 0
 
@@ -491,7 +593,8 @@ def _make_fused_vec(
         )
         hit = t < BIG * 0.5
         at = _resolve_attrs(
-            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), t, kbest, ns_pad
+            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), t, kbest, ns_pad,
+            p_sph=p_sph, p_rct=p_rct,
         )
         occluded_fn = _occluded_loop(sph_read, n_sph, rct_read, n_rct,
                                      unroll=tiles.unroll)
@@ -512,8 +615,8 @@ def _make_fused_vec(
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((bh, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -573,7 +676,8 @@ def _make_fused_vec(
         kbest = jax.lax.stop_gradient(kbest)
         hit = t_sel < BIG * 0.5
         at_replay = _resolve_attrs(
-            sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest, ns_pad
+            sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest, ns_pad,
+            p_sph=p_sph, p_rct=p_rct,
         )
         planes_replay = tuple(
             jax.lax.stop_gradient(at_replay[name]) for name in ATTR_NAMES
@@ -630,12 +734,12 @@ def _make_fused_vec(
                 dglob_ref[0, idx] = 0.0
 
             def z_sph(k, _):
-                for c in range(P_SPH):
+                for c in range(p_sph):
                     dsph_ref[k, c] = 0.0
                 return 0
 
             def z_rct(k, _):
-                for c in range(P_RCT):
+                for c in range(p_rct):
                     drct_ref[k, c] = 0.0
                 return 0
 
@@ -695,12 +799,12 @@ def _make_fused_vec(
         acc = (zero3, zero3)
         if n_sph:
             chunk_body, n_chunks = obj_backward(
-                _sphere_eval, sph_read, P_SPH, 0, dsph_ref, n_sph
+                _sphere_eval, sph_read, p_sph, 0, dsph_ref, n_sph
             )
             acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
         if n_rct:
             chunk_body, n_chunks = obj_backward(
-                _rect_eval, rct_read, P_RCT, ns_pad, drct_ref, n_rct
+                _rect_eval, rct_read, p_rct, ns_pad, drct_ref, n_rct
             )
             acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
         d_o_obj, d_d_obj = acc
@@ -720,21 +824,21 @@ def _make_fused_vec(
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ]
         + [
             pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         ] * (3 + n_vis),
         out_specs=[
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, Sg), f32),
-            jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
-            jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
+            jax.ShapeDtypeStruct((ns_pad, p_sph), f32),
+            jax.ShapeDtypeStruct((nr_pad, p_rct), f32),
         ],
         interpret=interpret,
     )
@@ -747,8 +851,8 @@ def _make_fused_vec(
         in_specs=[
             pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ]
         + [
             pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -756,14 +860,14 @@ def _make_fused_vec(
         out_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((1, Sg), f32),
-            jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
-            jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
+            jax.ShapeDtypeStruct((ns_pad, p_sph), f32),
+            jax.ShapeDtypeStruct((nr_pad, p_rct), f32),
         ],
         interpret=interpret,
     )
@@ -774,8 +878,8 @@ def _make_fused_vec(
     @jax.custom_vjp
     def fused(gflat, sph, rct, offsets):
         return tuple(fwd_call(offsets, gflat.reshape(1, Sg),
-                              _pad(sph, ns_pad, _SPH_PAD_ROW),
-                              _pad(rct, nr_pad, _RCT_PAD_ROW)))
+                              _pad(sph, ns_pad, sph_pad_row),
+                              _pad(rct, nr_pad, rct_pad_row)))
 
     def fused_fwd(gflat, sph, rct, offsets):
         outs = fused(gflat, sph, rct, offsets)
@@ -785,8 +889,8 @@ def _make_fused_vec(
         gflat, sph, rct, offsets, vis = res
         gr, gg, gb = cotangents[0], cotangents[1], cotangents[2]
         dglob, dsph, drct = bwd_call(
-            offsets, gflat.reshape(1, Sg), _pad(sph, ns_pad, _SPH_PAD_ROW),
-            _pad(rct, nr_pad, _RCT_PAD_ROW), gr, gg, gb, *vis
+            offsets, gflat.reshape(1, Sg), _pad(sph, ns_pad, sph_pad_row),
+            _pad(rct, nr_pad, rct_pad_row), gr, gg, gb, *vis
         )
         return (
             dglob.reshape(Sg),
@@ -805,8 +909,8 @@ def _make_fused_vec(
     def apply_step(gflat, sph, rct, meta_row, tr, tg, tb):
         sq, dglob, dsph, drct = step_call(
             meta_row, gflat.reshape(1, Sg),
-            _pad(sph, ns_pad, _SPH_PAD_ROW),
-            _pad(rct, nr_pad, _RCT_PAD_ROW),
+            _pad(sph, ns_pad, sph_pad_row),
+            _pad(rct, nr_pad, rct_pad_row),
             tr, tg, tb,
         )
         return sq[0, 0], dglob.reshape(Sg), dsph, drct

@@ -34,6 +34,14 @@ def render_jnp(scene: Scene, cfg: RenderConfig, row0=0, height: int | None = Non
     return jnp.stack([r, g, b], axis=-1)
 
 
+def env_size(scene: Scene) -> int:
+    """K of the (K, K, 3) environment map (0 when absent) — the dispatch
+    threshold input for the kernels' dense env sampler."""
+    import numpy as np
+
+    return int(np.shape(scene.env)[0])
+
+
 def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
     """The impl='auto' dispatch decision, exposed for tests and callers
     that need to know which renderer `render` would pick."""
@@ -60,19 +68,29 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
         # — TPU-validated vs jnp in scripts/tpu_textured_check.py
         # (fwd ≤1e-7, grads ≤1e-6 rel on configs 7/8/9-noreflect).
         # Routed by the VMEM-effective object count (texture grids keep
-        # ~K/4 object-equivalents of hat-weight tiles live). The vec
-        # kernels refuse texel grids, and OBJECT-textured+reflections
-        # would replay the O(K^2) dense chain per bounce — both stay on
-        # the jnp paths (env-only reflective scenes, e.g. config 9, add
-        # just one dense env sample per bounce and run in-kernel).
-        # spp>1 textured is unvalidated in-kernel: jnp too.
+        # ~K/4 object-equivalents of hat-weight tiles live).
+        # OBJECT-textured+reflections would replay the O(K^2) dense chain
+        # per bounce — stays on the jnp paths (env-only reflective
+        # scenes, e.g. config 9, add just one dense env sample per bounce
+        # and run in-kernel). spp>1 textured is unvalidated in-kernel:
+        # jnp too. Textured scenes past the unrolled threshold ride the
+        # object-chunked vec kernels — env maps as a GLOBAL in their
+        # SMEM scalar plan (up to K=32: beyond that the K^2 dense
+        # MACs/pixel stop paying), object texel grids as row tails
+        # within the probed SMEM budget (`vec_smem_ok`).
         from ..models.scene import scene_object_textured
         from .kernels.fused import tile_object_count
 
+        from .kernels.fused_vec import vec_smem_ok
+
+        obj_tex = scene_object_textured(scene)
         if (on_tpu and cfg.spp == 1
-                and not (cfg.reflections and scene_object_textured(scene))
+                and not (cfg.reflections and obj_tex)
                 and tile_object_count(scene, cfg) <= 24):
             return "pallas"
+        if (on_tpu and cfg.spp == 1 and not cfg.reflections
+                and env_size(scene) <= 32 and vec_smem_ok(scene)):
+            return "pallas_vec"
         return "jnp" if n_obj <= 24 else "jnp_vec"
     if cfg.reflections:
         # Mirror reflections: the unrolled family traces the bounce
@@ -151,23 +169,29 @@ def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
         # OBJECT-textured reflections (per-bounce dense-chain replay;
         # env-only bounces are one extra dense sample and run in-kernel),
         # and textured spp>1 in-kernel is unvalidated. Threshold on the
-        # VMEM-effective object count; the vec step kernel refuses texel
-        # grids entirely, so everything else is value_and_grad.
+        # VMEM-effective object count. Textured scenes past it take the
+        # vec step kernel — env via its SMEM globals plan (K <= 32),
+        # object texel grids as SMEM row tails (`vec_smem_ok` budget).
         from ..models.scene import scene_object_textured
         from .kernels.fused import tile_object_count
+        from .kernels.fused_vec import vec_smem_ok
 
-        validated = cfg.spp == 1 and not (
-            bool(cfg.reflections) and scene_object_textured(scene_like)
-        )
+        obj_tex = scene_object_textured(scene_like)
+        validated = cfg.spp == 1 and not (bool(cfg.reflections) and obj_tex)
         if impl == "auto":
             want_unrolled = (
                 validated and tile_object_count(scene_like, cfg) <= 24
             )
         else:
-            # Explicit "pallas"/"pallas_step" both name the unrolled step
-            # here — it is the only step kernel that takes texel grids.
+            # Explicit "pallas"/"pallas_step" both name the unrolled step.
             want_unrolled = impl in ("pallas", "pallas_step")
-        return "step_unrolled" if (want_unrolled and validated) else "vag"
+        if want_unrolled and validated:
+            return "step_unrolled"
+        if (cfg.spp == 1 and cfg.reflections == 0
+                and env_size(scene_like) <= 32 and vec_smem_ok(scene_like)
+                and impl in ("auto", "pallas_vec")):
+            return "step_vec"
+        return "vag"
     want_unrolled = (
         impl == "pallas" or (impl != "pallas_vec" and n_obj <= 24)
     )

@@ -1,0 +1,148 @@
+"""Compiled-TPU check + perf for the round-3 vec-kernel capability
+extension: env maps (globals SMEM plan) and object textures (texel row
+tails) in the object-chunked family (VERDICT r2 item #3).
+
+Validates on the real chip what tests/test_env.py::test_env_vec_kernel_*
+and tests/test_texture.py::test_vec_kernel_textured_* validate in
+interpret mode: forward fidelity vs jnp_vec, fused-step loss/grad
+fidelity vs XLA value_and_grad, and the perf crossover that justifies the
+routing (the 64+-object textured step used to run at XLA speed).
+
+Usage: python scripts/vec_textured_tpu_check.py [--n 64] [--size 512]
+       [--mode env|tex|both] [--skip-jnp]
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _check_one(tag, scene, cfg, results, skip_jnp, grad_leaf):
+    from bench import _scan_steps_fwd, _scan_steps_grad, _scan_steps_vag
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+        render_pallas_vec,
+    )
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    H, W = cfg.height, cfg.width
+    rays = H * W
+
+    t0 = time.time()
+    img_p = np.asarray(jax.jit(lambda s: render_pallas_vec(s, cfg))(scene))
+    log(f"[{tag}] pallas_vec fwd compile+run: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    img_v = np.asarray(jax.jit(lambda s: render_jnp_vec(s, cfg))(scene))
+    log(f"[{tag}] jnp_vec    fwd compile+run: {time.time()-t0:.1f}s")
+    d = np.abs(img_p - img_v)
+    flipped = (d.max(-1) > 1e-3).mean()
+    log(f"[{tag}] fwd fidelity: max {d.max():.2e} mean {d.mean():.2e} "
+        f"flipped-frac {flipped:.2e}")
+    assert flipped < 2e-2, "too many disagreeing pixels"
+    results[f"{tag}_fwd_max_diff"] = float(d.max())
+
+    target = jnp.asarray(img_v)
+    t0 = time.time()
+    l_k, g_k = jax.jit(
+        lambda s, t: loss_grad_pallas_vec(s, cfg, t)
+    )(scene, target)
+    l_k = float(l_k)
+    log(f"[{tag}] vec step kernel compile+run: {time.time()-t0:.1f}s "
+        f"loss={l_k:.3e}")
+    l_r, g_r = jax.jit(
+        jax.value_and_grad(lambda s: mse_loss(render_jnp_vec(s, cfg), target))
+    )(scene)
+    l_r = float(l_r)
+    assert abs(l_k - l_r) <= 1e-4 * max(l_r, 1e-9) + 1e-9, (l_k, l_r)
+    worst = 0.0
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_k)[0],
+        jax.tree_util.tree_flatten_with_path(g_r)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        scale = max(np.abs(b).max(), 1e-10)
+        rel = float(np.abs(a - b).max() / scale)
+        if rel > worst:
+            worst, worst_p = rel, jax.tree_util.keystr(path)
+    log(f"[{tag}] step-vs-vag grads worst leaf rel: {worst:.2e} ({worst_p})")
+    assert worst < 5e-2, (worst, worst_p)  # boundary-flip class
+    tex_g = np.abs(np.asarray(grad_leaf(g_k)))
+    assert tex_g.max() > 0.0, "texel grads are dead"
+    results[f"{tag}_grads_worst_rel"] = worst
+
+    t_step = _scan_steps_vag(
+        lambda s, t: loss_grad_pallas_vec(s, cfg, t), scene, target, 10, 60
+    )
+    log(f"[{tag}] vec STEP kernel: {t_step*1e3:.2f} ms/step "
+        f"({rays/t_step/1e9:.3f} Grays/s)")
+    results[f"{tag}_step_ms_pallas_vec"] = t_step * 1e3
+    if not skip_jnp:
+        t_vag = _scan_steps_grad(
+            lambda s: render_jnp_vec(s, cfg), scene, target, 3, 18
+        )
+        log(f"[{tag}] jnp_vec value_and_grad: {t_vag*1e3:.2f} ms/step "
+            f"-> speedup {t_vag/t_step:.2f}x")
+        results[f"{tag}_step_ms_jnp_vec"] = t_vag * 1e3
+        results[f"{tag}_speedup"] = t_vag / t_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64, help="sphere count")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--k", type=int, default=16, help="texture/env K")
+    ap.add_argument("--mode", choices=["env", "tex", "both"], default="both")
+    ap.add_argument("--skip-jnp", action="store_true")
+    args = ap.parse_args()
+
+    from reversible_raytracer_tpu.models import configs
+    from reversible_raytracer_tpu.ops.pipeline import RenderConfig
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    H = W = args.size
+    base, spec, _ = configs.config5_many_spheres(H, n_spheres=args.n)
+    cfg = RenderConfig(height=H, width=W, shadows=True)
+    rng = np.random.default_rng(7)
+    results = {"n_obj": base.spheres.count + base.rects.count,
+               "size": H, "k": args.k}
+
+    if args.mode in ("env", "both"):
+        env = jnp.asarray(
+            rng.uniform(0.1, 0.9, (args.k, args.k, 3)), jnp.float32
+        )
+        sky = dataclasses.replace(base, env=env)
+        _check_one("env", sky, cfg, results, args.skip_jnp,
+                   lambda g: g.env)
+
+    if args.mode in ("tex", "both"):
+        tex = jnp.asarray(
+            rng.uniform(0.1, 0.9,
+                        (base.spheres.count, args.k, args.k, 3)),
+            jnp.float32,
+        )
+        globe = dataclasses.replace(
+            base, spheres=dataclasses.replace(base.spheres, texture=tex)
+        )
+        _check_one("tex", globe, cfg, results, args.skip_jnp,
+                   lambda g: g.spheres.texture)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

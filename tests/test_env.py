@@ -118,11 +118,12 @@ def test_sky_recovery_converges():
 
 
 def test_env_kernel_dispatch_and_unrolled_support():
-    """Vec kernels refuse env-mapped scenes; the unrolled kernel renders
-    them (dense sampler) with reflections off AND on — env-only bounces
-    add just one dense env sample (unlike object textures, whose
-    per-bounce dense-chain replay the kernel refuses); auto routing
-    works everywhere."""
+    """Both kernel families render env-mapped scenes (dense sampler; the
+    vec family since round 3 — env rides its SMEM globals plan). The
+    unrolled kernel also takes reflections on — env-only bounces add just
+    one dense env sample (unlike object textures, whose per-bounce
+    dense-chain replay the kernel refuses); the vec family refuses
+    reflections as ever. Auto routing works everywhere."""
     from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
     from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
 
@@ -131,14 +132,124 @@ def test_env_kernel_dispatch_and_unrolled_support():
     a = np.asarray(render_jnp(scene, cfg))
     b = np.asarray(render_pallas(scene, cfg, interpret=True))
     assert np.abs(a - b).max() < 1e-5
-    with pytest.raises(NotImplementedError, match="env"):
-        render_pallas_vec(scene, cfg, interpret=True)
+    # vec kernel: bit-exact vs the UNROLLED kernel (both trace the dense
+    # sampler; jnp uses the gather — equal outside half-texel edge bands)
+    v = np.asarray(render_pallas_vec(scene, cfg, interpret=True))
+    np.testing.assert_array_equal(v, b)
     cfg_r = dataclasses.replace(cfg, reflections=1)
+    with pytest.raises(NotImplementedError, match="reflections"):
+        render_pallas_vec(scene, cfg_r, interpret=True)
     a_r = np.asarray(render_jnp(scene, cfg_r))
     b_r = np.asarray(render_pallas(scene, cfg_r, interpret=True))
     assert np.abs(a_r - b_r).max() < 1e-5
     img = np.asarray(render(scene, cfg_r, impl="auto"))
     assert np.isfinite(img).all()
+
+
+def _vec_sky_scene(n_spheres=40, env_k=8, size=64):
+    """Env map on a vec-scale scene (past the unrolled family's 24-object
+    threshold) — the round-3 capability: O(1)-compile kernels + sky."""
+    scene, spec, _ = configs.config5_many_spheres(size, n_spheres=n_spheres)
+    rng = np.random.default_rng(7)
+    env = jnp.asarray(rng.uniform(0.1, 0.9, (env_k, env_k, 3)), jnp.float32)
+    return dataclasses.replace(scene, env=env), spec
+
+
+def test_env_vec_kernel_fwd_and_step_grads_interpret():
+    """The object-chunked (vec) kernel family on an env-mapped 40-sphere
+    scene: forward bit-exact vs the unrolled kernel's dense sampler, and
+    the fused vec STEP kernel's (loss, grads) — env texel grads included —
+    match jax.value_and_grad of the jnp_vec path."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+        render_pallas_vec,
+    )
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, spec = _vec_sky_scene()
+    cfg = RenderConfig(height=48, width=64, shadows=True)
+    from test_fused_vec import _edge_mask
+
+    a = np.asarray(render_jnp_vec(scene, cfg))
+    v = np.asarray(render_pallas_vec(scene, cfg, interpret=True))
+    # Three diff populations: geometric-boundary hit/miss flips (interpret
+    # vs XLA eval order; O(1) pixels, up to full color scale), the
+    # dense-vs-gather half-texel bands on miss pixels (~1e-4), and
+    # everything else (ulp). Bound each.
+    d = np.abs(a - v).max(axis=-1)
+    assert d.max() < 1e-2
+    assert (d > 1e-3).mean() < 1e-3  # isolated boundary flips only
+    e = _edge_mask(a, v)
+    assert e.mean() < 0.7
+    assert d[~e].max() < 1e-6
+
+    target = jnp.asarray(a) * 0.92
+    start = configs.perturb(scene, spec, scale=0.1, seed=3)
+    # Strict: step kernel vs autodiff of the SAME kernel family (isolates
+    # the in-kernel residual/cotangent path; boundary flips cancel).
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec(s, cfg, interpret=True), target)
+    )(start)
+    l_k, g_k = loss_grad_pallas_vec(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_k)) <= 1e-5 * max(float(l_ref), 1e-9)
+    for (path, a_), (_, b_) in zip(
+        jax.tree_util.tree_flatten_with_path(g_k)[0],
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+    ):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        if not a_.size:
+            continue
+        scale = max(float(np.abs(b_).max()), 1e-10)
+        # 3e-5, not exact: the step kernel forms the cotangent in-kernel
+        # as 2*w*res while XLA's mse backward computes 2*diff*(1/N) in a
+        # different rounding order — ~1-ulp cotangent differences amplify
+        # to ~1e-5 relative on the env->camera chain at this residual
+        # scale (observed 1.2e-5 max).
+        assert float(np.abs(a_ - b_).max()) <= 3e-5 * scale, (
+            path, float(np.abs(a_ - b_).max()))
+    # Loose vs XLA autodiff of jnp_vec (boundary-pixel subgradient flips;
+    # the strict check above pins the kernel's own correctness).
+    l_j, g_j = jax.value_and_grad(
+        lambda s: mse_loss(render_jnp_vec(s, cfg), target)
+    )(start)
+    assert abs(float(l_j) - float(l_k)) <= 1e-4 * max(float(l_j), 1e-9)
+    for (path, a_), (_, b_) in zip(
+        jax.tree_util.tree_flatten_with_path(g_k)[0],
+        jax.tree_util.tree_flatten_with_path(g_j)[0],
+    ):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        if not a_.size:
+            continue
+        scale = max(float(np.abs(b_).max()), 1e-10)
+        assert float(np.abs(a_ - b_).max()) <= 3e-2 * scale, (
+            path, float(np.abs(a_ - b_).max()))
+    # the sky receives gradient through the vec step kernel
+    assert float(np.abs(np.asarray(g_k.env)).max()) > 0.0
+
+
+def test_env_vec_dispatch(monkeypatch):
+    """impl='auto' routing for env-only scenes: unrolled kernel below the
+    VMEM-effective threshold, vec kernels above it (K <= 32), jnp_vec
+    beyond; the step dispatch mirrors it."""
+    from reversible_raytracer_tpu.ops.render import resolve_impl, resolve_step_impl
+
+    scene, _ = _vec_sky_scene()  # 40 spheres: past the unrolled threshold
+    cfg = RenderConfig(height=32, width=32, shadows=True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_impl(scene, cfg) == "pallas_vec"
+    assert resolve_step_impl(scene, cfg) == "step_vec"
+    # reflections / spp>1: vec kernels refuse -> jnp_vec / vag
+    assert resolve_impl(scene, dataclasses.replace(cfg, reflections=1)) == "jnp_vec"
+    assert resolve_step_impl(scene, dataclasses.replace(cfg, reflections=1)) == "vag"
+    assert resolve_impl(scene, dataclasses.replace(cfg, spp=4)) == "jnp_vec"
+    # a K=64 env blows the SMEM/dense-MAC budget -> jnp_vec
+    big_env = dataclasses.replace(
+        scene, env=jnp.zeros((64, 64, 3), jnp.float32)
+    )
+    assert resolve_impl(big_env, cfg) == "jnp_vec"
+    assert resolve_step_impl(big_env, cfg) == "vag"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolve_impl(scene, cfg) == "jnp_vec"
 
 
 def test_env_soft_compositor_blends_to_env():

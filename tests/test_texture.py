@@ -78,10 +78,11 @@ def test_texture_with_reflections_and_spp():
 
 
 def test_unrolled_kernels_render_textures():
-    """The unrolled Pallas family samples textures via the gather-free
-    dense hat-basis path (`pipeline.sample_texture_dense` through the SMEM
-    scalar view) — same function as the jnp gather up to ulp-level edge
-    bands; the vec family still refuses (SMEM object rows hold scalars)."""
+    """Both Pallas families sample textures via the gather-free dense
+    hat-basis path (`pipeline.sample_texture_dense`) — the unrolled family
+    through the SMEM scalar view, the vec family (since round 3) through
+    texel tails appended to the SMEM object rows. Same function as the jnp
+    gather up to ulp-level edge bands."""
     scene, _, _ = configs.config7_texture(48, tex_k=8)  # small K: trace cost
     cfg = RenderConfig(height=16, width=128)
     from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
@@ -90,13 +91,87 @@ def test_unrolled_kernels_render_textures():
     a = np.asarray(render_jnp(scene, cfg))
     b = np.asarray(render_pallas(scene, cfg, interpret=True))
     assert np.abs(a - b).max() < 1e-5
-    with pytest.raises(NotImplementedError, match="texture"):
-        render_pallas_vec(scene, cfg, interpret=True)
+    v = np.asarray(render_pallas_vec(scene, cfg, interpret=True))
+    assert np.abs(v - b).max() < 1e-6  # same dense sampler, ulp-level
     # Textures + mirror reflections stay off the kernels (per-bounce
     # replay of the dense chain would explode the trace).
     with pytest.raises(NotImplementedError, match="texture"):
         render_pallas(scene, dataclasses.replace(cfg, reflections=1),
                       interpret=True)
+    with pytest.raises(NotImplementedError, match="reflections"):
+        render_pallas_vec(scene, dataclasses.replace(cfg, reflections=1),
+                          interpret=True)
+
+
+def _big_textured_scene(n_spheres=40, tex_k=8, size=48):
+    """Globe-style textured scene past the unrolled family's threshold —
+    the round-3 vec-kernel texture capability."""
+    scene, spec, _ = configs.config5_many_spheres(size, n_spheres=n_spheres)
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(
+        rng.uniform(0.1, 0.9, (scene.spheres.count, tex_k, tex_k, 3)),
+        jnp.float32,
+    )
+    scene = dataclasses.replace(
+        scene, spheres=dataclasses.replace(scene.spheres, texture=tex)
+    )
+    return scene, spec
+
+
+def test_vec_kernel_textured_fwd_and_step_grads():
+    """Object-chunked kernels on a 40-sphere ALL-textured scene:
+    forward matches jnp_vec outside boundary pixels / half-texel bands,
+    and the fused vec step kernel's (loss, grads) — texel grads included —
+    strictly match autodiff of render_pallas_vec (same family)."""
+    from test_fused_vec import _edge_mask
+
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+        render_pallas_vec,
+    )
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, spec = _big_textured_scene()
+    cfg = RenderConfig(height=48, width=64, shadows=True)
+    a = np.asarray(render_jnp_vec(scene, cfg))
+    v = np.asarray(render_pallas_vec(scene, cfg, interpret=True))
+    d = np.abs(a - v).max(axis=-1)
+    assert d.max() < 1e-2 and (d > 1e-3).mean() < 1e-3
+    e = _edge_mask(a, v)
+    assert e.mean() < 0.7 and d[~e].max() < 1e-6
+
+    target = jnp.asarray(a) * 0.92
+    start = configs.perturb(scene, spec, scale=0.05, seed=2)
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec(s, cfg, interpret=True), target)
+    )(start)
+    l_k, g_k = loss_grad_pallas_vec(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_k)) <= 1e-5 * max(float(l_ref), 1e-9)
+    for (path, x), (_, y) in zip(
+        jax.tree_util.tree_flatten_with_path(g_k)[0],
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+    ):
+        x, y = np.asarray(x), np.asarray(y)
+        if not x.size:
+            continue
+        scale = max(float(np.abs(y).max()), 1e-10)
+        assert float(np.abs(x - y).max()) <= 1e-5 * scale, (
+            path, float(np.abs(x - y).max()))
+    assert float(np.abs(np.asarray(g_k.spheres.texture)).max()) > 0.0
+
+
+def test_vec_kernel_texture_smem_budget_refusal(monkeypatch):
+    """Texel rows past the ~384 KiB SMEM budget refuse loudly and
+    impl='auto' routes to jnp_vec."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
+    from reversible_raytracer_tpu.ops.render import resolve_impl
+
+    scene, _ = _big_textured_scene(n_spheres=40, tex_k=32)  # 48 rows x 3 KiB+
+    cfg = RenderConfig(height=32, width=32, shadows=True)
+    with pytest.raises(NotImplementedError, match="SMEM"):
+        render_pallas_vec(scene, cfg, interpret=True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_impl(scene, cfg) == "jnp_vec"
 
 
 def test_step_kernel_texture_grads_match_jnp():
@@ -407,8 +482,11 @@ def test_auto_dispatch_textured_unrolled_kernel(monkeypatch):
     big = dataclasses.replace(
         scene, spheres=configs.config5_many_spheres(32, n_spheres=40)[0].spheres
     )
-    assert resolve_impl(big, cfg) == "jnp_vec"
-    # a texture grid big enough to blow the VMEM-effective count: jnp
+    # round 3: textured scenes past the unrolled threshold ride the vec
+    # kernels (texel row tails) when they fit the SMEM budget
+    assert resolve_impl(big, cfg) == "pallas_vec"
+    # a texture grid big enough to blow BOTH the VMEM-effective count and
+    # the vec family's SMEM row budget: jnp
     k = 128
     huge_tex = jnp.zeros((scene.rects.count, k, k, 3), jnp.float32)
     huge = dataclasses.replace(
@@ -453,7 +531,8 @@ def test_loss_and_grad_fn_textured_dispatch(monkeypatch):
     big = dataclasses.replace(
         scene, spheres=configs.config5_many_spheres(32, n_spheres=40)[0].spheres
     )
-    assert kind(R.loss_and_grad_fn(big, cfg)) == "fallback"  # vec refuses tex
+    # round 3: the vec step kernel takes texel row tails within budget
+    assert kind(R.loss_and_grad_fn(big, cfg)) == "vec"
     # explicit impl='pallas' is honored for the validated combo
     assert kind(R.loss_and_grad_fn(scene, cfg, impl="pallas")) == "unrolled"
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
