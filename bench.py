@@ -551,6 +551,184 @@ def main():
         except Exception as e:  # noqa: BLE001 — bench row is best-effort
             _log(f"config-7 bench row skipped: {type(e).__name__}: {e}")
 
+    # --- config-8 capability row: globe (sphere-texture) recovery ---
+    # Mirrors the config-7 block (VERDICT r2 item #7): step-kernel cost,
+    # XLA-fallback cost, inversion wall-clock + recovery RMS.
+    if on_tpu:
+        try:
+            scene8, spec8, cfg8 = configs.config8_globe(512)
+            vag8 = loss_and_grad_fn(scene8, cfg8)  # -> fused step kernel
+            tgt8 = jnp.zeros((512, 512, 3), jnp.float32)
+            t0 = time.perf_counter()
+            t8, _, _ = _median_slope(
+                lambda n: _vag_total(vag8, scene8, tgt8, n), 10, 60, k=3
+            )
+            _log(f"globe (fused step kernel) 512^2 fwd+bwd: "
+                 f"{t8*1e3:.3f} ms/step "
+                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+            details["config8_globe_fwdbwd_ms"] = t8 * 1e3
+            vag8j = loss_and_grad_fn(scene8, cfg8, impl="jnp")
+            t8j, _, _ = _median_slope(
+                lambda n: _vag_total(vag8j, scene8, tgt8, n), 10, 60, k=3
+            )
+            _log(f"globe (XLA jnp fallback) 512^2 fwd+bwd: "
+                 f"{t8j*1e3:.3f} ms/step")
+            details["config8_globe_fwdbwd_ms_jnp"] = t8j * 1e3
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+
+            tgt8r = jax.jit(lambda s: render_jnp(s, cfg8))(scene8)
+            start8 = configs.perturb(scene8, spec8, scale=0.4, seed=12)
+            ocfg8 = OptConfig(iters=200, lr=3e-2, schedule="cosine")
+            t0 = time.perf_counter()
+            final8, losses8 = optimize_scan(
+                start8, tgt8r, spec8, cfg8, ocfg8,
+                render_fn=lambda s: render_jnp(s, cfg8),
+                vag_fn=vag8, cache_key="bench-config8-step",
+            )
+            l8 = float(losses8[-1])  # value fetch before reading the clock
+            t8w = time.perf_counter() - t0
+            rms8 = float(param_error(final8, scene8, spec8))
+            _log(f"config-8 globe recovery @512^2 (200 steps, 40% perturb): "
+                 f"{t8w:.1f}s  final_loss={l8:.3e} texture_rms={rms8:.3e}")
+            details["config8_invert_seconds"] = t8w
+            details["config8_invert_texture_rms"] = rms8
+            details["config8_invert_final_loss"] = l8
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+        except Exception as e:  # noqa: BLE001 — bench row is best-effort
+            _log(f"config-8 bench row skipped: {type(e).__name__}: {e}")
+
+    # --- config-9 capability row: environment-map (sky) recovery ---
+    if on_tpu:
+        try:
+            scene9, spec9, cfg9 = configs.config9_sky(512)
+            vag9 = loss_and_grad_fn(scene9, cfg9)  # reflective unrolled step
+            tgt9 = jnp.zeros((512, 512, 3), jnp.float32)
+            t0 = time.perf_counter()
+            t9, _, _ = _median_slope(
+                lambda n: _vag_total(vag9, scene9, tgt9, n), 10, 60, k=3
+            )
+            _log(f"sky (fused step kernel, reflections=1) 512^2 fwd+bwd: "
+                 f"{t9*1e3:.3f} ms/step "
+                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+            details["config9_sky_fwdbwd_ms"] = t9 * 1e3
+            vag9j = loss_and_grad_fn(scene9, cfg9, impl="jnp")
+            t9j, _, _ = _median_slope(
+                lambda n: _vag_total(vag9j, scene9, tgt9, n), 10, 60, k=3
+            )
+            _log(f"sky (XLA jnp fallback) 512^2 fwd+bwd: {t9j*1e3:.3f} ms/step")
+            details["config9_sky_fwdbwd_ms_jnp"] = t9j * 1e3
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+
+            tgt9r = jax.jit(lambda s: render_jnp(s, cfg9))(scene9)
+            start9 = configs.perturb(scene9, spec9, scale=0.4, seed=13)
+            ocfg9 = OptConfig(iters=200, lr=3e-2, schedule="cosine")
+            t0 = time.perf_counter()
+            final9, losses9 = optimize_scan(
+                start9, tgt9r, spec9, cfg9, ocfg9,
+                render_fn=lambda s: render_jnp(s, cfg9),
+                vag_fn=vag9, cache_key="bench-config9-step",
+            )
+            l9 = float(losses9[-1])  # value fetch before reading the clock
+            t9w = time.perf_counter() - t0
+            rms9 = float(param_error(final9, scene9, spec9))
+            _log(f"config-9 sky recovery @512^2 (200 steps, 40% perturb): "
+                 f"{t9w:.1f}s  final_loss={l9:.3e} env_rms={rms9:.3e}")
+            details["config9_invert_seconds"] = t9w
+            details["config9_invert_env_rms"] = rms9
+            details["config9_invert_final_loss"] = l9
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+        except Exception as e:  # noqa: BLE001 — bench row is best-effort
+            _log(f"config-9 bench row skipped: {type(e).__name__}: {e}")
+
+    # --- round-3 capability row: textured/env scenes at VEC scale ---
+    # 64 textured spheres (texel SMEM row tails) and a 64-sphere env scene
+    # through the object-chunked STEP kernel — the scenes that ran at XLA
+    # speed in round 2 (~60 ms class) now run in the kernel class.
+    if on_tpu:
+        try:
+            import dataclasses as _dc9
+
+            from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+                loss_grad_pallas_vec,
+            )
+
+            rngv = np.random.default_rng(7)
+            basev, _, _ = configs.config5_many_spheres(512, n_spheres=64)
+            cfgv = RenderConfig(height=512, width=512, shadows=True)
+            tgtv = jnp.zeros((512, 512, 3), jnp.float32)
+            texv = jnp.asarray(
+                rngv.uniform(0.1, 0.9, (basev.spheres.count, 16, 16, 3)),
+                jnp.float32,
+            )
+            globev = _dc9.replace(
+                basev, spheres=_dc9.replace(basev.spheres, texture=texv)
+            )
+            vagv = lambda s, t: loss_grad_pallas_vec(s, cfgv, t)
+            t0 = time.perf_counter()
+            tv, _, _ = _median_slope(
+                lambda n: _vag_total(vagv, globev, tgtv, n), 10, 60, k=3
+            )
+            _log(f"vec step kernel, 65-obj ALL-textured (K=16) 512^2: "
+                 f"{tv*1e3:.2f} ms/step "
+                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+            details["vec_textured_65obj_fwdbwd_ms"] = tv * 1e3
+
+            envv = jnp.asarray(
+                rngv.uniform(0.1, 0.9, (16, 16, 3)), jnp.float32
+            )
+            skyv = _dc9.replace(basev, env=envv)
+            vage = lambda s, t: loss_grad_pallas_vec(s, cfgv, t)
+            t0 = time.perf_counter()
+            te, _, _ = _median_slope(
+                lambda n: _vag_total(vage, skyv, tgtv, n), 10, 60, k=3
+            )
+            _log(f"vec step kernel, 65-obj env-mapped (K=16) 512^2: "
+                 f"{te*1e3:.2f} ms/step "
+                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+            details["vec_env_65obj_fwdbwd_ms"] = te * 1e3
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+        except Exception as e:  # noqa: BLE001 — bench row is best-effort
+            _log(f"vec textured/env bench rows skipped: {type(e).__name__}: {e}")
+
+    # --- sharded machinery cost on one chip (BASELINE.md row 4 evidence) ---
+    # mesh=1 shard_map step vs the unsharded fused step: the cost of the
+    # distributed machinery itself (multi-chip speedup is unmeasurable on
+    # one chip; the fake-mesh overhead curve lives in
+    # docs/scaling_fakemesh.json via scripts/scaling_bench.py).
+    if on_tpu:
+        try:
+            from reversible_raytracer_tpu.parallel import (
+                make_ray_mesh,
+                optimize_sharded_scan,
+            )
+
+            mesh1 = make_ray_mesh(1)
+            ocfg_sh = OptConfig(iters=60, lr=0.0)
+            tgt_sh = jax.jit(render_fast)(scene)
+            # warm (compile), then one timed scan dispatch
+            optimize_sharded_scan(scene, tgt_sh, mesh1, cfg, spec, ocfg_sh,
+                                  impl="pallas_step")
+            t0 = time.perf_counter()
+            _, losses_sh = optimize_sharded_scan(
+                scene, tgt_sh, mesh1, cfg, spec, ocfg_sh, impl="pallas_step"
+            )
+            float(np.asarray(losses_sh)[-1])  # value fetch before the clock
+            t_sh = (time.perf_counter() - t0) / ocfg_sh.iters
+            _log(f"sharded mesh=1 fused step @512^2: {t_sh*1e3:.3f} ms/step "
+                 f"(machinery overhead x{t_sh/t_fast:.2f} vs unsharded "
+                 f"{t_fast*1e3:.3f} ms)")
+            details["sharded_mesh1_step_ms"] = t_sh * 1e3
+            details["sharded_mesh1_overhead_ratio"] = t_sh / t_fast
+            with open("bench_details.json", "w") as fh:
+                json.dump(details, fh, indent=2)
+        except Exception as e:  # noqa: BLE001 — bench row is best-effort
+            _log(f"sharded mesh=1 row skipped: {type(e).__name__}: {e}")
+
 
 if __name__ == "__main__":
     main()

@@ -54,7 +54,10 @@ def _check_one(tag, scene, cfg, results, skip_jnp, grad_leaf):
     assert flipped < 2e-2, "too many disagreeing pixels"
     results[f"{tag}_fwd_max_diff"] = float(d.max())
 
-    target = jnp.asarray(img_v)
+    # 0.92x, NOT the render itself: with target == render the residual is
+    # ~0 and the env grads would consist entirely of dense-vs-gather
+    # half-texel band noise (observed 30% "mismatch" on ~1e-15 losses).
+    target = jnp.asarray(img_v) * 0.92
     t0 = time.time()
     l_k, g_k = jax.jit(
         lambda s, t: loss_grad_pallas_vec(s, cfg, t)
