@@ -15,6 +15,23 @@ first-wins nearest hit, hard shadows, checker materials, Lambertian+Phong.
 The shading math is literally shared — the kernel calls
 `pipeline.shade_from_attrs`, injecting its loop-based occlusion test.
 
+Round-3 capability extensions (VERDICT r2 items #3/#4), closing the
+"fast path exists only for small N" asymmetry:
+- environment maps ride the globals SMEM plan (see `globals_tree`);
+- object textures ride per-row texel tails (see the P_SPH note below);
+- mirror reflections: a static Python loop over bounce levels reruns the
+  SAME O(1)-compile object loops per level, blending deepest-first
+  exactly like pipeline.shade (unclipped per level, one clip at top);
+  the backward composes the levels in REVERSE — the shade+blend stage's
+  vjp treats every level's (rays, t, planes) as explicit inputs, each
+  level's per-object masked vjps add the implicit (t, planes)->rays
+  parts, and the reflect-ray construction's transpose carries the deeper
+  level's ray cotangent onto this level's (rays, t, normal) before its
+  own object vjps run.
+The one refused combination is OBJECT-textured + reflections (per-bounce
+dense texel-chain replay — same rule as the unrolled family; jnp_vec
+serves it).
+
 Forward kernel (per image tile), two-phase trace:
   1. rays from camera scalars + tile iota (never touch HBM);
   2. phase 1 — t-only fori_loop over spheres then rects tracking
@@ -44,6 +61,7 @@ of `render_jnp_vec` (tests enforce it in interpret mode).
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import dataclass
 from types import SimpleNamespace
@@ -54,7 +72,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.scene import Scene
+from ...models.scene import Scene, scene_object_textured
 from .. import vecmath as vm
 from ..pipeline import (
     BIG,
@@ -62,15 +80,20 @@ from ..pipeline import (
     camera_rays,
     intersect_rect,
     intersect_sphere,
+    reflect_dir,
     sample_texture_dense,
     shade_from_attrs,
+    shadow_origin,
     soft_checker_q,
     sphere_uv,
 )
 from .fused import _round_up, _scalar_view, flatten_scene, scene_layout
 
-P_SPH = 16  # center(3) radius(1) color(3) color2(3) checker(1) cscale(1) ka kd ks shin
-P_RCT = 21  # origin(3) edge_u(3) edge_v(3) + same 12 material scalars
+P_SPH = 17  # center(3) radius(1) color(3) color2(3) checker cscale ka kd ks shin mirror
+P_RCT = 22  # origin(3) edge_u(3) edge_v(3) + same 13 material scalars
+# mirror rides at the END of the material block (index P-1) so every other
+# index is unchanged from the round-2 layout; it is read only by the
+# reflective levels' attribute resolve (dead scalar otherwise).
 # Textured groups append their texel grid to each object's SMEM row:
 # row = [the P_SPH/P_RCT scalars] + texture[k].ravel() (K*K*3 scalars).
 # The eval fns detect the longer row and sample gather-free (dense
@@ -88,11 +111,12 @@ ATTR_NAMES = ("nx", "ny", "nz", "cr", "cg", "cb", "ka", "kd", "ks", "shin")
 # turn 0-cotangent vjps into NaNs).
 CHUNK = 16
 _SPH_PAD_ROW = np.array(
-    [0.0, 0.0, 1e6, 1.0] + [0.5] * 6 + [0.0, 1.0, 0.5, 0.5, 0.0, 1.0], np.float32
+    [0.0, 0.0, 1e6, 1.0] + [0.5] * 6 + [0.0, 1.0, 0.5, 0.5, 0.0, 1.0, 0.0],
+    np.float32,
 )
 _RCT_PAD_ROW = np.array(
     [0.0, 0.0, 1e6, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0]
-    + [0.5] * 6 + [0.0, 1.0, 0.5, 0.5, 0.0, 1.0],
+    + [0.5] * 6 + [0.0, 1.0, 0.5, 0.5, 0.0, 1.0, 0.0],
     np.float32,
 )
 
@@ -134,6 +158,7 @@ def _mat_cols(mat):
         mat.kd[:, None],
         mat.ks[:, None],
         mat.shininess[:, None],
+        mat.mirror[:, None],
     ]
 
 
@@ -398,7 +423,8 @@ def _nearest_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset,
 
 
 def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
-                   rct_offset, p_sph: int = P_SPH, p_rct: int = P_RCT):
+                   rct_offset, p_sph: int = P_SPH, p_rct: int = P_RCT,
+                   with_mirror: bool = False):
     """Phase 2: materialize the winner's 10 attribute planes from k_best.
 
     Chunk-skipped (same pattern as obj_backward): a CHUNK of objects none of
@@ -413,8 +439,11 @@ def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
     f32 = jnp.float32
     zero = jnp.zeros(shape, f32)
     planes = tuple([zero] * 9 + [jnp.ones(shape, f32)])  # shin init 1.0
+    if with_mirror:
+        planes = planes + (zero,)  # "mir" init 0 (trace_nearest's init)
 
-    def group(eval_fn, read, P, k_offset, n_obj, planes, with_t_known):
+    def group(eval_fn, read, P, k_offset, n_obj, planes, with_t_known,
+              mir_idx):
         def per_object(k, planes):
             mask = kbest == (k + k_offset)
             pv = tuple(read(k, c) for c in range(P))
@@ -423,6 +452,8 @@ def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
             else:
                 _, n_unit, col, coeffs = eval_fn(pv, o, d)
             new = list(n_unit) + list(col) + list(coeffs)
+            if with_mirror:
+                new.append(jnp.broadcast_to(pv[mir_idx], shape))
             return tuple(jnp.where(mask, nv, ov) for nv, ov in zip(new, planes))
 
         def chunk_body(ci, planes):
@@ -441,10 +472,13 @@ def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
         return jax.lax.fori_loop(0, n_chunks, chunk_body, planes)
 
     if n_sph:
-        planes = group(_sphere_eval, sph_read, p_sph, 0, n_sph, planes, True)
+        planes = group(_sphere_eval, sph_read, p_sph, 0, n_sph, planes, True,
+                       P_SPH - 1)
     if n_rct:
-        planes = group(_rect_eval, rct_read, p_rct, rct_offset, n_rct, planes, False)
-    return dict(zip(ATTR_NAMES, planes))
+        planes = group(_rect_eval, rct_read, p_rct, rct_offset, n_rct, planes,
+                       False, P_RCT - 1)
+    names = ATTR_NAMES + ("mir",) if with_mirror else ATTR_NAMES
+    return dict(zip(names, planes))
 
 
 def _occluded_loop(sph_read, n_sph, rct_read, n_rct, unroll=1):
@@ -511,11 +545,13 @@ def _make_fused_vec(
             "checker_tau rendering lives in pipeline_vec.render_jnp_vec and "
             "kernels.fused_vec_soft (render impl='auto' routes there)"
         )
-    if cfg.reflections:
+    if cfg.reflections and scene_object_textured(scene_like):
+        # Same family rule as the unrolled kernels: a per-bounce replay of
+        # the dense texel chain (K^2 MACs x live objects x levels) is the
+        # one combination that doesn't pay; impl='auto' routes to jnp_vec.
         raise NotImplementedError(
-            "fused_vec's two-phase object loops do not replay bounces; "
-            "mirror reflections run through the unrolled family (jnp / "
-            "pallas) or jnp_vec (render impl='auto' routes there)"
+            "OBJECT-textured mirror reflections render via jnp_vec "
+            "(impl='auto' routes); env-only reflective scenes run here"
         )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count
@@ -562,7 +598,16 @@ def _make_fused_vec(
         [_RCT_PAD_ROW, np.full(rct_tex_len, 0.5, np.float32)]
     ) if rct_tex_len else _RCT_PAD_ROW
 
-    n_vis = n_lights if (cfg.shadows and cfg.shader == "phong") else 0
+    # Mirror bounces (round 3): a static Python loop over levels — each
+    # level reruns the SAME O(1)-compile object loops at that level's rays
+    # (nearest + chunk-skipped resolve + occlusion), the levels blend
+    # deepest-first exactly like pipeline.shade / pipeline_vec's reflective
+    # path (unclipped per level, one clip at top), and "mir" is the 11th
+    # resolved attribute plane. The backward composes the levels' stage
+    # vjps in reverse through the reflect-ray construction (see
+    # make_bwd_kernel).
+    R = cfg.reflections if cfg.shader == "phong" else 0
+    n_vis = n_lights * (1 + R) if (cfg.shadows and cfg.shader == "phong") else 0
 
     def tile_coords(off_ref, i, j, bh_, bw_):
         row0 = off_ref[0, 0] + (i * bh_).astype(f32)
@@ -576,6 +621,8 @@ def _make_fused_vec(
         o, d = camera_rays(gview["camera"], ii, jj, cfg.height, cfg.width, cfg.projection)
         return vm.vbroadcast(o, shape), vm.vbroadcast(d, shape), gview
 
+    cfg_level = dataclasses.replace(cfg, clip=False) if R else cfg
+
     # ------------------------------------------------------------- forward
     def fwd_kernel(off_ref, glob_ref, sph_ref, rct_ref, r_ref, g_ref, b_ref, *vis_refs):
         i, j = pl.program_id(0), pl.program_id(1)
@@ -584,30 +631,53 @@ def _make_fused_vec(
         o, d, gview = rays_for(gvals, ii, jj, (bh, bw))
         sph_read = lambda k, c: sph_ref[k, c]
         rct_read = lambda k, c: rct_ref[k, c]
-        # Rects numbered at ns_pad in kbest space (not n_sph) so sphere
-        # PAD-row indices [n_sph, ns_pad) can never collide with a real
-        # rect index (see bwd_kernel note).
-        t, kbest = _nearest_loop(
-            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), rct_offset=ns_pad,
-            unroll=tiles.unroll,
-        )
-        hit = t < BIG * 0.5
-        at = _resolve_attrs(
-            sph_read, n_sph, rct_read, n_rct, o, d, (bh, bw), t, kbest, ns_pad,
-            p_sph=p_sph, p_rct=p_rct,
-        )
         occluded_fn = _occluded_loop(sph_read, n_sph, rct_read, n_rct,
                                      unroll=tiles.unroll)
-        out = shade_from_attrs(
-            _globals_ns(gview), o, d, cfg, (bh, bw), t, hit, at,
-            occluded_fn=occluded_fn, return_vis=True,
-        )
-        (r, g, b), vis = out
+
+        def trace_level(o_l, d_l, depth):
+            # Rects numbered at ns_pad in kbest space (not n_sph) so sphere
+            # PAD-row indices [n_sph, ns_pad) can never collide with a real
+            # rect index (see bwd_kernel note).
+            t, kbest = _nearest_loop(
+                sph_read, n_sph, rct_read, n_rct, o_l, d_l, (bh, bw),
+                rct_offset=ns_pad, unroll=tiles.unroll,
+            )
+            hit = t < BIG * 0.5
+            at = _resolve_attrs(
+                sph_read, n_sph, rct_read, n_rct, o_l, d_l, (bh, bw), t,
+                kbest, ns_pad, p_sph=p_sph, p_rct=p_rct,
+                with_mirror=depth < R,
+            )
+            return t, hit, at
+
+        vis_all = []
+
+        def level(o_l, d_l, depth):
+            t, hit, at = trace_level(o_l, d_l, depth)
+            out = shade_from_attrs(
+                _globals_ns(gview), o_l, d_l, cfg_level, (bh, bw), t, hit,
+                at, occluded_fn=occluded_fn, return_vis=True,
+            )
+            col, vis = out
+            vis_all.extend(vis)
+            if depth < R:
+                n = (at["nx"], at["ny"], at["nz"])
+                rdir = reflect_dir(d_l, n)
+                ro = shadow_origin(o_l, d_l, t, n)
+                rcol = level(ro, rdir, depth + 1)
+                m = jnp.where(hit, at["mir"], 0.0)
+                col = tuple(c + m * (rc - c) for c, rc in zip(col, rcol))
+            return col
+
+        col = level(o, d, 0)
+        if R and cfg.clip:
+            col = tuple(jnp.clip(c, 0.0, 1.0) for c in col)
+        r, g, b = col
         r_ref[:, :] = r
         g_ref[:, :] = g
         b_ref[:, :] = b
         for li in range(n_vis):
-            vis_refs[li][:, :] = vis[li]
+            vis_refs[li][:, :] = vis_all[li]
 
     fwd_call = pl.pallas_call(
         fwd_kernel,
@@ -660,28 +730,44 @@ def _make_fused_vec(
 
         (o, d), rays_vjp = jax.vjp(rays_fn, gvals)
 
-        # Replay trace (no grad) for the select decisions and the winning
-        # attribute planes. The planes enter the shade stage as stop-gradded
-        # VALUES; their gradients route to object scalars via the masked
-        # per-object vjps below (the transpose of the where-select chain).
-        # Rects are numbered at ns_pad (not n_sph) in kbest space so that
-        # sphere PAD-row indices [n_sph, ns_pad) can never collide with a
-        # real rect index (a collision hands the rect's cotangent mask to a
-        # benign pad sphere at z=1e6 -> garbage camera gradients).
-        t_sel, kbest = _nearest_loop(
-            sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset=ns_pad,
-            unroll=tiles.unroll,
-        )
-        t_sel = jax.lax.stop_gradient(t_sel)
-        kbest = jax.lax.stop_gradient(kbest)
-        hit = t_sel < BIG * 0.5
-        at_replay = _resolve_attrs(
-            sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest, ns_pad,
-            p_sph=p_sph, p_rct=p_rct,
-        )
-        planes_replay = tuple(
-            jax.lax.stop_gradient(at_replay[name]) for name in ATTR_NAMES
-        )
+        # Replay the trace of EVERY level (no grad): select decisions and
+        # winning attribute planes. The planes enter the shade stage as
+        # stop-gradded VALUES; their gradients route to object scalars via
+        # the masked per-object vjps below (the transpose of the
+        # where-select chain), per level. Rects are numbered at ns_pad
+        # (not n_sph) in kbest space so that sphere PAD-row indices
+        # [n_sph, ns_pad) can never collide with a real rect index (a
+        # collision hands the rect's cotangent mask to a benign pad sphere
+        # at z=1e6 -> garbage camera gradients). Level i's rays are
+        # recomputed values (o_{i+1}, d_{i+1}) = g(o_i, d_i, t_i, n_i);
+        # g's transpose chains the levels in the reverse pass below.
+        levels = []  # (o_l, d_l, t_sel, kbest, hit, planes, names)
+        o_l, d_l = o, d
+        for depth in range(R + 1):
+            t_sel, kbest = _nearest_loop(
+                sph_read, n_sph, rct_read, n_rct, o_l, d_l, shape,
+                rct_offset=ns_pad, unroll=tiles.unroll,
+            )
+            t_sel = jax.lax.stop_gradient(t_sel)
+            kbest = jax.lax.stop_gradient(kbest)
+            hit = t_sel < BIG * 0.5
+            wm = depth < R
+            names = ATTR_NAMES + ("mir",) if wm else ATTR_NAMES
+            at_replay = _resolve_attrs(
+                sph_read, n_sph, rct_read, n_rct, o_l, d_l, shape, t_sel,
+                kbest, ns_pad, p_sph=p_sph, p_rct=p_rct, with_mirror=wm,
+            )
+            planes = tuple(
+                jax.lax.stop_gradient(at_replay[name]) for name in names
+            )
+            levels.append((o_l, d_l, t_sel, kbest, hit, planes, names))
+            if wm:
+                n3 = planes[0:3]
+                o_l, d_l = (
+                    shadow_origin(o_l, d_l, t_sel, n3),
+                    reflect_dir(d_l, n3),
+                )
+
         vis_tiles = (
             tuple(vr[:, :] for vr in vis_refs) if (n_vis and not step_mode)
             else None
@@ -692,20 +778,49 @@ def _make_fused_vec(
             if step_mode else None
         )
 
-        # Stage S: object-count-independent shading. In cotangent mode
-        # occluded_fn stays None: the forward saved the (zero-gradient)
-        # visibility planes, which vis_in replays. In step mode the any-hit
-        # runs inline (bool -> zero gradient, the hard semantics).
-        def shade_fn(gvals, o, d, t, planes):
-            gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
-            at = dict(zip(ATTR_NAMES, planes))
-            return shade_from_attrs(
-                _globals_ns(gview), o, d, cfg, shape, t, hit, at,
-                vis_in=vis_tiles, occluded_fn=occluded_fn,
-            )
+        # Stage S: object-count-independent shading + the mirror blend.
+        # Every level's rays/t/planes enter as EXPLICIT inputs (replayed
+        # constants); the implicit dependence of level i+1's inputs on
+        # level i flows through g's transpose in the reverse pass, and of
+        # t/planes on the rays through the per-object vjps. In cotangent
+        # mode occluded_fn stays None: the forward saved the
+        # (zero-gradient) visibility planes, replayed per level. In step
+        # mode the any-hit runs inline per level (bool -> zero gradient).
+        L = n_lights
 
+        def shade_fn(gvals, rays_in, ts_in, planes_in):
+            gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
+            ns_g = _globals_ns(gview)
+            cols = []
+            for depth in range(R + 1):
+                o_i, d_i = rays_in[depth]
+                at = dict(zip(levels[depth][6], planes_in[depth]))
+                vi = (
+                    tuple(vis_tiles[depth * L:(depth + 1) * L])
+                    if vis_tiles is not None else None
+                )
+                cols.append(shade_from_attrs(
+                    ns_g, o_i, d_i, cfg_level, shape, ts_in[depth],
+                    levels[depth][4], at, vis_in=vi,
+                    occluded_fn=occluded_fn,
+                ))
+            col = cols[R]
+            for depth in reversed(range(R)):
+                m = jnp.where(
+                    levels[depth][4], planes_in[depth][10], 0.0
+                )  # planes[10] = "mir"
+                col = tuple(
+                    c + m * (rc - c) for c, rc in zip(cols[depth], col)
+                )
+            if R and cfg.clip:
+                col = tuple(jnp.clip(c, 0.0, 1.0) for c in col)
+            return col
+
+        rays_in = tuple((lv[0], lv[1]) for lv in levels)
+        ts_in = tuple(lv[2] for lv in levels)
+        planes_in = tuple(lv[5] for lv in levels)
         (r, g, b), shade_vjp = jax.vjp(
-            shade_fn, gvals, o, d, t_sel, planes_replay
+            shade_fn, gvals, rays_in, ts_in, planes_in
         )
         if step_mode:
             w = off_ref[0, 2]
@@ -721,7 +836,7 @@ def _make_fused_vec(
             dcol = (two_w * res_r, two_w * res_g, two_w * res_b)
         else:
             dcol = (gr_ref[:, :], gg_ref[:, :], gb_ref[:, :])
-        dg_shade, d_o, d_d, d_t, d_planes = shade_vjp(dcol)
+        dg_shade, d_rays_all, d_ts_all, d_planes_all = shade_vjp(dcol)
 
         # Stage O: per-object masked vjps, accumulating SMEM grad rows.
         first = (i == 0) & (j == 0)
@@ -746,13 +861,17 @@ def _make_fused_vec(
             jax.lax.fori_loop(0, ns_pad, z_sph, 0)
             jax.lax.fori_loop(0, nr_pad, z_rct, 0)
 
-        def obj_backward(eval_fn, read, P, k_offset, dref, n_obj):
+        def obj_backward(eval_fn, read, P, k_offset, dref, n_obj,
+                         kbest, o_l, d_l, d_t, d_planes, with_m, mir_idx):
             """Chunked masked vjps: a CHUNK of objects whose members win no
             pixel of this tile has identically-zero cotangents, so the whole
             chunk's vjps are skipped with ONE lax.cond (per-object conds
             were tried and reverted — the scalar sync per iteration defeated
             loop pipelining). SMEM rows are padded to a CHUNK multiple with
-            benign far-away objects so tail chunks read valid data."""
+            benign far-away objects so tail chunks read valid data. With
+            ``with_m`` the object's mirror scalar is an extra output, so
+            its cotangent (the blend weight's gradient) lands on pv[mir_idx]
+            through the same dpv write-back."""
 
             def per_object(k, acc2):
                 d_o_acc, d_d_acc = acc2
@@ -764,12 +883,12 @@ def _make_fused_vec(
                     # Broadcast scalar outputs (material coefficients) to
                     # the tile so cotangent shapes match; the vjp transpose
                     # (reduce-sum) is exactly the where-select chain's.
-                    return tuple(
-                        jnp.broadcast_to(x, shape)
-                        for x in (t,) + tuple(n_unit) + tuple(col) + tuple(coeffs)
-                    )
+                    outs = (t,) + tuple(n_unit) + tuple(col) + tuple(coeffs)
+                    if with_m:
+                        outs = outs + (pv[mir_idx],)
+                    return tuple(jnp.broadcast_to(x, shape) for x in outs)
 
-                _, obj_vjp = jax.vjp(f, pv, o, d)
+                _, obj_vjp = jax.vjp(f, pv, o_l, d_l)
                 cots = (d_t * mask,) + tuple(p * mask for p in d_planes)
                 dpv, d_o_k, d_d_k = obj_vjp(cots)
                 for c in range(P):
@@ -795,22 +914,52 @@ def _make_fused_vec(
             n_chunks = (n_obj + CHUNK - 1) // CHUNK
             return chunk_body, n_chunks
 
+        # Reverse pass over the levels: deepest first. Each level's total
+        # ray cotangent = the shade stage's explicit part + the per-object
+        # vjps' implicit part (+ for non-deepest levels, the transpose of
+        # the NEXT level's ray construction g, which also deposits onto
+        # this level's t and normal planes — run BEFORE this level's
+        # object vjps so those see the full cotangents).
         zero3 = (jnp.zeros(shape, f32),) * 3
-        acc = (zero3, zero3)
-        if n_sph:
-            chunk_body, n_chunks = obj_backward(
-                _sphere_eval, sph_read, p_sph, 0, dsph_ref, n_sph
-            )
-            acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
-        if n_rct:
-            chunk_body, n_chunks = obj_backward(
-                _rect_eval, rct_read, p_rct, ns_pad, drct_ref, n_rct
-            )
-            acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
-        d_o_obj, d_d_obj = acc
+        d_o_next, d_d_next = None, None
+        for depth in reversed(range(R + 1)):
+            o_l, d_l, t_sel, kbest, hit_l, planes, names = levels[depth]
+            d_o_l, d_d_l = d_rays_all[depth]
+            d_t_l = d_ts_all[depth]
+            d_pl_l = list(d_planes_all[depth])
+            if depth < R:
+                def g_fn(o_a, d_a, t_a, n3):
+                    return (shadow_origin(o_a, d_a, t_a, n3),
+                            reflect_dir(d_a, n3))
 
-        # Stage R transpose: close the camera path.
-        (dg_rays,) = rays_vjp((vm.vadd(d_o, d_o_obj), vm.vadd(d_d, d_d_obj)))
+                _, g_vjp = jax.vjp(g_fn, o_l, d_l, t_sel, planes[0:3])
+                dgo, dgd, dgt, dgn = g_vjp((d_o_next, d_d_next))
+                d_o_l = vm.vadd(d_o_l, dgo)
+                d_d_l = vm.vadd(d_d_l, dgd)
+                d_t_l = d_t_l + dgt
+                for c in range(3):
+                    d_pl_l[c] = d_pl_l[c] + dgn[c]
+            d_pl_l = tuple(d_pl_l)
+            with_m = depth < R
+            acc = (zero3, zero3)
+            if n_sph:
+                chunk_body, n_chunks = obj_backward(
+                    _sphere_eval, sph_read, p_sph, 0, dsph_ref, n_sph,
+                    kbest, o_l, d_l, d_t_l, d_pl_l, with_m, P_SPH - 1,
+                )
+                acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
+            if n_rct:
+                chunk_body, n_chunks = obj_backward(
+                    _rect_eval, rct_read, p_rct, ns_pad, drct_ref, n_rct,
+                    kbest, o_l, d_l, d_t_l, d_pl_l, with_m, P_RCT - 1,
+                )
+                acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
+            d_o_obj, d_d_obj = acc
+            d_o_next = vm.vadd(d_o_l, d_o_obj)
+            d_d_next = vm.vadd(d_d_l, d_d_obj)
+
+        # Stage R transpose: close the camera path with level 0's total.
+        (dg_rays,) = rays_vjp((d_o_next, d_d_next))
         for idx in range(Sg):
             dglob_ref[0, idx] = dglob_ref[0, idx] + dg_shade[idx] + dg_rays[idx]
         if step_mode:

@@ -88,17 +88,22 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
                 and not (cfg.reflections and obj_tex)
                 and tile_object_count(scene, cfg) <= 24):
             return "pallas"
-        if (on_tpu and cfg.spp == 1 and not cfg.reflections
+        if (on_tpu and cfg.spp == 1
+                and not (cfg.reflections and obj_tex)
                 and env_size(scene) <= 32 and vec_smem_ok(scene)):
             return "pallas_vec"
         return "jnp" if n_obj <= 24 else "jnp_vec"
     if cfg.reflections:
         # Mirror reflections: the unrolled family traces the bounce
-        # replay for free; the object-chunked Pallas kernels refuse.
-        # Large reflective scenes fall back to the object-vectorized
-        # jnp path (O(1) compile; XLA still fuses well).
+        # replay for free; past its threshold the object-chunked kernels
+        # (round 3) rerun their O(1)-compile loops once per level. spp>1
+        # reflective stays on the wrappers' jnp paths off the small-N
+        # kernel (vec spp rides the 4-launch wrapper, unvalidated with
+        # bounces on TPU).
         if n_obj <= 24:
             return "pallas" if on_tpu else "jnp"
+        if on_tpu and cfg.spp == 1:
+            return "pallas_vec"
         return "jnp_vec"
     if on_tpu:
         # Unrolled fused kernels compile O(N) (fastest for small object
@@ -187,7 +192,7 @@ def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
             want_unrolled = impl in ("pallas", "pallas_step")
         if want_unrolled and validated:
             return "step_unrolled"
-        if (cfg.spp == 1 and cfg.reflections == 0
+        if (cfg.spp == 1 and not (bool(cfg.reflections) and obj_tex)
                 and env_size(scene_like) <= 32 and vec_smem_ok(scene_like)
                 and impl in ("auto", "pallas_vec")):
             return "step_vec"
@@ -197,12 +202,10 @@ def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
     )
     if want_unrolled and cfg.spp in (1, 4):
         return "step_unrolled"
-    # Large reflective scenes fall THROUGH both kernel branches to the
-    # value_and_grad fallback (render auto -> jnp_vec): the vec step kernel
-    # refuses reflections, and the unrolled kernel's O(N)-growth compile /
-    # VMEM live set makes it wrong above the 24-object crossover even
-    # though it would trace.
-    if cfg.spp == 1 and cfg.reflections == 0:
+    # Large reflective scenes take the vec step kernel too (round 3: the
+    # reverse-level backward composition); only spp=4 at vec scale stays
+    # on value_and_grad (the vec spp wrapper is a render-path construct).
+    if cfg.spp == 1:
         return "step_vec"
     return "vag"
 

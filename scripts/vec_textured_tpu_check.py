@@ -109,7 +109,8 @@ def main():
     ap.add_argument("--n", type=int, default=64, help="sphere count")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--k", type=int, default=16, help="texture/env K")
-    ap.add_argument("--mode", choices=["env", "tex", "both"], default="both")
+    ap.add_argument("--mode", choices=["env", "tex", "refl", "both", "all"],
+                    default="both")
     ap.add_argument("--skip-jnp", action="store_true")
     args = ap.parse_args()
 
@@ -124,7 +125,25 @@ def main():
     results = {"n_obj": base.spheres.count + base.rects.count,
                "size": H, "k": args.k}
 
-    if args.mode in ("env", "both"):
+    if args.mode in ("refl", "all"):
+        # Mirror reflections at vec scale (round 3): every sphere gets a
+        # mirror coefficient; reflections=1.
+        mat = base.spheres.material
+        mir = jnp.asarray(
+            rng.uniform(0.2, 0.8, (base.spheres.count,)), jnp.float32
+        )
+        refl = dataclasses.replace(
+            base,
+            spheres=dataclasses.replace(
+                base.spheres,
+                material=dataclasses.replace(mat, mirror=mir),
+            ),
+        )
+        cfg_r = dataclasses.replace(cfg, reflections=1)
+        _check_one("refl", refl, cfg_r, results, args.skip_jnp,
+                   lambda g: g.spheres.material.mirror)
+
+    if args.mode in ("env", "both", "all"):
         env = jnp.asarray(
             rng.uniform(0.1, 0.9, (args.k, args.k, 3)), jnp.float32
         )
@@ -132,7 +151,7 @@ def main():
         _check_one("env", sky, cfg, results, args.skip_jnp,
                    lambda g: g.env)
 
-    if args.mode in ("tex", "both"):
+    if args.mode in ("tex", "both", "all"):
         tex = jnp.asarray(
             rng.uniform(0.1, 0.9,
                         (base.spheres.count, args.k, args.k, 3)),

@@ -121,9 +121,10 @@ def test_resolve_step_impl_policy(monkeypatch):
     # spp=4 fuses in-kernel only in the unrolled family
     assert resolve_step_impl(scene, dataclasses.replace(cfg, spp=4)) == "step_unrolled"
     assert resolve_step_impl(big, dataclasses.replace(cfg, spp=4)) == "vag"
-    # reflections: unrolled traces the bounces; vec refuses
+    # reflections: unrolled traces the bounces; the vec step kernel reruns
+    # its loops per level (round 3)
     assert resolve_step_impl(scene, dataclasses.replace(cfg, reflections=1)) == "step_unrolled"
-    assert resolve_step_impl(big, dataclasses.replace(cfg, reflections=1)) == "vag"
+    assert resolve_step_impl(big, dataclasses.replace(cfg, reflections=1)) == "step_vec"
     # soft semantics / unknown losses never hit the hard step kernels
     assert resolve_step_impl(scene, dataclasses.replace(cfg, soft_tau=0.05)) == "vag"
     assert resolve_step_impl(scene, cfg, loss="huber") == "vag"

@@ -137,11 +137,13 @@ def test_env_kernel_dispatch_and_unrolled_support():
     v = np.asarray(render_pallas_vec(scene, cfg, interpret=True))
     np.testing.assert_array_equal(v, b)
     cfg_r = dataclasses.replace(cfg, reflections=1)
-    with pytest.raises(NotImplementedError, match="reflections"):
-        render_pallas_vec(scene, cfg_r, interpret=True)
     a_r = np.asarray(render_jnp(scene, cfg_r))
     b_r = np.asarray(render_pallas(scene, cfg_r, interpret=True))
     assert np.abs(a_r - b_r).max() < 1e-5
+    # round 3: env-only reflective scenes run in the vec family too
+    # (per-level loop replay) — again bit-exact vs the unrolled kernel
+    v_r = np.asarray(render_pallas_vec(scene, cfg_r, interpret=True))
+    np.testing.assert_array_equal(v_r, b_r)
     img = np.asarray(render(scene, cfg_r, impl="auto"))
     assert np.isfinite(img).all()
 
@@ -238,9 +240,10 @@ def test_env_vec_dispatch(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resolve_impl(scene, cfg) == "pallas_vec"
     assert resolve_step_impl(scene, cfg) == "step_vec"
-    # reflections / spp>1: vec kernels refuse -> jnp_vec / vag
-    assert resolve_impl(scene, dataclasses.replace(cfg, reflections=1)) == "jnp_vec"
-    assert resolve_step_impl(scene, dataclasses.replace(cfg, reflections=1)) == "vag"
+    # env-only reflections ride the vec kernels too (round 3); spp>1
+    # stays on jnp_vec / vag
+    assert resolve_impl(scene, dataclasses.replace(cfg, reflections=1)) == "pallas_vec"
+    assert resolve_step_impl(scene, dataclasses.replace(cfg, reflections=1)) == "step_vec"
     assert resolve_impl(scene, dataclasses.replace(cfg, spp=4)) == "jnp_vec"
     # a K=64 env blows the SMEM/dense-MAC budget -> jnp_vec
     big_env = dataclasses.replace(

@@ -197,3 +197,97 @@ def test_unroll_bitwise_invariant():
 
     for a, b in zip(jax.tree_util.tree_leaves(g(1)), jax.tree_util.tree_leaves(g(4))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Mirror reflections (round 3): per-level loop replay + reverse composition
+# ---------------------------------------------------------------------------
+
+
+def _mirror_scene(n_spheres=33, size=48, seed=0):
+    import dataclasses
+
+    scene, spec, _ = configs.config5_many_spheres(size, n_spheres=n_spheres)
+    mat = scene.spheres.material
+    mir = jnp.asarray(
+        np.random.default_rng(seed).uniform(0.2, 0.8, (scene.spheres.count,)),
+        jnp.float32,
+    )
+    scene = dataclasses.replace(
+        scene,
+        spheres=dataclasses.replace(
+            scene.spheres, material=dataclasses.replace(mat, mirror=mir)
+        ),
+    )
+    return scene, spec
+
+
+@pytest.mark.parametrize("bounces", [1, 2])
+def test_reflective_fwd_matches_jnp_vec(bounces):
+    """Vec kernel mirror bounces (each level reruns the O(1)-compile object
+    loops) match the jnp_vec reflective path outside boundary pixels."""
+    import dataclasses
+
+    scene, _ = _mirror_scene()
+    cfg = RenderConfig(height=48, width=64, shadows=True, reflections=bounces)
+    a = np.asarray(render_jnp_vec(scene, cfg))
+    v = np.asarray(render_pallas_vec(scene, cfg, interpret=True))
+    d = np.abs(a - v).max(axis=-1)
+    assert d.max() < 1e-2 and (d > 1e-3).mean() < 2e-3
+    e = _edge_mask(a, v)
+    assert e.mean() < 0.7 and d[~e].max() < 1e-5
+    # reflections=0 of the same compile family is bitwise-unaffected
+    cfg0 = dataclasses.replace(cfg, reflections=0)
+    a0 = np.asarray(render_jnp_vec(scene, cfg0))
+    v0 = np.asarray(render_pallas_vec(scene, cfg0, interpret=True))
+    assert np.abs(a0 - v0)[~_edge_mask(a0, v0)].max() < 1e-5
+
+
+def test_reflective_bwd_and_step_kernel():
+    """Reflective gradients: the hand-planned reverse-level composition
+    (render backward) matches XLA autodiff of jnp_vec at boundary-flip
+    tolerance, the fused STEP kernel strictly matches autodiff of the
+    SAME kernel family, and mirror coefficients receive live gradient."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+    )
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    scene, spec = _mirror_scene()
+    cfg = RenderConfig(height=48, width=64, shadows=True, reflections=1)
+    target = jnp.asarray(np.asarray(render_jnp_vec(scene, cfg))) * 0.92
+    start = configs.perturb(scene, spec, scale=0.05, seed=2)
+
+    l_r, g_r = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec(s, cfg, interpret=True), target)
+    )(start)
+    l_j, g_j = jax.value_and_grad(
+        lambda s: mse_loss(render_jnp_vec(s, cfg), target)
+    )(start)
+    assert abs(float(l_r) - float(l_j)) <= 1e-4 * float(l_j)
+    for (path, x), (_, y) in zip(
+        jax.tree_util.tree_flatten_with_path(g_r)[0],
+        jax.tree_util.tree_flatten_with_path(g_j)[0],
+    ):
+        x, y = np.asarray(x), np.asarray(y)
+        if not x.size:
+            continue
+        scale = max(float(np.abs(y).max()), 1e-10)
+        assert float(np.abs(x - y).max()) <= 3e-2 * scale, (
+            path, float(np.abs(x - y).max()))
+    assert float(np.abs(np.asarray(g_r.spheres.material.mirror)).max()) > 0.0
+
+    # step kernel vs render-AD of the SAME family: strict (the in-kernel
+    # cotangent-formation rounding bounds it at ~1e-5 relative)
+    l_k, g_k = loss_grad_pallas_vec(start, cfg, target, interpret=True)
+    assert abs(float(l_k) - float(l_r)) <= 1e-5 * float(l_r)
+    for (path, x), (_, y) in zip(
+        jax.tree_util.tree_flatten_with_path(g_k)[0],
+        jax.tree_util.tree_flatten_with_path(g_r)[0],
+    ):
+        x, y = np.asarray(x), np.asarray(y)
+        if not x.size:
+            continue
+        scale = max(float(np.abs(y).max()), 1e-10)
+        assert float(np.abs(x - y).max()) <= 3e-5 * scale, (
+            path, float(np.abs(x - y).max()))

@@ -173,13 +173,19 @@ def test_grads_match_oracle_fd():
     assert abs(an_c - fd_c) / max(abs(fd_c), 1e-9) < 0.02
 
 
-def test_vec_kernels_refuse_reflections():
+def test_vec_kernels_render_reflections():
+    """Round 3: the vec kernels rerun their loops per bounce level —
+    tests/test_fused_vec.py has the fidelity suite; here we pin that the
+    small mirror scene renders (no refusal) and the soft relaxations stay
+    reflections-exclusive."""
     scene, _ = _mirror_scene()
     cfg = RenderConfig(height=16, width=128, reflections=1)
     from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
 
-    with pytest.raises(NotImplementedError, match="reflections"):
-        render_pallas_vec(scene, cfg, interpret=True)
+    img = np.asarray(render_pallas_vec(scene, cfg, interpret=True))
+    ref = np.asarray(render(scene, cfg, impl="jnp_vec"))
+    d = np.abs(img - ref).max(axis=-1)
+    assert (d > 1e-3).mean() < 2e-2  # boundary flips only
     # Both soft relaxations are reflections-exclusive (staged workflow):
     with pytest.raises(NotImplementedError, match="reflections"):
         render(scene, dataclasses.replace(cfg, soft_tau=0.05), impl="jnp_vec")
