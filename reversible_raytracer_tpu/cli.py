@@ -173,11 +173,31 @@ def cmd_invert(args):
                 save_png(f"{args.frames_dir}/frame_{it:05d}.png", jit_render(s))
 
         t0 = time.perf_counter()
-        final, losses = optimize_annealed(
-            start, target, spec, cfg, ocfg, taus=taus, target_scene=truth,
-            soft_size=args.anneal_size, checker_ratio=args.checker_ratio,
-            max_chunk=max_chunk, chunk_callback=frame_cb,
-        )
+        if args.restarts > 1:
+            # Seeded multi-start (docs/OPTIMIZATION_NOTES.md "Multi-start
+            # widens the basins"): keep the best final HARD loss across
+            # jittered restarts of the whole anneal.
+            from .optim import optimize_multistart
+
+            final, best_loss, finals = optimize_multistart(
+                start, target, spec, cfg, ocfg,
+                restarts=args.restarts, jitter=args.restart_jitter,
+                seed=args.seed + 1000,
+                taus=taus, target_scene=truth,
+                soft_size=args.anneal_size, checker_ratio=args.checker_ratio,
+                max_chunk=max_chunk, chunk_callback=frame_cb,
+            )
+            import numpy as _np
+
+            losses = _np.asarray([best_loss])
+            print(f"multistart finals: {['%.3e' % f for f in finals]} "
+                  f"-> best {best_loss:.3e}", file=sys.stderr)
+        else:
+            final, losses = optimize_annealed(
+                start, target, spec, cfg, ocfg, taus=taus, target_scene=truth,
+                soft_size=args.anneal_size, checker_ratio=args.checker_ratio,
+                max_chunk=max_chunk, chunk_callback=frame_cb,
+            )
         import numpy as np
 
         # Per-stage loss trace (the scan returns every iteration's loss;
@@ -316,6 +336,13 @@ def main(argv=None):
                          "(checker_tau = ratio * tau per stage; 12.5 works "
                          "for camera-pose inversion against checkers, "
                          "config 4). 0 = hard checker (default)")
+    pi.add_argument("--restarts", type=int, default=1,
+                    help="with --anneal: seeded multi-start — run the whole "
+                         "anneal from N jittered starts and keep the best "
+                         "final hard loss (widens recovery basins; see "
+                         "docs/OPTIMIZATION_NOTES.md)")
+    pi.add_argument("--restart-jitter", type=float, default=0.15,
+                    help="relative re-perturbation scale for --restarts")
     pi.add_argument("--anneal-size", type=int, default=None,
                     help="resolution for the soft anneal stages (coarse-to-"
                          "fine; the final hard stage runs at full size)")

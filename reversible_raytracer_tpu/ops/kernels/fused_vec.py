@@ -87,6 +87,7 @@ from ..pipeline import (
     soft_checker_q,
     sphere_uv,
 )
+from ..pipeline_vec import SPP4_OFFSETS
 from .fused import _round_up, _scalar_view, flatten_scene, scene_layout
 
 P_SPH = 17  # center(3) radius(1) color(3) color2(3) checker cscale ka kd ks shin mirror
@@ -533,12 +534,16 @@ def _make_fused_vec(
     interpret: bool,
     out_h: int | None = None,
 ):
-    if cfg.spp != 1:
-        # The KERNELS are single-sample; spp > 1 is handled by the
-        # render_pallas_vec wrapper (subsample offsets are runtime off_ref
-        # scalars, so 4 launches of THIS compile average to the spp-4
-        # image — see pipeline_vec.spp_average).
-        raise NotImplementedError("fused_vec kernels are spp=1 (wrapper averages)")
+    if cfg.spp not in (1, 4):
+        raise NotImplementedError(f"spp must be 1 or 4, got {cfg.spp}")
+    # spp=4 RENDERING stays on the 4-launch wrapper (one spp=1 compile
+    # serves both settings — subsample offsets are runtime off_ref
+    # scalars; see render_pallas_vec). spp=4 TRAINING fuses the 2x2
+    # subsample loop INTO the step kernel (round 3, VERDICT r2 item #8):
+    # the mse residual is taken of the post-clip subsample AVERAGE, which
+    # cannot decompose into 4 independent step launches — the step-mode
+    # body loops the replay/shade/reverse passes over the four offsets
+    # and the fwd/bwd render kernels are simply not built at spp=4.
     if cfg.soft_tau > 0.0 or cfg.checker_tau > 0.0:
         raise NotImplementedError(
             "fused_vec implements the hard reference semantics; soft_tau/"
@@ -723,50 +728,64 @@ def _make_fused_vec(
         sph_read = lambda k, c: sph_ref[k, c]
         rct_read = lambda k, c: rct_ref[k, c]
 
-        # Stage R: rays (differentiable in globals via the camera scalars).
-        def rays_fn(gvals):
-            o, d, _ = rays_for(gvals, ii, jj, shape)
-            return o, d
+        # Subsample loop: the step kernel fuses spp=4 in-kernel (the mse
+        # residual is of the post-clip subsample AVERAGE — see the factory
+        # note); cotangent mode is spp=1 only (the render wrapper owns it).
+        subs = (
+            SPP4_OFFSETS if (step_mode and cfg.spp == 4) else ((0.0, 0.0),)
+        )
 
-        (o, d), rays_vjp = jax.vjp(rays_fn, gvals)
+        # Stage R: rays (differentiable in globals via the camera scalars),
+        # one vjp per subsample (offset order: (row0+iota)+oi, matching
+        # pipeline.render_tile's in-kernel spp operand order bit-for-bit).
+        rays_vjps = []
+        # Replay the trace of EVERY (subsample, level) pair (no grad):
+        # select decisions and winning attribute planes. The planes enter
+        # the shade stage as stop-gradded VALUES; their gradients route to
+        # object scalars via the masked per-object vjps below (the
+        # transpose of the where-select chain), per level. Rects are
+        # numbered at ns_pad (not n_sph) in kbest space so that sphere
+        # PAD-row indices [n_sph, ns_pad) can never collide with a real
+        # rect index (a collision hands the rect's cotangent mask to a
+        # benign pad sphere at z=1e6 -> garbage camera gradients). Level
+        # i's rays are recomputed values (o_{i+1}, d_{i+1}) =
+        # g(o_i, d_i, t_i, n_i); g's transpose chains the levels in the
+        # reverse pass below.
+        levels_all = []  # [s][depth] = (o_l, d_l, t_sel, kbest, hit, planes, names)
+        for (oi, oj) in subs:
+            def rays_fn(gvals, oi=oi, oj=oj):
+                o, d, _ = rays_for(gvals, ii + oi, jj + oj, shape)
+                return o, d
 
-        # Replay the trace of EVERY level (no grad): select decisions and
-        # winning attribute planes. The planes enter the shade stage as
-        # stop-gradded VALUES; their gradients route to object scalars via
-        # the masked per-object vjps below (the transpose of the
-        # where-select chain), per level. Rects are numbered at ns_pad
-        # (not n_sph) in kbest space so that sphere PAD-row indices
-        # [n_sph, ns_pad) can never collide with a real rect index (a
-        # collision hands the rect's cotangent mask to a benign pad sphere
-        # at z=1e6 -> garbage camera gradients). Level i's rays are
-        # recomputed values (o_{i+1}, d_{i+1}) = g(o_i, d_i, t_i, n_i);
-        # g's transpose chains the levels in the reverse pass below.
-        levels = []  # (o_l, d_l, t_sel, kbest, hit, planes, names)
-        o_l, d_l = o, d
-        for depth in range(R + 1):
-            t_sel, kbest = _nearest_loop(
-                sph_read, n_sph, rct_read, n_rct, o_l, d_l, shape,
-                rct_offset=ns_pad, unroll=tiles.unroll,
-            )
-            t_sel = jax.lax.stop_gradient(t_sel)
-            kbest = jax.lax.stop_gradient(kbest)
-            hit = t_sel < BIG * 0.5
-            wm = depth < R
-            names = ATTR_NAMES + ("mir",) if wm else ATTR_NAMES
-            at_replay = _resolve_attrs(
-                sph_read, n_sph, rct_read, n_rct, o_l, d_l, shape, t_sel,
-                kbest, ns_pad, p_sph=p_sph, p_rct=p_rct, with_mirror=wm,
-            )
-            planes = tuple(
-                jax.lax.stop_gradient(at_replay[name]) for name in names
-            )
-            levels.append((o_l, d_l, t_sel, kbest, hit, planes, names))
-            if wm:
-                n3 = planes[0:3]
-                o_l, d_l = (
-                    shadow_origin(o_l, d_l, t_sel, n3),
-                    reflect_dir(d_l, n3),
+            (o_l, d_l), rv = jax.vjp(rays_fn, gvals)
+            rays_vjps.append(rv)
+            levels = []
+            for depth in range(R + 1):
+                t_sel, kbest = _nearest_loop(
+                    sph_read, n_sph, rct_read, n_rct, o_l, d_l, shape,
+                    rct_offset=ns_pad, unroll=tiles.unroll,
                 )
+                t_sel = jax.lax.stop_gradient(t_sel)
+                kbest = jax.lax.stop_gradient(kbest)
+                hit = t_sel < BIG * 0.5
+                wm = depth < R
+                names = ATTR_NAMES + ("mir",) if wm else ATTR_NAMES
+                at_replay = _resolve_attrs(
+                    sph_read, n_sph, rct_read, n_rct, o_l, d_l, shape,
+                    t_sel, kbest, ns_pad, p_sph=p_sph, p_rct=p_rct,
+                    with_mirror=wm,
+                )
+                planes = tuple(
+                    jax.lax.stop_gradient(at_replay[name]) for name in names
+                )
+                levels.append((o_l, d_l, t_sel, kbest, hit, planes, names))
+                if wm:
+                    n3 = planes[0:3]
+                    o_l, d_l = (
+                        shadow_origin(o_l, d_l, t_sel, n3),
+                        reflect_dir(d_l, n3),
+                    )
+            levels_all.append(levels)
 
         vis_tiles = (
             tuple(vr[:, :] for vr in vis_refs) if (n_vis and not step_mode)
@@ -778,47 +797,61 @@ def _make_fused_vec(
             if step_mode else None
         )
 
-        # Stage S: object-count-independent shading + the mirror blend.
-        # Every level's rays/t/planes enter as EXPLICIT inputs (replayed
-        # constants); the implicit dependence of level i+1's inputs on
-        # level i flows through g's transpose in the reverse pass, and of
-        # t/planes on the rays through the per-object vjps. In cotangent
-        # mode occluded_fn stays None: the forward saved the
-        # (zero-gradient) visibility planes, replayed per level. In step
-        # mode the any-hit runs inline per level (bool -> zero gradient).
+        # Stage S: object-count-independent shading + the mirror blend +
+        # the subsample average. Every (subsample, level)'s rays/t/planes
+        # enter as EXPLICIT inputs (replayed constants); the implicit
+        # dependence of level i+1's inputs on level i flows through g's
+        # transpose in the reverse pass, and of t/planes on the rays
+        # through the per-object vjps. In cotangent mode occluded_fn stays
+        # None: the forward saved the (zero-gradient) visibility planes,
+        # replayed per level. In step mode the any-hit runs inline per
+        # (subsample, level) (bool -> zero gradient).
         L = n_lights
 
         def shade_fn(gvals, rays_in, ts_in, planes_in):
             gview = _scalar_view(gtreedef, gmeta, lambda idx: gvals[idx])
             ns_g = _globals_ns(gview)
-            cols = []
-            for depth in range(R + 1):
-                o_i, d_i = rays_in[depth]
-                at = dict(zip(levels[depth][6], planes_in[depth]))
-                vi = (
-                    tuple(vis_tiles[depth * L:(depth + 1) * L])
-                    if vis_tiles is not None else None
-                )
-                cols.append(shade_from_attrs(
-                    ns_g, o_i, d_i, cfg_level, shape, ts_in[depth],
-                    levels[depth][4], at, vis_in=vi,
-                    occluded_fn=occluded_fn,
-                ))
-            col = cols[R]
-            for depth in reversed(range(R)):
-                m = jnp.where(
-                    levels[depth][4], planes_in[depth][10], 0.0
-                )  # planes[10] = "mir"
-                col = tuple(
-                    c + m * (rc - c) for c, rc in zip(cols[depth], col)
-                )
-            if R and cfg.clip:
-                col = tuple(jnp.clip(c, 0.0, 1.0) for c in col)
-            return col
+            acc = None
+            for s in range(len(subs)):
+                cols = []
+                for depth in range(R + 1):
+                    o_i, d_i = rays_in[s][depth]
+                    at = dict(zip(levels_all[s][depth][6],
+                                  planes_in[s][depth]))
+                    vi = (
+                        tuple(vis_tiles[depth * L:(depth + 1) * L])
+                        if vis_tiles is not None else None
+                    )
+                    cols.append(shade_from_attrs(
+                        ns_g, o_i, d_i, cfg_level, shape, ts_in[s][depth],
+                        levels_all[s][depth][4], at, vis_in=vi,
+                        occluded_fn=occluded_fn,
+                    ))
+                col = cols[R]
+                for depth in reversed(range(R)):
+                    m = jnp.where(
+                        levels_all[s][depth][4], planes_in[s][depth][10],
+                        0.0,
+                    )  # planes[10] = "mir"
+                    col = tuple(
+                        c + m * (rc - c) for c, rc in zip(cols[depth], col)
+                    )
+                if R and cfg.clip:
+                    col = tuple(jnp.clip(c, 0.0, 1.0) for c in col)
+                acc = col if acc is None else vm.vadd(acc, col)
+            if len(subs) > 1:
+                acc = vm.vscale(acc, 1.0 / len(subs))
+            return acc
 
-        rays_in = tuple((lv[0], lv[1]) for lv in levels)
-        ts_in = tuple(lv[2] for lv in levels)
-        planes_in = tuple(lv[5] for lv in levels)
+        rays_in = tuple(
+            tuple((lv[0], lv[1]) for lv in levels) for levels in levels_all
+        )
+        ts_in = tuple(
+            tuple(lv[2] for lv in levels) for levels in levels_all
+        )
+        planes_in = tuple(
+            tuple(lv[5] for lv in levels) for levels in levels_all
+        )
         (r, g, b), shade_vjp = jax.vjp(
             shade_fn, gvals, rays_in, ts_in, planes_in
         )
@@ -914,54 +947,64 @@ def _make_fused_vec(
             n_chunks = (n_obj + CHUNK - 1) // CHUNK
             return chunk_body, n_chunks
 
-        # Reverse pass over the levels: deepest first. Each level's total
-        # ray cotangent = the shade stage's explicit part + the per-object
-        # vjps' implicit part (+ for non-deepest levels, the transpose of
-        # the NEXT level's ray construction g, which also deposits onto
-        # this level's t and normal planes — run BEFORE this level's
-        # object vjps so those see the full cotangents).
+        # Reverse pass, per subsample, over the levels deepest first. Each
+        # level's total ray cotangent = the shade stage's explicit part +
+        # the per-object vjps' implicit part (+ for non-deepest levels,
+        # the transpose of the NEXT level's ray construction g, which also
+        # deposits onto this level's t and normal planes — run BEFORE this
+        # level's object vjps so those see the full cotangents). Each
+        # subsample's level-0 total closes through ITS rays_vjp; the
+        # camera cotangents sum across subsamples.
         zero3 = (jnp.zeros(shape, f32),) * 3
-        d_o_next, d_d_next = None, None
-        for depth in reversed(range(R + 1)):
-            o_l, d_l, t_sel, kbest, hit_l, planes, names = levels[depth]
-            d_o_l, d_d_l = d_rays_all[depth]
-            d_t_l = d_ts_all[depth]
-            d_pl_l = list(d_planes_all[depth])
-            if depth < R:
-                def g_fn(o_a, d_a, t_a, n3):
-                    return (shadow_origin(o_a, d_a, t_a, n3),
-                            reflect_dir(d_a, n3))
+        dg_rays_total = None
+        for s in range(len(subs)):
+            d_o_next, d_d_next = None, None
+            for depth in reversed(range(R + 1)):
+                o_l, d_l, t_sel, kbest, hit_l, planes, names = levels_all[s][depth]
+                d_o_l, d_d_l = d_rays_all[s][depth]
+                d_t_l = d_ts_all[s][depth]
+                d_pl_l = list(d_planes_all[s][depth])
+                if depth < R:
+                    def g_fn(o_a, d_a, t_a, n3):
+                        return (shadow_origin(o_a, d_a, t_a, n3),
+                                reflect_dir(d_a, n3))
 
-                _, g_vjp = jax.vjp(g_fn, o_l, d_l, t_sel, planes[0:3])
-                dgo, dgd, dgt, dgn = g_vjp((d_o_next, d_d_next))
-                d_o_l = vm.vadd(d_o_l, dgo)
-                d_d_l = vm.vadd(d_d_l, dgd)
-                d_t_l = d_t_l + dgt
-                for c in range(3):
-                    d_pl_l[c] = d_pl_l[c] + dgn[c]
-            d_pl_l = tuple(d_pl_l)
-            with_m = depth < R
-            acc = (zero3, zero3)
-            if n_sph:
-                chunk_body, n_chunks = obj_backward(
-                    _sphere_eval, sph_read, p_sph, 0, dsph_ref, n_sph,
-                    kbest, o_l, d_l, d_t_l, d_pl_l, with_m, P_SPH - 1,
-                )
-                acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
-            if n_rct:
-                chunk_body, n_chunks = obj_backward(
-                    _rect_eval, rct_read, p_rct, ns_pad, drct_ref, n_rct,
-                    kbest, o_l, d_l, d_t_l, d_pl_l, with_m, P_RCT - 1,
-                )
-                acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
-            d_o_obj, d_d_obj = acc
-            d_o_next = vm.vadd(d_o_l, d_o_obj)
-            d_d_next = vm.vadd(d_d_l, d_d_obj)
+                    _, g_vjp = jax.vjp(g_fn, o_l, d_l, t_sel, planes[0:3])
+                    dgo, dgd, dgt, dgn = g_vjp((d_o_next, d_d_next))
+                    d_o_l = vm.vadd(d_o_l, dgo)
+                    d_d_l = vm.vadd(d_d_l, dgd)
+                    d_t_l = d_t_l + dgt
+                    for c in range(3):
+                        d_pl_l[c] = d_pl_l[c] + dgn[c]
+                d_pl_l = tuple(d_pl_l)
+                with_m = depth < R
+                acc = (zero3, zero3)
+                if n_sph:
+                    chunk_body, n_chunks = obj_backward(
+                        _sphere_eval, sph_read, p_sph, 0, dsph_ref, n_sph,
+                        kbest, o_l, d_l, d_t_l, d_pl_l, with_m, P_SPH - 1,
+                    )
+                    acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
+                if n_rct:
+                    chunk_body, n_chunks = obj_backward(
+                        _rect_eval, rct_read, p_rct, ns_pad, drct_ref, n_rct,
+                        kbest, o_l, d_l, d_t_l, d_pl_l, with_m, P_RCT - 1,
+                    )
+                    acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
+                d_o_obj, d_d_obj = acc
+                d_o_next = vm.vadd(d_o_l, d_o_obj)
+                d_d_next = vm.vadd(d_d_l, d_d_obj)
 
-        # Stage R transpose: close the camera path with level 0's total.
-        (dg_rays,) = rays_vjp((d_o_next, d_d_next))
+            # Stage R transpose: close this subsample's camera path.
+            (dg_rays,) = rays_vjps[s]((d_o_next, d_d_next))
+            dg_rays_total = dg_rays if dg_rays_total is None else tuple(
+                a + b for a, b in zip(dg_rays_total, dg_rays)
+            )
+
         for idx in range(Sg):
-            dglob_ref[0, idx] = dglob_ref[0, idx] + dg_shade[idx] + dg_rays[idx]
+            dglob_ref[0, idx] = (
+                dglob_ref[0, idx] + dg_shade[idx] + dg_rays_total[idx]
+            )
         if step_mode:
             loss_ref[0, 0] = loss_ref[0, 0] + sq
 
@@ -1051,6 +1094,10 @@ def _make_fused_vec(
     fused.defvjp(fused_fwd, fused_bwd)
 
     def apply(gflat, sph, rct, offsets):
+        # RENDERING at spp=4 never lands here (render_pallas_vec strips
+        # spp and wrapper-averages); the spp=4 factory build exists only
+        # for its step kernel, whose body loops the subsamples itself.
+        assert cfg.spp == 1, "spp>1 rendering uses the wrapper, not apply()"
         outs = fused(gflat, sph, rct, offsets)
         r, g, b = outs[0], outs[1], outs[2]
         return jnp.stack([r[:H, :W], g[:H, :W], b[:H, :W]], axis=-1)

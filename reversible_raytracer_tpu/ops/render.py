@@ -72,21 +72,26 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
         # OBJECT-textured+reflections would replay the O(K^2) dense chain
         # per bounce — stays on the jnp paths (env-only reflective
         # scenes, e.g. config 9, add just one dense env sample per bounce
-        # and run in-kernel). spp>1 textured is unvalidated in-kernel:
-        # jnp too. Textured scenes past the unrolled threshold ride the
-        # object-chunked vec kernels — env maps as a GLOBAL in their
-        # SMEM scalar plan (up to K=32: beyond that the K^2 dense
-        # MACs/pixel stop paying), object texel grids as row tails
-        # within the probed SMEM budget (`vec_smem_ok`).
+        # and run in-kernel). Textured scenes past the unrolled threshold
+        # ride the object-chunked vec kernels — env maps as a GLOBAL in
+        # their SMEM scalar plan (up to K=32: beyond that the K^2 dense
+        # MACs/pixel stop paying), object texel grids as row tails within
+        # the probed SMEM budget (`vec_smem_ok`); the vec path is spp=1
+        # (its spp wrapper + textured spp>1 is unmeasured).
         from ..models.scene import scene_object_textured
         from .kernels.fused import tile_object_count
 
         from .kernels.fused_vec import vec_smem_ok
 
         obj_tex = scene_object_textured(scene)
-        if (on_tpu and cfg.spp == 1
+        # spp=4 textured is interpret-validated (round 3; worst grad leaf
+        # 0.08-0.13 of the house textured tolerance on configs 7/9) but
+        # keeps 4x the subsample cotangent paths live in the backward —
+        # halve the VMEM-effective threshold.
+        tile_budget = 24 if cfg.spp == 1 else 12
+        if (on_tpu and cfg.spp in (1, 4)
                 and not (cfg.reflections and obj_tex)
-                and tile_object_count(scene, cfg) <= 24):
+                and tile_object_count(scene, cfg) <= tile_budget):
             return "pallas"
         if (on_tpu and cfg.spp == 1
                 and not (cfg.reflections and obj_tex)
@@ -182,10 +187,14 @@ def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
         from .kernels.fused_vec import vec_smem_ok
 
         obj_tex = scene_object_textured(scene_like)
-        validated = cfg.spp == 1 and not (bool(cfg.reflections) and obj_tex)
+        validated = (
+            cfg.spp in (1, 4)
+            and not (bool(cfg.reflections) and obj_tex)
+        )
+        tile_budget = 24 if cfg.spp == 1 else 12  # see resolve_impl
         if impl == "auto":
             want_unrolled = (
-                validated and tile_object_count(scene_like, cfg) <= 24
+                validated and tile_object_count(scene_like, cfg) <= tile_budget
             )
         else:
             # Explicit "pallas"/"pallas_step" both name the unrolled step.
@@ -203,9 +212,11 @@ def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
     if want_unrolled and cfg.spp in (1, 4):
         return "step_unrolled"
     # Large reflective scenes take the vec step kernel too (round 3: the
-    # reverse-level backward composition); only spp=4 at vec scale stays
-    # on value_and_grad (the vec spp wrapper is a render-path construct).
-    if cfg.spp == 1:
+    # reverse-level backward composition), and spp=4 fuses the 2x2
+    # subsample loop in-kernel (validated untextured, reflections=0 —
+    # the spp x bounce-level trace product is unvalidated, so reflective
+    # spp=4 stays on value_and_grad over the wrapper-averaged render).
+    if cfg.spp == 1 or cfg.reflections == 0:
         return "step_vec"
     return "vag"
 

@@ -348,6 +348,67 @@ def param_error(scene: Scene, truth: Scene, spec: ParamSpec):
     return jnp.sqrt(total / jnp.maximum(count, 1.0))
 
 
+def optimize_multistart(
+    start: Scene,
+    target,
+    spec: ParamSpec,
+    rcfg: RenderConfig,
+    ocfg: OptConfig,
+    restarts: int = 4,
+    jitter: float = 0.15,
+    seed: int = 0,
+    optimize_fn=None,
+    **anneal_kw,
+):
+    """Seeded random-restart wrapper: run the inner optimizer from
+    ``restarts`` starting points and keep the best FINAL HARD loss
+    (docs/OPTIMIZATION_NOTES.md "Narrow basins": silhouette displacements
+    past ~20% of radius put the start outside every first-order basin —
+    no optimizer escapes, but a different start CAN land inside).
+
+    Restart 0 runs from ``start`` verbatim; restart r > 0 re-perturbs the
+    trainable leaves of ``start`` by ``jitter`` (relative scale, the same
+    convention as configs.perturb) with seed ``seed + r``. Candidates are
+    ranked on the TRUE objective — ``ocfg.loss`` of the HARD render
+    (soft_tau = checker_tau = 0) against ``target`` — never on any
+    relaxed stage loss, so a soft-stage artifact can't win.
+
+    ``optimize_fn(scene) -> (final_scene, losses)`` overrides the inner
+    optimizer; default is `optimize_annealed` with ``**anneal_kw``.
+
+    Returns (best_scene, best_loss, per_restart_final_losses). Wall-clock
+    is ``restarts`` x the inner optimizer (compiles are shared: every
+    restart reuses the same cached scan runners).
+    """
+    import dataclasses
+
+    from .models.configs import perturb
+    from .ops.pipeline_vec import render_jnp_vec
+
+    if optimize_fn is None:
+        def optimize_fn(s):
+            return optimize_annealed(
+                s, target, spec, rcfg, ocfg, **anneal_kw
+            )
+
+    hard_cfg = dataclasses.replace(rcfg, soft_tau=0.0, checker_tau=0.0)
+    lossf = loss_fn_for(ocfg.loss)
+    eval_loss = jax.jit(
+        lambda s: lossf(render_jnp_vec(s, hard_cfg), jnp.asarray(target))
+    )
+
+    best_scene, best_loss, finals = None, None, []
+    for r in range(restarts):
+        s0 = start if r == 0 else perturb(start, spec, scale=jitter,
+                                          seed=seed + r)
+        final, _ = optimize_fn(s0)
+        l = float(eval_loss(final))
+        finals.append(l)
+        if best_loss is None or l < best_loss:
+            best_scene, best_loss = final, l
+    return best_scene, best_loss, finals
+
+
 def optimize_annealed(
     scene: Scene,
     target,

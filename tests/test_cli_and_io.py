@@ -118,9 +118,12 @@ def test_resolve_step_impl_policy(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resolve_step_impl(scene, cfg) == "step_unrolled"
     assert resolve_step_impl(big, cfg) == "step_vec"
-    # spp=4 fuses in-kernel only in the unrolled family
+    # spp=4 fuses in-kernel in BOTH families (round 3 for vec)
     assert resolve_step_impl(scene, dataclasses.replace(cfg, spp=4)) == "step_unrolled"
-    assert resolve_step_impl(big, dataclasses.replace(cfg, spp=4)) == "vag"
+    assert resolve_step_impl(big, dataclasses.replace(cfg, spp=4)) == "step_vec"
+    # ... but the spp x bounce-level product is unvalidated in vec
+    assert resolve_step_impl(
+        big, dataclasses.replace(cfg, spp=4, reflections=1)) == "vag"
     # reflections: unrolled traces the bounces; the vec step kernel reruns
     # its loops per level (round 3)
     assert resolve_step_impl(scene, dataclasses.replace(cfg, reflections=1)) == "step_unrolled"
@@ -131,7 +134,9 @@ def test_resolve_step_impl_policy(monkeypatch):
     # textured scenes: unrolled step kernel on the validated combo only
     assert resolve_step_impl(tex, cfg7) == "step_unrolled"
     assert resolve_step_impl(sky, cfg9) == "step_unrolled"  # env-only bounces
-    assert resolve_step_impl(tex, dataclasses.replace(cfg7, spp=4)) == "vag"
+    # textured spp=4: in-kernel since round 3 when the HALVED
+    # VMEM-effective budget holds (config 7 at 32^2/K=16 fits)
+    assert resolve_step_impl(tex, dataclasses.replace(cfg7, spp=4)) == "step_unrolled"
     obj_tex_refl = dataclasses.replace(cfg7, reflections=1)
     assert resolve_step_impl(tex, obj_tex_refl) == "vag"
     # ADVICE round-2: explicit "pallas_step" honors the textured unrolled

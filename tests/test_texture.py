@@ -478,7 +478,9 @@ def test_auto_dispatch_textured_unrolled_kernel(monkeypatch):
     assert resolve_impl(sky, cfg9) == "pallas"
     # kernel-refusing combos route off:
     assert resolve_impl(scene, dataclasses.replace(cfg, reflections=1)) == "jnp"
-    assert resolve_impl(scene, dataclasses.replace(cfg, spp=4)) == "jnp"
+    # spp=4 textured is validated in-kernel since round 3 (halved
+    # VMEM-effective threshold)
+    assert resolve_impl(scene, dataclasses.replace(cfg, spp=4)) == "pallas"
     big = dataclasses.replace(
         scene, spheres=configs.config5_many_spheres(32, n_spheres=40)[0].spheres
     )
@@ -527,7 +529,7 @@ def test_loss_and_grad_fn_textured_dispatch(monkeypatch):
     ) == "fallback"
     assert kind(
         R.loss_and_grad_fn(scene, dataclasses.replace(cfg, spp=4))
-    ) == "fallback"
+    ) == "unrolled"  # round 3: textured spp=4 validated in-kernel
     big = dataclasses.replace(
         scene, spheres=configs.config5_many_spheres(32, n_spheres=40)[0].spheres
     )
