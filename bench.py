@@ -691,6 +691,18 @@ def main():
                  f"[compile+bench {time.perf_counter()-t0:.0f}s]")
             details["vec_env_65obj_fwdbwd_ms"] = te * 1e3
 
+            # in-kernel spp=4 vec step (round 3): the 2x2 subsample loop
+            # fused into one launch (validated interpret + TPU)
+            cfgv4 = _dc9.replace(cfgv, spp=4)
+            vagv4 = lambda s, t: loss_grad_pallas_vec(s, cfgv4, t)
+            t0 = time.perf_counter()
+            tv4, _, _ = _median_slope(
+                lambda n: _vag_total(vagv4, basev, tgtv, n), 10, 60, k=3
+            )
+            _log(f"vec step kernel, 65-obj spp=4 512^2: {tv4*1e3:.2f} ms/step "
+                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+            details["vec_spp4_65obj_fwdbwd_ms"] = tv4 * 1e3
+
             # reflective vec step (round 3): per-level loop replay
             matv = basev.spheres.material
             mirv = jnp.asarray(

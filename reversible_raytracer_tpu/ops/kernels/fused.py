@@ -96,14 +96,23 @@ def tile_object_count(scene: Scene, cfg: RenderConfig) -> int:
     bounce replays the whole object chain in VMEM; a textured group keeps
     ~2K hat-weight tiles live through the dense sampler
     (`pipeline.sample_texture_dense`), worth roughly K/4
-    object-equivalents (10 live arrays/object forward, 24 backward)."""
+    object-equivalents (10 live arrays/object forward, 24 backward).
+    For TEXTURED/env scenes each spp subsample keeps its own dense-
+    sampler live set (observed: textured spp=4 at tiles sized for the
+    spp=1 count OOMs scoped vmem 38.7M > 16M — round 3), so spp
+    multiplies there like reflections do; untextured chains fit at the
+    spp=1 tiles (measured: shrinking them cost 0.441 -> 0.509 ms on the
+    config-2 spp=4 step, so spp deliberately does NOT scale them)."""
     n_obj = scene.spheres.count + scene.rects.count
+    dense_sampler = scene.env_mapped
     for grp in (scene.spheres, scene.rects):
         if grp.textured:
             n_obj += max(2, int(np.shape(grp.texture)[1]) // 4)
+            dense_sampler = True
     if scene.env_mapped:
         n_obj += max(2, int(np.shape(scene.env)[0]) // 4)
-    return n_obj * (1 + cfg.reflections)
+    spp_mult = cfg.spp if dense_sampler else 1
+    return n_obj * (1 + cfg.reflections) * spp_mult
 
 
 def scene_layout(scene_like: Scene):

@@ -524,6 +524,26 @@ def pad_rows(arr, n_pad, pad_row):
     return jnp.concatenate([arr, fill], axis=0) if arr.shape[0] else fill
 
 
+def auto_tiles(scene_like: Scene, cfg: RenderConfig,
+               tiles: "VecTileConfig | None") -> VecTileConfig:
+    """Default tiling with a backward-tile shrink for the env+reflections
+    live-set multiplier: the per-level env dense sampler keeps its 2K
+    weight planes + texel accumulators live PER LEVEL in the backward —
+    observed v5e scoped-vmem OOM at the default 64-row bwd tiles:
+    env(K=16)+reflections=1 hit 22.4M (limit 16M); 32 rows fit and run
+    3.71 ms/step. The in-kernel spp=4 subsample loop FITS at 64 rows and
+    is fastest there (swept: 4.39/4.84/7.51 ms at 64/32/16), so spp does
+    not shrink. Explicitly-passed tiles are honored verbatim (sweep
+    scripts need that)."""
+    if tiles is not None:
+        return tiles
+    t = VecTileConfig()
+    refl = cfg.reflections if cfg.shader == "phong" else 0
+    if scene_like.env_mapped and refl:
+        t = dataclasses.replace(t, bh_bwd=max(8, t.bh_bwd // (1 + refl)))
+    return t
+
+
 _CACHE: dict = {}
 
 
@@ -1135,7 +1155,7 @@ def loss_grad_pallas_vec(
     pytree via the transpose of the host-side packing. The kernel is the
     render backward's own body in step mode (`_make_fused_vec`'s
     make_bwd_kernel(True)) — one implementation to maintain."""
-    tiles = tiles or VecTileConfig()
+    tiles = auto_tiles(scene, cfg, tiles)
     H = out_height or cfg.height
     _, apply_step, (Hp, Wp) = _make_fused_vec(
         scene, cfg, tiles, interpret, out_h=out_height
@@ -1193,8 +1213,10 @@ def render_pallas_vec(
 
     from ..pipeline_vec import spp_average
 
-    tiles = tiles or VecTileConfig()
     cfg1 = dataclasses.replace(cfg, spp=1) if cfg.spp != 1 else cfg
+    # auto_tiles sees the spp-STRIPPED cfg: the wrapper launches spp=1
+    # kernels, so only the env+reflections live-set multiplier applies.
+    tiles = auto_tiles(scene, cfg1, tiles)
     apply, _, _ = _make_fused_vec(scene, cfg1, tiles, interpret, out_h=out_height)
     gflat = flatten_scene(globals_tree(scene))
     sph, rct = pack_spheres(scene), pack_rects(scene)

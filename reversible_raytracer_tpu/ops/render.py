@@ -85,10 +85,14 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
 
         obj_tex = scene_object_textured(scene)
         # spp=4 textured is interpret-validated (round 3; worst grad leaf
-        # 0.08-0.13 of the house textured tolerance on configs 7/9) but
-        # keeps 4x the subsample cotangent paths live in the backward —
-        # halve the VMEM-effective threshold.
-        tile_budget = 24 if cfg.spp == 1 else 12
+        # 0.08-0.13 of the house textured tolerance on configs 7/9).
+        # tile_object_count folds spp in (each subsample keeps its own
+        # live chain; TileConfig.for_shape shrinks tiles to match — at
+        # the spp=1 tiles this OOM'd scoped vmem 38.7M > 16M). Budget:
+        # the measured spp=1 crossover 24, and at spp=4 a HALVED
+        # spp-independent count (folded <= 48; config-7 spp=4 at folded
+        # count 32 measured 2.45 ms/step vs the ~240 ms XLA class).
+        tile_budget = 24 if cfg.spp == 1 else 48
         if (on_tpu and cfg.spp in (1, 4)
                 and not (cfg.reflections and obj_tex)
                 and tile_object_count(scene, cfg) <= tile_budget):
@@ -191,7 +195,7 @@ def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
             cfg.spp in (1, 4)
             and not (bool(cfg.reflections) and obj_tex)
         )
-        tile_budget = 24 if cfg.spp == 1 else 12  # see resolve_impl
+        tile_budget = 24 if cfg.spp == 1 else 48  # see resolve_impl
         if impl == "auto":
             want_unrolled = (
                 validated and tile_object_count(scene_like, cfg) <= tile_budget
