@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Produce the reference-style visual-verification artifacts for configs 1-9
+"""Produce the reference-style visual-verification artifacts for configs 1-10
 in one command (VERDICT round-1 item #9): for each config, render
 
     examples/artifacts/config<N>/target.png   — ground-truth render
@@ -29,7 +29,7 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="*",
-                    default=[1, 2, 3, 4, 5, 6, 7, 8, 9])
+                    default=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
     ap.add_argument("--size", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--outdir", default="examples/artifacts")
@@ -41,7 +41,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     # Small-but-recognizable defaults off-TPU; native config sizes on TPU.
-    size_default = ({1: 64, 2: 128, 3: 128, 4: 128, 5: 96, 6: 128, 7: 128, 8: 128, 9: 128}
+    size_default = ({1: 64, 2: 128, 3: 128, 4: 128, 5: 96, 6: 128, 7: 128, 8: 128, 9: 128, 10: 96}
                     if not on_tpu else {})
     iters = args.iters or (400 if on_tpu else 120)
 
@@ -62,7 +62,8 @@ def main():
         # Perturb scales must match the full-inversion call below.
         start_perturb = (["--perturb", "0.03"] if num == 5
                          else ["--perturb", "0.3"] if num == 6
-                         else ["--perturb", "0.4"] if num in (7, 8, 9) else [])
+                         else ["--perturb", "0.4"] if num in (7, 8, 9)
+                         else ["--perturb", "0.25"] if num == 10 else [])
         cli(["invert", "--config", str(num), *size_args, "--iters", "1",
              "--lr", "0", "--log-every", "0", *start_perturb,
              "-o", os.path.join(out, "start.png")])
@@ -76,6 +77,16 @@ def main():
             cli(["invert", "--config", "5", *size_args,
                  "--iters", str(n_it), "--lr", "2e-3", "--perturb", "0.03",
                  *anneal,
+                 "--metrics", os.path.join(out, "metrics.jsonl"),
+                 "-o", os.path.join(out, "final.png")])
+        elif num == 10:
+            # Chrome field (round 3): joint mirror+env recovery at vec
+            # scale — on TPU the whole step is ONE object-chunked fused
+            # kernel launch (env + reflections in the vec family).
+            n_it = args.iters or (200 if on_tpu else 100)
+            cli(["invert", "--config", "10", *size_args,
+                 "--iters", str(n_it), "--lr", "2e-2", "--perturb", "0.25",
+                 "--log-every", str(max(n_it // 10, 1)),
                  "--metrics", os.path.join(out, "metrics.jsonl"),
                  "-o", os.path.join(out, "final.png")])
         elif num in (7, 8, 9):

@@ -18,11 +18,13 @@ import time
 
 def _add_common(p):
     p.add_argument("--config", type=int, default=2,
-                   choices=[1, 2, 3, 4, 5, 6, 7, 8, 9],
+                   choices=[1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
                    help="driver benchmark config number (BASELINE.json); "
                         "extensions: 6 = mirror reflections, 7 = rect-"
                         "texture recovery, 8 = sphere-texture (globe) "
-                        "recovery, 9 = environment-map (sky) recovery")
+                        "recovery, 9 = environment-map (sky) recovery, 10 = chrome "
+                        "field (64 mirrored spheres under a sky: joint "
+                        "mirror+env recovery at vec scale)")
     p.add_argument("--size", type=int, default=None,
                    help="image size (default: the config's native size)")
     p.add_argument("--impl",

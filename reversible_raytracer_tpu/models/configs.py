@@ -395,6 +395,65 @@ def config9_sky(size: int = 512, env_k: int = 16, seed: int = 0):
     return scene, spec, cfg
 
 
+def config10_chrome_field(size: int = 512, n_spheres: int = 64,
+                          env_k: int = 16, seed: int = 0):
+    """Config 10 (round-3 showcase): a FIELD of 64 chrome spheres under a
+    sky — the vec-scale env+reflections capability in one scene.
+
+    Every sphere carries a per-object mirror coefficient; the inverse
+    render recovers the mirror coefficients AND the sky texels jointly
+    from a perturbed start. On TPU the whole training step runs in ONE
+    object-chunked fused kernel launch (env rides the SMEM globals plan,
+    bounce levels rerun the O(1)-compile loops — 3.7 ms/step at 512^2 on
+    v5e vs the ~300 ms XLA class that round 2 would have used, since the
+    vec kernels then refused both env maps and reflections).
+    """
+    rng = np.random.default_rng(seed)
+    g = int(np.ceil(np.sqrt(n_spheres)))
+    parts = []
+    for k in range(n_spheres):
+        gx, gz = k % g, k // g
+        x = (gx - (g - 1) / 2) * 1.1 + rng.uniform(-0.2, 0.2)
+        z = (gz - (g - 1) / 2) * 1.1 + rng.uniform(-0.2, 0.2)
+        y = rng.uniform(-0.1, 0.45)
+        parts.append(sphere(
+            (x, y, z), rng.uniform(0.28, 0.5),
+            _mat(rng.uniform(0.3, 0.9, size=3), ka=0.1, kd=0.35, ks=0.4,
+                 shininess=60.0, mirror=float(rng.uniform(0.3, 0.8))),
+        ))
+    floor = ground_plane(-0.6, 30.0, _mat((0.5, 0.5, 0.52), ka=0.15, kd=0.85))
+    # Same procedural sky as config 9 (gradient + sun blobs).
+    ii, jj = np.meshgrid(np.linspace(0, 1, env_k), np.linspace(0, 1, env_k),
+                         indexing="ij")
+    env = np.stack([
+        0.2 + 0.15 * ii,
+        0.3 + 0.2 * jj,
+        0.6 + 0.3 * (1.0 - jj),
+    ], axis=-1)
+    for _ in range(3):
+        ci, cj = rng.uniform(0.1, 0.9, size=2)
+        r2 = (ii - ci) ** 2 + (jj - cj) ** 2
+        env += np.array([0.5, 0.4, 0.1]) * np.exp(-r2 / 0.01)[..., None]
+    env = np.clip(env, 0.05, 0.95).astype(np.float32)
+    scene = Scene.make(
+        spheres=merge_spheres(parts),
+        rects=floor,
+        lights=Lights(
+            position=jnp.array([[6.0, 12.0, 6.0]], jnp.float32),
+            color=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        ),
+        camera=Camera.make((0.0, 7.0, 9.5), (0.0, 0.0, 0.0), fov_deg=60.0),
+        env=env,
+    )
+    spec = (
+        ParamSpec.none(scene)
+        .train("spheres.material.mirror", lower=0.0, upper=1.0)
+        .train("env", lower=0.0, upper=1.0)
+    )
+    cfg = RenderConfig(height=size, width=size, shadows=True, reflections=1)
+    return scene, spec, cfg
+
+
 CONFIGS = {
     1: config1_single_sphere,
     2: config2_four_spheres,
@@ -405,6 +464,7 @@ CONFIGS = {
     7: config7_texture,
     8: config8_globe,
     9: config9_sky,
+    10: config10_chrome_field,
 }
 
 

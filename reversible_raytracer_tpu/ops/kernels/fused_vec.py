@@ -541,6 +541,11 @@ def auto_tiles(scene_like: Scene, cfg: RenderConfig,
     refl = cfg.reflections if cfg.shader == "phong" else 0
     if scene_like.env_mapped and refl:
         t = dataclasses.replace(t, bh_bwd=max(8, t.bh_bwd // (1 + refl)))
+    if scene_object_textured(scene_like):
+        # Texel-tail rows: the backward's per-texel masked reductions
+        # prefer smaller tiles (swept at 64 textured spheres K=16 512^2:
+        # 10.61 ms at 32 rows vs 11.56 at 64; 128 fails to compile).
+        t = dataclasses.replace(t, bh_bwd=min(t.bh_bwd, 32))
     return t
 
 

@@ -119,11 +119,10 @@ def test_sky_recovery_converges():
 
 def test_env_kernel_dispatch_and_unrolled_support():
     """Both kernel families render env-mapped scenes (dense sampler; the
-    vec family since round 3 — env rides its SMEM globals plan). The
-    unrolled kernel also takes reflections on — env-only bounces add just
-    one dense env sample (unlike object textures, whose per-bounce
-    dense-chain replay the kernel refuses); the vec family refuses
-    reflections as ever. Auto routing works everywhere."""
+    vec family since round 3 — env rides its SMEM globals plan), with
+    reflections ON too — env-only bounces add just one dense env sample
+    per level (unlike object textures, whose per-bounce dense-chain
+    replay both kernel families refuse). Auto routing works everywhere."""
     from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
     from reversible_raytracer_tpu.ops.kernels.fused_vec import render_pallas_vec
 
@@ -322,3 +321,38 @@ def test_env_reflective_step_kernel_grads_interpret():
             assert float(np.abs(a - b).max()) <= max(1e-2 * scale, 1e-6 * gmax)
     # env grads are live (the sky is trainable in config 9)
     assert float(np.abs(np.asarray(g_k.env)).max()) > 0.0
+
+
+def test_config10_chrome_field(monkeypatch):
+    """Config 10 (round-3 showcase): 64 mirrored spheres under a sky.
+    Dispatch lands the WHOLE training step in the object-chunked fused
+    kernel on TPU (env in SMEM globals + per-level bounce replay); a
+    short CPU inversion recovers mirror coefficients + sky texels."""
+    from reversible_raytracer_tpu.optim import OptConfig, optimize_scan, param_error
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+    from reversible_raytracer_tpu.ops.render import resolve_impl, resolve_step_impl
+
+    scene, spec, cfg = configs.config10_chrome_field(48)
+    assert scene.env_mapped and cfg.reflections == 1
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_impl(scene, cfg) == "pallas_vec"
+    assert resolve_step_impl(scene, cfg) == "step_vec"
+    monkeypatch.undo()
+
+    target = render_jnp_vec(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.25, seed=0)
+    err0 = float(param_error(start, scene, spec))
+    final, losses = optimize_scan(
+        start, target, spec, cfg,
+        OptConfig(iters=60, lr=2e-2, schedule="cosine"),
+        render_fn=lambda s: render_jnp_vec(s, cfg),
+        cache_key="test-config10",
+    )
+    err1 = float(param_error(final, scene, spec))
+    assert float(losses[-1]) < 5e-4
+    assert err1 < 0.8 * err0, (err0, err1)
+    # both parameter groups receive signal
+    import jax.numpy as _jnp
+    assert float(_jnp.abs(final.spheres.material.mirror
+                          - start.spheres.material.mirror).max()) > 1e-3
+    assert float(_jnp.abs(final.env - start.env).max()) > 1e-3
