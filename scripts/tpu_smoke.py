@@ -259,6 +259,67 @@ def main():
     print(f"env kernel config-9 (reflections=0) @128²: fwd_diff={fwd_diff:.2e} "
           f"loss_rel={ldiff:.2e} grad_rel={gdiff:.2e} finite={finite} "
           f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
+
+    # Round-3 vec-family capabilities: env / textures / reflections /
+    # in-kernel spp=4 through the object-chunked STEP kernel, compared
+    # against XLA value_and_grad of jnp_vec at 33-obj 128^2 (vec scale,
+    # smoke-sized). Boundary-flip pixels bound grad_rel at the percent
+    # class, same as the interpret tests.
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+    )
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    base33, spec33, _ = configs.config5_many_spheres(128, n_spheres=33)
+    rng = np.random.default_rng(7)
+    env33 = jnp.asarray(rng.uniform(0.1, 0.9, (8, 8, 3)), jnp.float32)
+    tex33 = jnp.asarray(
+        rng.uniform(0.1, 0.9, (base33.spheres.count, 8, 8, 3)), jnp.float32
+    )
+    mat33 = base33.spheres.material
+    mir33 = jnp.asarray(
+        rng.uniform(0.2, 0.8, (base33.spheres.count,)), jnp.float32
+    )
+    cfg33 = RenderConfig(height=128, width=128, shadows=True)
+    vec_rows = (
+        ("env", dataclasses.replace(base33, env=env33), cfg33),
+        ("textured", dataclasses.replace(
+            base33, spheres=dataclasses.replace(base33.spheres, texture=tex33)
+        ), cfg33),
+        ("reflective", dataclasses.replace(
+            base33, spheres=dataclasses.replace(
+                base33.spheres,
+                material=dataclasses.replace(mat33, mirror=mir33),
+            )
+        ), dataclasses.replace(cfg33, reflections=1)),
+        ("spp4", base33, dataclasses.replace(cfg33, spp=4)),
+    )
+    for name, scene_v, cfg_v in vec_rows:
+        t0 = time.time()
+        tgt_v = jnp.asarray(
+            np.asarray(jax.jit(lambda s, c=cfg_v: render_jnp_vec(s, c))(scene_v))
+        ) * 0.92
+        start_v = configs.perturb(scene_v, spec33, scale=0.05, seed=3)
+        l2, g2 = jax.jit(jax.value_and_grad(
+            lambda s, c=cfg_v: mse_loss(render_jnp_vec(s, c), tgt_v)
+        ))(start_v)
+        l1, g1 = jax.jit(
+            lambda s, t, c=cfg_v: loss_grad_pallas_vec(s, c, t)
+        )(start_v, tgt_v)
+        ldiff = abs(float(l1) - float(l2)) / max(float(l2), 1e-12)
+        gdiff, finite = 0.0, True
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.size:
+                scale = max(float(np.abs(b).max()), 1e-10)
+                gdiff = max(gdiff, float(np.abs(a - b).max()) / scale)
+                finite &= bool(np.isfinite(a).all())
+        ok = ldiff <= 1e-4 and gdiff <= 5e-2 and finite
+        failures += (not ok)
+        print(f"vec step kernel ({name}) 33-obj @128²: loss_rel={ldiff:.2e} "
+              f"grad_rel={gdiff:.2e} finite={finite} "
+              f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
     sys.exit(1 if failures else 0)
 
 
