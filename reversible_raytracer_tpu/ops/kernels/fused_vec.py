@@ -28,9 +28,14 @@ Round-3 capability extensions (VERDICT r2 items #3/#4), closing the
   parts, and the reflect-ray construction's transpose carries the deeper
   level's ray cotangent onto this level's (rays, t, normal) before its
   own object vjps run.
-The one refused combination is OBJECT-textured + reflections (per-bounce
-dense texel-chain replay — same rule as the unrolled family; jnp_vec
-serves it).
+Round 3 closes the last refusal: OBJECT-textured + reflections runs here
+too — each bounce level's chunk-skipped resolve samples the texel tails
+dense exactly like level 0, and the reverse-level backward's per-object
+vjps emit texel cotangents per level through the same dpv write-back (the
+unrolled family still refuses this combo: ITS per-bounce dense chain is
+traced per OBJECT, O(N*K^2*levels) trace; here it is O(K^2*levels), one
+loop body). `auto_tiles` shrinks the backward tiles for the combined
+(texel accumulators x levels x subsamples) live set.
 
 Forward kernel (per image tile), two-phase trace:
   1. rays from camera scalars + tile iota (never touch HBM);
@@ -539,14 +544,30 @@ def auto_tiles(scene_like: Scene, cfg: RenderConfig,
         return tiles
     t = VecTileConfig()
     refl = cfg.reflections if cfg.shader == "phong" else 0
+    obj_tex = scene_object_textured(scene_like)
+    bwd = t.bh_bwd
     if scene_like.env_mapped and refl:
-        t = dataclasses.replace(t, bh_bwd=max(8, t.bh_bwd // (1 + refl)))
-    if scene_object_textured(scene_like):
+        bwd = max(8, bwd // (1 + refl))
+    if obj_tex:
         # Texel-tail rows: the backward's per-texel masked reductions
         # prefer smaller tiles (swept at 64 textured spheres K=16 512^2:
         # 10.61 ms at 32 rows vs 11.56 at 64; 128 fails to compile).
-        t = dataclasses.replace(t, bh_bwd=min(t.bh_bwd, 32))
-    return t
+        bwd = min(bwd, 32)
+        if refl:
+            # Textured bounces multiply the texel-accumulator live set by
+            # the level count (each level's replay keeps its own hat-weight
+            # planes live through the reverse pass).
+            bwd = max(8, bwd // (1 + refl))
+    if cfg.spp == 4 and (obj_tex or refl):
+        # The step kernel's in-kernel subsample loop at spp=4 FITS at 64
+        # rows untextured/unreflective (and is fastest there — see the
+        # factory note); the spp x (texel | level) live-set products do
+        # not, so halve once more (conservative; re-sweep on TPU when the
+        # combos get bench rows).
+        bwd = max(8, bwd // 2)
+        if obj_tex or (scene_like.env_mapped and refl):
+            bwd = max(8, bwd // 2)
+    return dataclasses.replace(t, bh_bwd=bwd)
 
 
 _CACHE: dict = {}
@@ -574,14 +595,6 @@ def _make_fused_vec(
             "fused_vec implements the hard reference semantics; soft_tau/"
             "checker_tau rendering lives in pipeline_vec.render_jnp_vec and "
             "kernels.fused_vec_soft (render impl='auto' routes there)"
-        )
-    if cfg.reflections and scene_object_textured(scene_like):
-        # Same family rule as the unrolled kernels: a per-bounce replay of
-        # the dense texel chain (K^2 MACs x live objects x levels) is the
-        # one combination that doesn't pay; impl='auto' routes to jnp_vec.
-        raise NotImplementedError(
-            "OBJECT-textured mirror reflections render via jnp_vec "
-            "(impl='auto' routes); env-only reflective scenes run here"
         )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count

@@ -69,15 +69,18 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
         # (fwd ≤1e-7, grads ≤1e-6 rel on configs 7/8/9-noreflect).
         # Routed by the VMEM-effective object count (texture grids keep
         # ~K/4 object-equivalents of hat-weight tiles live).
-        # OBJECT-textured+reflections would replay the O(K^2) dense chain
-        # per bounce — stays on the jnp paths (env-only reflective
+        # OBJECT-textured+reflections replays the O(K^2) dense chain per
+        # bounce: the unrolled family refuses it (the chain is traced per
+        # OBJECT there), the vec family runs it (env-only reflective
         # scenes, e.g. config 9, add just one dense env sample per bounce
-        # and run in-kernel). Textured scenes past the unrolled threshold
+        # and run in BOTH). Textured scenes past the unrolled threshold
         # ride the object-chunked vec kernels — env maps as a GLOBAL in
         # their SMEM scalar plan (up to K=32: beyond that the K^2 dense
         # MACs/pixel stop paying), object texel grids as row tails within
-        # the probed SMEM budget (`vec_smem_ok`); the vec path is spp=1
-        # (its spp wrapper + textured spp>1 is unmeasured).
+        # the probed SMEM budget (`vec_smem_ok`); vec spp=4 rendering is
+        # the 4-launch wrapper over the same spp=1 compile (round 3:
+        # interpret-validated textured/reflective, TPU rows in
+        # scripts/vec_textured_tpu_check.py).
         from ..models.scene import scene_object_textured
         from .kernels.fused import tile_object_count
 
@@ -97,21 +100,20 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
                 and not (cfg.reflections and obj_tex)
                 and tile_object_count(scene, cfg) <= tile_budget):
             return "pallas"
-        if (on_tpu and cfg.spp == 1
-                and not (cfg.reflections and obj_tex)
+        if (on_tpu and cfg.spp in (1, 4)
                 and env_size(scene) <= 32 and vec_smem_ok(scene)):
             return "pallas_vec"
         return "jnp" if n_obj <= 24 else "jnp_vec"
     if cfg.reflections:
         # Mirror reflections: the unrolled family traces the bounce
         # replay for free; past its threshold the object-chunked kernels
-        # (round 3) rerun their O(1)-compile loops once per level. spp>1
-        # reflective stays on the wrappers' jnp paths off the small-N
-        # kernel (vec spp rides the 4-launch wrapper, unvalidated with
-        # bounces on TPU).
+        # (round 3) rerun their O(1)-compile loops once per level. Vec
+        # spp=4 reflective rides the 4-launch wrapper over the spp=1
+        # reflective compile (round 3: interpret-validated, TPU row in
+        # vec_textured_tpu_check.py).
         if n_obj <= 24:
             return "pallas" if on_tpu else "jnp"
-        if on_tpu and cfg.spp == 1:
+        if on_tpu and cfg.spp in (1, 4):
             return "pallas_vec"
         return "jnp_vec"
     if on_tpu:
@@ -180,12 +182,15 @@ def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
     if scene_textured(scene_like):
         # The unrolled step kernel samples textures/env gather-free
         # (TPU-validated, scripts/tpu_textured_check.py) — but refuses
-        # OBJECT-textured reflections (per-bounce dense-chain replay;
-        # env-only bounces are one extra dense sample and run in-kernel),
-        # and textured spp>1 in-kernel is unvalidated. Threshold on the
-        # VMEM-effective object count. Textured scenes past it take the
-        # vec step kernel — env via its SMEM globals plan (K <= 32),
-        # object texel grids as SMEM row tails (`vec_smem_ok` budget).
+        # OBJECT-textured reflections (per-bounce dense-chain replay is
+        # traced per OBJECT there; env-only bounces are one extra dense
+        # sample and run in-kernel). Threshold on the VMEM-effective
+        # object count. Textured scenes past it — and obj-textured
+        # reflective scenes at ANY count — take the vec step kernel: env
+        # via its SMEM globals plan (K <= 32), object texel grids as SMEM
+        # row tails (`vec_smem_ok` budget), bounce levels replayed by its
+        # reverse-level backward, spp=4 fused in-kernel (round 3;
+        # interpret grads vs jnp + TPU rows in vec_textured_tpu_check.py).
         from ..models.scene import scene_object_textured
         from .kernels.fused import tile_object_count
         from .kernels.fused_vec import vec_smem_ok
@@ -205,7 +210,7 @@ def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
             want_unrolled = impl in ("pallas", "pallas_step")
         if want_unrolled and validated:
             return "step_unrolled"
-        if (cfg.spp == 1 and not (bool(cfg.reflections) and obj_tex)
+        if (cfg.spp in (1, 4)
                 and env_size(scene_like) <= 32 and vec_smem_ok(scene_like)
                 and impl in ("auto", "pallas_vec")):
             return "step_vec"
@@ -217,10 +222,10 @@ def resolve_step_impl(scene_like: Scene, cfg: RenderConfig,
         return "step_unrolled"
     # Large reflective scenes take the vec step kernel too (round 3: the
     # reverse-level backward composition), and spp=4 fuses the 2x2
-    # subsample loop in-kernel (validated untextured, reflections=0 —
-    # the spp x bounce-level trace product is unvalidated, so reflective
-    # spp=4 stays on value_and_grad over the wrapper-averaged render).
-    if cfg.spp == 1 or cfg.reflections == 0:
+    # subsample loop in-kernel — including their product (the step body
+    # loops replay/shade/reverse over subsamples x levels; interpret
+    # grads vs jnp validated, tests/test_fused_step.py).
+    if cfg.spp in (1, 4):
         return "step_vec"
     return "vag"
 

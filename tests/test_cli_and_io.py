@@ -121,9 +121,10 @@ def test_resolve_step_impl_policy(monkeypatch):
     # spp=4 fuses in-kernel in BOTH families (round 3 for vec)
     assert resolve_step_impl(scene, dataclasses.replace(cfg, spp=4)) == "step_unrolled"
     assert resolve_step_impl(big, dataclasses.replace(cfg, spp=4)) == "step_vec"
-    # ... but the spp x bounce-level product is unvalidated in vec
+    # ... including the spp x bounce-level product (validated round 3,
+    # tests/test_fused_step.py::test_vec_step_spp4_reflections_in_kernel)
     assert resolve_step_impl(
-        big, dataclasses.replace(cfg, spp=4, reflections=1)) == "vag"
+        big, dataclasses.replace(cfg, spp=4, reflections=1)) == "step_vec"
     # reflections: unrolled traces the bounces; the vec step kernel reruns
     # its loops per level (round 3)
     assert resolve_step_impl(scene, dataclasses.replace(cfg, reflections=1)) == "step_unrolled"
@@ -137,13 +138,16 @@ def test_resolve_step_impl_policy(monkeypatch):
     # textured spp=4: in-kernel since round 3 when the HALVED
     # VMEM-effective budget holds (config 7 at 32^2/K=16 fits)
     assert resolve_step_impl(tex, dataclasses.replace(cfg7, spp=4)) == "step_unrolled"
+    # obj-textured reflections: refused by the unrolled family, served by
+    # the vec step kernel (round 3 — per-level texel-tail resolve)
     obj_tex_refl = dataclasses.replace(cfg7, reflections=1)
-    assert resolve_step_impl(tex, obj_tex_refl) == "vag"
+    assert resolve_step_impl(tex, obj_tex_refl) == "step_vec"
     # ADVICE round-2: explicit "pallas_step" honors the textured unrolled
     # step (it used to silently fall back)
     assert resolve_step_impl(tex, cfg7, impl="pallas_step") == "step_unrolled"
     assert resolve_step_impl(tex, cfg7, impl="pallas") == "step_unrolled"
-    # ... but never on an unvalidated combo, even explicitly
+    # ... but explicit unrolled naming never lands on a combo the
+    # UNROLLED family refuses (and it does not silently reroute to vec)
     assert resolve_step_impl(tex, obj_tex_refl, impl="pallas_step") == "vag"
     # a VMEM-blowing texture routes auto off the kernel; explicit overrides
     k = 128

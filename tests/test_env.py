@@ -239,11 +239,11 @@ def test_env_vec_dispatch(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resolve_impl(scene, cfg) == "pallas_vec"
     assert resolve_step_impl(scene, cfg) == "step_vec"
-    # env-only reflections ride the vec kernels too (round 3); spp>1
-    # stays on jnp_vec / vag
+    # env-only reflections ride the vec kernels too (round 3); spp=4
+    # renders via the 4-launch wrapper over the same spp=1 compile
     assert resolve_impl(scene, dataclasses.replace(cfg, reflections=1)) == "pallas_vec"
     assert resolve_step_impl(scene, dataclasses.replace(cfg, reflections=1)) == "step_vec"
-    assert resolve_impl(scene, dataclasses.replace(cfg, spp=4)) == "jnp_vec"
+    assert resolve_impl(scene, dataclasses.replace(cfg, spp=4)) == "pallas_vec"
     # a K=64 env blows the SMEM/dense-MAC budget -> jnp_vec
     big_env = dataclasses.replace(
         scene, env=jnp.zeros((64, 64, 3), jnp.float32)

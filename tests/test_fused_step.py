@@ -178,6 +178,53 @@ def test_vec_step_spp4_in_kernel():
     assert abs(float(l_1) - float(l_k)) > 1e-9
 
 
+def test_vec_step_spp4_reflections_in_kernel():
+    """Round 3: the spp x bounce-level product in the vec step kernel —
+    the body loops replay/shade/reverse over subsamples AND levels. Loss
+    and grads must match autodiff over the 4-launch wrapper render of the
+    same reflective compile."""
+    import dataclasses as dc
+
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+        render_pallas_vec,
+    )
+
+    scene, spec, _ = configs.config5_many_spheres(48, n_spheres=18)
+    mat = dc.replace(
+        scene.spheres.material,
+        mirror=jnp.full_like(scene.spheres.material.mirror, 0.4),
+    )
+    scene = dc.replace(
+        scene, spheres=dc.replace(scene.spheres, material=mat)
+    )
+    cfg4 = RenderConfig(height=24, width=32, shadows=True, spp=4,
+                        reflections=1)
+    target = jnp.asarray(
+        np.asarray(render_pallas_vec(scene, cfg4, interpret=True))
+    ) * 0.92
+    start = configs.perturb(scene, spec, scale=0.05, seed=2)
+    l_r, g_r = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec(s, cfg4, interpret=True), target)
+    )(start)
+    l_k, g_k = loss_grad_pallas_vec(start, cfg4, target, interpret=True)
+    assert abs(float(l_r) - float(l_k)) <= 1e-6 * float(l_r)
+    _tree_cmp(g_r, g_k, 1e-4)
+    # Dispatch: reflective spp=4 at VEC scale now reaches the vec step
+    # kernel (small N keeps the unrolled step, which fuses spp in-kernel
+    # too).
+    from reversible_raytracer_tpu.ops.render import resolve_step_impl
+
+    big, _, _ = configs.config5_many_spheres(48, n_spheres=33)
+    real = jax.default_backend
+    try:
+        jax.default_backend = lambda: "tpu"
+        assert resolve_step_impl(scene, cfg4) == "step_unrolled"
+        assert resolve_step_impl(big, cfg4) == "step_vec"
+    finally:
+        jax.default_backend = real
+
+
 def test_loss_and_grad_fn_dispatch(monkeypatch):
     """Dispatch table of ops.render.loss_and_grad_fn under a faked TPU
     backend: explicit impl choices are honored, auto picks by object

@@ -93,14 +93,18 @@ def test_unrolled_kernels_render_textures():
     assert np.abs(a - b).max() < 1e-5
     v = np.asarray(render_pallas_vec(scene, cfg, interpret=True))
     assert np.abs(v - b).max() < 1e-6  # same dense sampler, ulp-level
-    # Textures + mirror reflections stay off the kernels (per-bounce
-    # replay of the dense chain would explode the trace).
+    # Textures + mirror reflections stay off the UNROLLED kernels (their
+    # per-bounce dense-chain replay is traced per object)...
     with pytest.raises(NotImplementedError, match="texture"):
         render_pallas(scene, dataclasses.replace(cfg, reflections=1),
                       interpret=True)
-    with pytest.raises(NotImplementedError, match="reflections"):
-        render_pallas_vec(scene, dataclasses.replace(cfg, reflections=1),
-                          interpret=True)
+    # ...but run on the vec kernels (round 3: the per-level resolve samples
+    # texel tails like level 0). Same dense sampler -> ulp-level vs the
+    # jnp path outside half-texel bands.
+    cfg_r = dataclasses.replace(cfg, reflections=1)
+    vr = np.asarray(render_pallas_vec(scene, cfg_r, interpret=True))
+    ar = np.asarray(render_jnp(scene, cfg_r))
+    assert np.abs(vr - ar).max() < 1e-5
 
 
 def _big_textured_scene(n_spheres=40, tex_k=8, size=48):
@@ -156,6 +160,114 @@ def test_vec_kernel_textured_fwd_and_step_grads():
             continue
         scale = max(float(np.abs(y).max()), 1e-10)
         assert float(np.abs(x - y).max()) <= 1e-5 * scale, (
+            path, float(np.abs(x - y).max()))
+    assert float(np.abs(np.asarray(g_k.spheres.texture)).max()) > 0.0
+
+
+def _mirrored_textured_scene(n_spheres=33, tex_k=8, size=48, mirror=0.4):
+    """All-textured sphere field with uniformly mirrored materials — the
+    round-3 obj-textured+reflections combo at vec scale."""
+    scene, spec = _big_textured_scene(
+        n_spheres=n_spheres, tex_k=tex_k, size=size
+    )
+    mat = dataclasses.replace(
+        scene.spheres.material,
+        mirror=jnp.full_like(scene.spheres.material.mirror, mirror),
+    )
+    return dataclasses.replace(
+        scene, spheres=dataclasses.replace(scene.spheres, material=mat)
+    ), spec
+
+
+def test_vec_kernel_objtex_reflections_fwd_and_step_grads():
+    """Round 3 closes the last refused kernel combination: OBJECT-textured
+    + mirror reflections runs on the vec family (each bounce level's
+    chunk-skipped resolve samples the texel tails dense, the reverse-level
+    backward emits per-level texel cotangents). Forward matches jnp_vec
+    outside boundary/half-texel bands; the fused step kernel's (loss,
+    grads) strictly match autodiff of render_pallas_vec — texel grads
+    included and nonzero."""
+    from test_fused_vec import _edge_mask
+
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+        render_pallas_vec,
+    )
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, spec = _mirrored_textured_scene()
+    cfg = RenderConfig(height=32, width=48, shadows=True, reflections=1)
+    a = np.asarray(render_jnp_vec(scene, cfg))
+    v = np.asarray(render_pallas_vec(scene, cfg, interpret=True))
+    d = np.abs(a - v).max(axis=-1)
+    assert d.max() < 5e-2 and (d > 1e-3).mean() < 2e-2
+    e = _edge_mask(a, v)
+    assert e.mean() < 0.7 and d[~e].max() < 1e-5
+
+    target = jnp.asarray(a) * 0.92
+    start = configs.perturb(scene, spec, scale=0.05, seed=2)
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec(s, cfg, interpret=True), target)
+    )(start)
+    l_k, g_k = loss_grad_pallas_vec(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_k)) <= 1e-5 * max(float(l_ref), 1e-9)
+    for (path, x), (_, y) in zip(
+        jax.tree_util.tree_flatten_with_path(g_k)[0],
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+    ):
+        x, y = np.asarray(x), np.asarray(y)
+        if not x.size:
+            continue
+        scale = max(float(np.abs(y).max()), 1e-10)
+        assert float(np.abs(x - y).max()) <= 1e-5 * scale, (
+            path, float(np.abs(x - y).max()))
+    assert float(np.abs(np.asarray(g_k.spheres.texture)).max()) > 0.0
+    # Dispatch: under a TPU backend this combo now picks the vec kernels.
+    import jax as _jax
+
+    from reversible_raytracer_tpu.ops.render import (
+        resolve_impl,
+        resolve_step_impl,
+    )
+
+    real = _jax.default_backend
+    try:
+        _jax.default_backend = lambda: "tpu"
+        assert resolve_impl(scene, cfg) == "pallas_vec"
+        assert resolve_step_impl(scene, cfg) == "step_vec"
+    finally:
+        _jax.default_backend = real
+
+
+def test_vec_step_spp4_textured():
+    """Textured spp=4 in the vec STEP kernel (in-kernel subsample loop x
+    texel-tail sampling): loss and grads match autodiff over the 4-launch
+    wrapper render (identical subsample math, one average)."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+        render_pallas_vec,
+    )
+
+    scene, spec = _big_textured_scene(n_spheres=18, tex_k=8, size=32)
+    cfg4 = RenderConfig(height=24, width=32, shadows=True, spp=4)
+    target = jnp.asarray(
+        np.asarray(render_pallas_vec(scene, cfg4, interpret=True))
+    ) * 0.92
+    start = configs.perturb(scene, spec, scale=0.05, seed=2)
+    l_r, g_r = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec(s, cfg4, interpret=True), target)
+    )(start)
+    l_k, g_k = loss_grad_pallas_vec(start, cfg4, target, interpret=True)
+    assert abs(float(l_r) - float(l_k)) <= 1e-6 * float(l_r)
+    for (path, x), (_, y) in zip(
+        jax.tree_util.tree_flatten_with_path(g_k)[0],
+        jax.tree_util.tree_flatten_with_path(g_r)[0],
+    ):
+        x, y = np.asarray(x), np.asarray(y)
+        if not x.size:
+            continue
+        scale = max(float(np.abs(y).max()), 1e-10)
+        assert float(np.abs(x - y).max()) <= 1e-4 * scale, (
             path, float(np.abs(x - y).max()))
     assert float(np.abs(np.asarray(g_k.spheres.texture)).max()) > 0.0
 
@@ -476,8 +588,11 @@ def test_auto_dispatch_textured_unrolled_kernel(monkeypatch):
     # env-only reflective scenes run in-kernel (one extra dense env
     # sample per bounce); config 9 as shipped (reflections=1) qualifies
     assert resolve_impl(sky, cfg9) == "pallas"
-    # kernel-refusing combos route off:
-    assert resolve_impl(scene, dataclasses.replace(cfg, reflections=1)) == "jnp"
+    # obj-textured reflections refuse the UNROLLED family (per-object
+    # dense-chain replay) but ride the vec kernels since round 3:
+    assert resolve_impl(
+        scene, dataclasses.replace(cfg, reflections=1)
+    ) == "pallas_vec"
     # spp=4 textured is validated in-kernel since round 3 (halved
     # VMEM-effective threshold)
     assert resolve_impl(scene, dataclasses.replace(cfg, spp=4)) == "pallas"
@@ -524,9 +639,11 @@ def test_loss_and_grad_fn_textured_dispatch(monkeypatch):
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert kind(R.loss_and_grad_fn(scene, cfg)) == "unrolled"
+    # round 3: obj-textured reflections route to the VEC step kernel (the
+    # unrolled family still refuses the per-object dense-chain replay)
     assert kind(
         R.loss_and_grad_fn(scene, dataclasses.replace(cfg, reflections=1))
-    ) == "fallback"
+    ) == "vec"
     assert kind(
         R.loss_and_grad_fn(scene, dataclasses.replace(cfg, spp=4))
     ) == "unrolled"  # round 3: textured spp=4 validated in-kernel
