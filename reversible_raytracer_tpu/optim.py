@@ -409,6 +409,29 @@ def optimize_multistart(
     return best_scene, best_loss, finals
 
 
+def anneal_stage_impl(scene: Scene, tau: float) -> str:
+    """Which renderer an `optimize_annealed` stage uses for this scene and
+    tau on the CURRENT backend (exposed so tests and callers share the
+    decision). Soft (tau > 0) stages: the soft vec kernels refuse texture
+    grids/env maps, so textured soft stages run on render_jnp_vec (whose
+    soft compositor gained texture support alongside the feature). The
+    hard tau = 0 polish runs on fused_vec — including textured/env scenes
+    since round 3, when they fit its SMEM budgets (vec_smem_ok, env
+    K <= 32)."""
+    if jax.default_backend() != "tpu":
+        return "jnp_vec"
+    textured = scene_textured(scene)
+    if tau > 0.0:
+        return "jnp_vec" if textured else "pallas_vec_soft"
+    if textured:
+        from .ops.kernels.fused_vec import vec_smem_ok
+        from .ops.render import env_size
+
+        if env_size(scene) > 32 or not vec_smem_ok(scene):
+            return "jnp_vec"
+    return "pallas_vec"
+
+
 def optimize_annealed(
     scene: Scene,
     target,
@@ -483,24 +506,14 @@ def optimize_annealed(
         # descent dynamics (grad_descent.py).
         hard_ocfg = dataclasses.replace(ocfg, optimizer="sgd", lr=0.3, momentum=0.0)
 
-    # On TPU every stage runs through fused Pallas kernels: the soft
-    # (tau > 0) stages through fused_vec_soft (hand-planned two-layer soft
-    # backward; allclose-grade vs render_jnp_vec) and the hard tau = 0
+    # On TPU every stage runs through fused Pallas kernels where the
+    # family supports the scene (anneal_stage_impl is the decision): the
+    # soft (tau > 0) stages through fused_vec_soft (hand-planned two-layer
+    # soft backward; allclose-grade vs render_jnp_vec) and the hard tau=0
     # polish through fused_vec (bit-exact vs render_jnp_vec there).
-    # Elsewhere both run through render_jnp_vec. Stage targets are rendered
-    # with the SAME renderer as the stage optimization, so the stage loss
-    # floor is exactly zero regardless of implementation.
-    # Textured scenes (texture grids / env maps): the anneal's VEC kernel
-    # families refuse texel grids (only the unrolled kernels sample them,
-    # and those are the small-N hard-semantics family), so textured
-    # anneals run their stages on the jnp_vec path even on TPU (the soft
-    # compositor gained texture support alongside the feature).
-    on_tpu = (jax.default_backend() == "tpu"
-              and not scene_textured(scene))
-    if on_tpu:
-        from .ops.kernels.fused_vec import render_pallas_vec
-        from .ops.kernels.fused_vec_soft import render_pallas_vec_soft
-
+    # Elsewhere stages run through render_jnp_vec. Stage targets are
+    # rendered with the SAME renderer as the stage optimization, so the
+    # stage loss floor is exactly zero regardless of implementation.
     all_losses = []
     for tau in taus:
         cfg_t = dataclasses.replace(
@@ -509,28 +522,38 @@ def optimize_annealed(
         )
         if tau > 0.0 and soft_size is not None:
             cfg_t = dataclasses.replace(cfg_t, height=soft_size, width=soft_size)
-        if on_tpu:
-            impl_name = "pallas_vec" if tau == 0.0 else "pallas_vec_soft"
-            render_stage = (render_pallas_vec if tau == 0.0
-                            else render_pallas_vec_soft)
+        impl_name = anneal_stage_impl(scene, float(tau))
+        if impl_name == "pallas_vec":
+            from .ops.kernels.fused_vec import render_pallas_vec as render_stage
+        elif impl_name == "pallas_vec_soft":
+            from .ops.kernels.fused_vec_soft import (
+                render_pallas_vec_soft as render_stage,
+            )
         else:
-            impl_name = "jnp_vec"
             render_stage = render_jnp_vec
         tgt = target
         if target_scene is not None and tau > 0.0:
             tgt = render_stage(target_scene, cfg_t)
         stage_ocfg = hard_ocfg if (tau == 0.0 and hard_ocfg is not None) else ocfg
-        if on_tpu and cfg_t.spp == 1:
+        use_step = (
             # Fused training-step kernels: per-stage loss+grads in ONE
             # launch (the stage's forward kernel disappears). tau is a
             # runtime SMEM scalar, so every soft stage shares one compile.
-            # The step kernels are spp=1 only; spp=4 anneals fall through
+            # The hard vec step fuses spp=4 in-kernel (round 3); the soft
+            # step kernel is spp=1 only — spp=4 soft stages fall through
             # to value_and_grad over the (wrapper-averaged) render below.
-            from .ops.kernels.fused_vec import loss_grad_pallas_vec
-            from .ops.kernels.fused_vec_soft import loss_grad_pallas_vec_soft
-
-            step_fn = (loss_grad_pallas_vec if tau == 0.0
-                       else loss_grad_pallas_vec_soft)
+            (impl_name == "pallas_vec" and cfg_t.spp in (1, 4))
+            or (impl_name == "pallas_vec_soft" and cfg_t.spp == 1)
+        )
+        if use_step:
+            if impl_name == "pallas_vec":
+                from .ops.kernels.fused_vec import (
+                    loss_grad_pallas_vec as step_fn,
+                )
+            else:
+                from .ops.kernels.fused_vec_soft import (
+                    loss_grad_pallas_vec_soft as step_fn,
+                )
             vag = lambda s, t, c=cfg_t, f=step_fn: f(s, c, t, loss=stage_ocfg.loss)
         else:
             vag = None

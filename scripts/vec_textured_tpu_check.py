@@ -109,7 +109,9 @@ def main():
     ap.add_argument("--n", type=int, default=64, help="sphere count")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--k", type=int, default=16, help="texture/env K")
-    ap.add_argument("--mode", choices=["env", "tex", "refl", "both", "all"],
+    ap.add_argument("--mode",
+                    choices=["env", "tex", "refl", "texrefl", "spp4refl",
+                             "spp4tex", "both", "all", "round3b"],
                     default="both")
     ap.add_argument("--skip-jnp", action="store_true")
     args = ap.parse_args()
@@ -162,6 +164,47 @@ def main():
         )
         _check_one("tex", globe, cfg, results, args.skip_jnp,
                    lambda g: g.spheres.texture)
+
+    # Round-3b combos: the last refusal (obj-tex + reflections) and the
+    # spp=4 step products (subsample x level / subsample x texel loops).
+    def mirrored(scene):
+        mir = jnp.asarray(
+            rng.uniform(0.2, 0.8, (scene.spheres.count,)), jnp.float32
+        )
+        return dataclasses.replace(
+            scene,
+            spheres=dataclasses.replace(
+                scene.spheres,
+                material=dataclasses.replace(
+                    scene.spheres.material, mirror=mir
+                ),
+            ),
+        )
+
+    def textured(scene):
+        tex = jnp.asarray(
+            rng.uniform(0.1, 0.9,
+                        (scene.spheres.count, args.k, args.k, 3)),
+            jnp.float32,
+        )
+        return dataclasses.replace(
+            scene, spheres=dataclasses.replace(scene.spheres, texture=tex)
+        )
+
+    if args.mode in ("texrefl", "all", "round3b"):
+        _check_one("texrefl", mirrored(textured(base)),
+                   dataclasses.replace(cfg, reflections=1), results,
+                   args.skip_jnp, lambda g: g.spheres.texture)
+
+    if args.mode in ("spp4refl", "all", "round3b"):
+        _check_one("spp4refl", mirrored(base),
+                   dataclasses.replace(cfg, spp=4, reflections=1), results,
+                   args.skip_jnp, lambda g: g.spheres.material.mirror)
+
+    if args.mode in ("spp4tex", "all", "round3b"):
+        _check_one("spp4tex", textured(base),
+                   dataclasses.replace(cfg, spp=4), results,
+                   args.skip_jnp, lambda g: g.spheres.texture)
 
     print(json.dumps(results))
 
