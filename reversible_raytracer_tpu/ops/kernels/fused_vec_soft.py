@@ -37,6 +37,17 @@ than XLA's reduce, so parity vs `_render_soft` is allclose-grade
 (~1e-5 relative away from layer-decision boundaries), not bitwise —
 tests/test_fused_vec_soft.py pins it with the same boundary-masked
 methodology as the hard kernels.
+
+Environment maps (round 3): `Scene.env` rides the SMEM globals plan
+exactly as in `fused_vec` (`globals_tree` already carries it) — the only
+soft-specific site is the compositor's blend target, which becomes the
+per-pixel `pipeline.miss_color` env sample of the primary ray direction
+(mirroring `pipeline_vec._render_soft`'s `bg`); env texel gradients fall
+out of the backward's S-stage vjp (shade + composite), which already
+differentiates w.r.t. the flat globals. Object texel grids stay refused
+(the SMEM rows here hold scalars; `impl='auto'`/`anneal_stage_impl`
+route object-textured soft stages to render_jnp_vec) — annealing a
+large env-mapped scene's GEOMETRY now runs its soft stages in-kernel.
 """
 
 from __future__ import annotations
@@ -49,7 +60,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.scene import Scene, scene_textured
+import numpy as np
+
+from ...models.scene import Scene, scene_object_textured
 from .. import vecmath as vm
 from ..pipeline import (
     BIG,
@@ -58,6 +71,7 @@ from ..pipeline import (
     camera_rays,
     intersect_rect,
     light_geometry,
+    miss_color,
     shade_from_attrs,
     shadow_origin,
 )
@@ -246,6 +260,23 @@ def _occluded_soft_loop(sph_read, n_sph, rct_read, n_rct, tau, unroll=1):
     return occluded_fn
 
 
+def auto_tiles_soft(scene_like: Scene,
+                    tiles: "VecTileConfig | None") -> VecTileConfig:
+    """Default tiling with a backward-tile shrink for env-mapped scenes:
+    the soft backward's S-stage vjp keeps THREE dense env samples live
+    (one per composited layer's miss color + the blend target), each with
+    its 2K hat-weight planes and per-texel reduction partials — the same
+    scoped-vmem pressure class as fused_vec's env+reflections backward,
+    which OOM'd at 64-row tiles and runs at 32 (see fused_vec.auto_tiles).
+    Explicitly-passed tiles are honored verbatim (sweep scripts)."""
+    if tiles is not None:
+        return tiles
+    t = VecTileConfig()
+    if scene_like.env_mapped:
+        return dataclasses.replace(t, bh_bwd=32)
+    return t
+
+
 # ---------------------------------------------------------------------------
 # Kernel factory
 # ---------------------------------------------------------------------------
@@ -269,22 +300,24 @@ def _make_fused_vec_soft(
             "mirror reflections require hard semantics (reflections=0 when "
             "soft_tau > 0; anneal to hard, then polish with reflections on)"
         )
-    if scene_textured(scene_like):
+    if scene_object_textured(scene_like):
         raise NotImplementedError(
-            "image-textured / env-mapped scenes render via the jnp paths "
-            "(the SMEM object rows hold scalars, not texel grids) — "
-            "impl='auto' routes"
+            "object texel grids render via the jnp paths (the soft SMEM "
+            "object rows hold scalars; env maps ARE supported — they ride "
+            "the globals plan) — impl='auto'/anneal_stage_impl route"
         )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count
     n_rct = scene_like.rects.count
     n_lights = scene_like.lights.count
+    env_shape = tuple(np.shape(scene_like.env))
     # tau enters the kernels as a runtime SMEM scalar, NOT a compile-time
     # constant: the annealed inversion sweeps tau per stage and must reuse
     # ONE compiled kernel pair (the soft fwd compile is minutes-long).
     # Both taus are runtime SMEM scalars — neutralize them in the cache key
     # so every anneal stage (soft AND checker temperature) shares ONE compile.
-    key = ((n_sph, n_rct, n_lights),
+    # env_shape is in the key: the flat-globals width Sg depends on it.
+    key = ((n_sph, n_rct, n_lights, env_shape),
            dataclasses.replace(cfg, soft_tau=1.0, checker_tau=1.0),
            tiles, interpret, out_h)
     hit_entry = _CACHE.get(key)
@@ -337,7 +370,11 @@ def _make_fused_vec_soft(
             )
             layers.append((a, col))
         (a1, c1), (a2, c2) = layers
-        bg = gview["background"]
+        # Per-pixel miss color: the env-map sample of the primary ray when
+        # Scene.env is present (dense hat-basis via the tuple-leaf
+        # dispatch), else the flat background — identical blend target to
+        # pipeline_vec._render_soft.
+        bg = miss_color(_globals_ns(gview), d, shape)
         out = []
         for ch in range(3):
             behind = a2 * c2[ch] + (1.0 - a2) * bg[ch]
@@ -489,7 +526,9 @@ def _make_fused_vec_soft(
                 )
                 outs.append((a, col))
             (a1, c1), (a2, c2) = outs
-            bg = gv["background"]
+            # miss_color under the S vjp: env texel cotangents flow into
+            # d_gvals (the flat globals) and direction cotangents into d_d.
+            bg = miss_color(_globals_ns(gv), d, shape)
             res = []
             for ch in range(3):
                 behind = a2 * c2[ch] + (1.0 - a2) * bg[ch]
@@ -923,7 +962,7 @@ def render_pallas_vec_soft(
     (see fused_vec.render_pallas_vec)."""
     from ..pipeline_vec import spp_average
 
-    tiles = tiles or VecTileConfig()
+    tiles = auto_tiles_soft(scene, tiles)
     cfg1 = dataclasses.replace(cfg, spp=1) if cfg.spp != 1 else cfg
     apply, _, _ = _make_fused_vec_soft(scene, cfg1, tiles, interpret, out_h=out_height)
     gflat = flatten_scene(globals_tree(scene))
@@ -960,7 +999,7 @@ def loss_grad_pallas_vec_soft(
     annealed inversion's per-stage step cost drops by the whole soft
     forward kernel. Same contract as fused.loss_grad_pallas; tau stays a
     runtime scalar so the anneal sweep shares one compile."""
-    tiles = tiles or VecTileConfig()
+    tiles = auto_tiles_soft(scene, tiles)
     H = out_height or cfg.height
     _, apply_step, (Hp, Wp, _, _) = _make_fused_vec_soft(
         scene, cfg, tiles, interpret, out_h=out_height

@@ -52,14 +52,20 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
         # Soft-visibility / soft-checker rendering: the dedicated soft
         # Pallas kernels on TPU, the object-vectorized jnp path
         # elsewhere (the HARD Pallas kernels would silently drop the
-        # taus — they refuse). The soft kernels require soft_tau > 0
-        # and no texture grids; the checker-only relaxation and
-        # textured soft scenes run on the jnp path. (reflections +
-        # taus raises in jnp_vec — the relaxations are
+        # taus — they refuse). The soft kernels require soft_tau > 0;
+        # env maps ride their SMEM globals plan (round 3, same K <= 32
+        # threshold as the hard vec kernels), object texel grids and
+        # the checker-only relaxation run on the jnp path.
+        # (reflections + taus raises in jnp_vec — the relaxations are
         # reflections-exclusive.)
+        from ..models.scene import scene_object_textured
+
+        soft_kernel_ok = (
+            not scene_object_textured(scene) and env_size(scene) <= 32
+        )
         return (
             "pallas_vec_soft"
-            if (on_tpu and cfg.soft_tau > 0.0 and not textured)
+            if (on_tpu and cfg.soft_tau > 0.0 and soft_kernel_ok)
             else "jnp_vec"
         )
     if textured:

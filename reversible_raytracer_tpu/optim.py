@@ -412,17 +412,22 @@ def optimize_multistart(
 def anneal_stage_impl(scene: Scene, tau: float) -> str:
     """Which renderer an `optimize_annealed` stage uses for this scene and
     tau on the CURRENT backend (exposed so tests and callers share the
-    decision). Soft (tau > 0) stages: the soft vec kernels refuse texture
-    grids/env maps, so textured soft stages run on render_jnp_vec (whose
-    soft compositor gained texture support alongside the feature). The
-    hard tau = 0 polish runs on fused_vec — including textured/env scenes
-    since round 3, when they fit its SMEM budgets (vec_smem_ok, env
-    K <= 32)."""
+    decision). Soft (tau > 0) stages: env-mapped scenes run in the soft
+    vec kernels (round 3 — env rides their SMEM globals plan, K <= 32);
+    object texel grids are refused there, so OBJECT-textured soft stages
+    run on render_jnp_vec (whose soft compositor gained texture support
+    alongside the feature). The hard tau = 0 polish runs on fused_vec —
+    including textured/env scenes since round 3, when they fit its SMEM
+    budgets (vec_smem_ok, env K <= 32)."""
     if jax.default_backend() != "tpu":
         return "jnp_vec"
     textured = scene_textured(scene)
     if tau > 0.0:
-        return "jnp_vec" if textured else "pallas_vec_soft"
+        from .models.scene import scene_object_textured
+        from .ops.render import env_size
+
+        soft_ok = not scene_object_textured(scene) and env_size(scene) <= 32
+        return "pallas_vec_soft" if soft_ok else "jnp_vec"
     if textured:
         from .ops.kernels.fused_vec import vec_smem_ok
         from .ops.render import env_size

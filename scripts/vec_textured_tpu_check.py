@@ -29,14 +29,22 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _check_one(tag, scene, cfg, results, skip_jnp, grad_leaf):
+def _check_one(tag, scene, cfg, results, skip_jnp, grad_leaf,
+               kernels="vec"):
     from bench import _scan_steps_fwd, _scan_steps_grad, _scan_steps_vag
-    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
-        loss_grad_pallas_vec,
-        render_pallas_vec,
-    )
     from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
     from reversible_raytracer_tpu.ops.render import mse_loss
+
+    if kernels == "soft":
+        from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+            loss_grad_pallas_vec_soft as loss_grad_pallas_vec,
+            render_pallas_vec_soft as render_pallas_vec,
+        )
+    else:
+        from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+            loss_grad_pallas_vec,
+            render_pallas_vec,
+        )
 
     H, W = cfg.height, cfg.width
     rays = H * W
@@ -111,7 +119,7 @@ def main():
     ap.add_argument("--k", type=int, default=16, help="texture/env K")
     ap.add_argument("--mode",
                     choices=["env", "tex", "refl", "texrefl", "spp4refl",
-                             "spp4tex", "both", "all", "round3b"],
+                             "spp4tex", "softenv", "both", "all", "round3b"],
                     default="both")
     ap.add_argument("--skip-jnp", action="store_true")
     args = ap.parse_args()
@@ -205,6 +213,25 @@ def main():
         _check_one("spp4tex", textured(base),
                    dataclasses.replace(cfg, spp=4), results,
                    args.skip_jnp, lambda g: g.spheres.texture)
+
+    if args.mode in ("softenv", "all"):
+        # Round 3: env maps in the SOFT kernel family (the anneal's soft
+        # stages for env-mapped scenes). Camera tilted to the horizon so
+        # miss pixels exist (env grads need them); jnp reference is the
+        # soft compositor in render_jnp_vec.
+        from reversible_raytracer_tpu.models.scene import Camera
+
+        env = jnp.asarray(
+            rng.uniform(0.1, 0.9, (args.k, args.k, 3)), jnp.float32
+        )
+        sky_soft = dataclasses.replace(
+            base, env=env,
+            camera=Camera.make((0.0, 1.5, 9.5), (0.0, 2.5, 0.0),
+                               fov_deg=60.0),
+        )
+        cfg_s = dataclasses.replace(cfg, soft_tau=0.05)
+        _check_one("softenv", sky_soft, cfg_s, results, args.skip_jnp,
+                   lambda g: g.env, kernels="soft")
 
     print(json.dumps(results))
 

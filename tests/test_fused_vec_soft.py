@@ -118,6 +118,179 @@ def test_soft_band_offsets():
     np.testing.assert_array_equal(band, full[16:32])
 
 
+def _env_scene(size=48, n_spheres=10, k=8):
+    """config-5 geometry under a smooth procedural sky — the soft-anneal ×
+    env-map capability product (round 3: fused_vec_soft takes env maps).
+    The camera is tilted toward the horizon so part of the view MISSES
+    everything (env gradients need miss pixels; config 5's native
+    camera looks down onto its 30-unit floor)."""
+    import dataclasses
+
+    from reversible_raytracer_tpu.models.scene import Camera
+
+    scene, spec, _ = configs.config5_many_spheres(size, n_spheres=n_spheres)
+    ii, jj = np.meshgrid(
+        np.linspace(0, 1, k), np.linspace(0, 1, k), indexing="ij"
+    )
+    env = np.stack(
+        [0.2 + 0.5 * ii, 0.3 + 0.3 * jj, 0.6 - 0.3 * ii], axis=-1
+    ).astype(np.float32)
+    cam = Camera.make((0.0, 1.5, 9.5), (0.0, 2.5, 0.0), fov_deg=60.0)
+    return dataclasses.replace(
+        scene, camera=cam, env=jnp.asarray(env)
+    ), spec
+
+
+def test_soft_env_fwd_matches_jnp_vec():
+    """Env-mapped soft rendering: the kernel's compositor blends against
+    the per-pixel miss_color env sample, exactly like _render_soft."""
+    scene, _ = _env_scene()
+    cfg = RenderConfig(height=48, width=48, shadows=True, soft_tau=0.05)
+    a = np.asarray(render_jnp_vec(scene, cfg))
+    b = np.asarray(render_pallas_vec_soft(scene, cfg, interpret=True))
+    stable = ~_edge_mask(a, b)
+    assert stable.mean() > 0.3
+    assert np.abs(a - b)[stable].max() < 1e-3
+    assert np.abs(a - b)[stable].mean() < 1e-6
+    # the sky must actually show through (env != flat background)
+    assert np.asarray(a).std(axis=(0, 1)).max() > 1e-3
+
+
+def test_soft_env_bwd_matches_jnp_vec_masked():
+    """Gradient parity on an env-mapped soft scene — including the env
+    texel leaf (cotangents flow through the S-stage vjp's flat globals)."""
+    scene, _ = _env_scene()
+    cfg = RenderConfig(height=48, width=48, shadows=True, soft_tau=0.05)
+    img_v = np.asarray(render_jnp_vec(scene, cfg))
+    img_p = np.asarray(render_pallas_vec_soft(scene, cfg, interpret=True))
+    w = jnp.asarray(~_edge_mask(img_v, img_p), jnp.float32)[..., None]
+    target = jnp.zeros((48, 48, 3), jnp.float32)
+
+    def loss(render):
+        return lambda s: jnp.sum(w * (render(s) - target) ** 2)
+
+    gv = jax.grad(loss(lambda s: render_jnp_vec(s, cfg)))(scene)
+    gp = jax.grad(loss(lambda s: render_pallas_vec_soft(s, cfg, interpret=True)))(scene)
+    assert np.abs(np.asarray(gv.env)).max() > 0.0, "env must receive gradient"
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gv)[0],
+        jax.tree_util.tree_flatten_with_path(gp)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a, b, atol=2e-5 * scale, err_msg=str(path))
+
+
+def test_soft_env_step_kernel_matches_ad():
+    """The fused soft TRAINING-STEP kernel on an env scene vs autodiff of
+    the soft render kernel: strict agreement (same trace, cotangent formed
+    in-kernel from the residual)."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+        loss_grad_pallas_vec_soft,
+    )
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    scene, spec = _env_scene()
+    cfg = RenderConfig(height=40, width=72, shadows=True, soft_tau=0.05)
+    start = configs.perturb(scene, spec, scale=0.05, seed=3)
+    target = jnp.asarray(
+        np.asarray(render_pallas_vec_soft(scene, cfg, interpret=True))
+    )
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec_soft(s, cfg, interpret=True), target)
+    )(start)
+    l_f, g_f = loss_grad_pallas_vec_soft(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-5 * max(float(l_ref), 1e-9)
+    assert np.abs(np.asarray(g_f.env)).max() > 0.0
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g_f)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        scale = max(np.abs(a).max(), 1e-9)
+        np.testing.assert_allclose(a, b, atol=1e-4 * scale, err_msg=str(path))
+
+
+def test_soft_env_routing(monkeypatch):
+    """Dispatch: env-mapped (<= K=32) soft scenes take the soft vec
+    kernels on TPU; object texel grids and oversized env maps stay on
+    jnp_vec. Both resolve_impl and anneal_stage_impl agree."""
+    import dataclasses
+
+    from reversible_raytracer_tpu import optim as optim_mod
+    from reversible_raytracer_tpu.ops.render import resolve_impl
+    from reversible_raytracer_tpu.optim import anneal_stage_impl
+
+    scene, _ = _env_scene()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(optim_mod.jax, "default_backend", lambda: "tpu")
+    cfg = RenderConfig(height=32, width=32, soft_tau=0.05)
+    assert resolve_impl(scene, cfg) == "pallas_vec_soft"
+    assert anneal_stage_impl(scene, 0.05) == "pallas_vec_soft"
+    huge = dataclasses.replace(
+        scene, env=jnp.zeros((64, 64, 3), jnp.float32)
+    )
+    assert resolve_impl(huge, cfg) == "jnp_vec"
+    assert anneal_stage_impl(huge, 0.05) == "jnp_vec"
+
+
+def test_annealed_env_soft_kernel_stages(monkeypatch):
+    """optimize_annealed on an env-mapped scene routes the SOFT stages to
+    the soft vec kernels (round 3) and the hard polish to fused_vec —
+    end-to-end with the kernels forced to interpret mode."""
+    import dataclasses
+    import functools
+
+    from reversible_raytracer_tpu import optim as optim_mod
+    from reversible_raytracer_tpu.ops.kernels import fused_vec as FV
+    from reversible_raytracer_tpu.ops.kernels import fused_vec_soft as FVS
+    from reversible_raytracer_tpu.optim import (
+        OptConfig,
+        anneal_stage_impl,
+        optimize_annealed,
+    )
+
+    monkeypatch.setattr(optim_mod.jax, "default_backend", lambda: "tpu")
+    scene, spec = _env_scene(size=32, n_spheres=6)
+    assert anneal_stage_impl(scene, 0.05) == "pallas_vec_soft"
+    assert anneal_stage_impl(scene, 0.0) == "pallas_vec"
+    for mod, names in (
+        (FVS, ("render_pallas_vec_soft", "loss_grad_pallas_vec_soft")),
+        (FV, ("render_pallas_vec", "loss_grad_pallas_vec")),
+    ):
+        for n in names:
+            monkeypatch.setattr(
+                mod, n, functools.partial(getattr(mod, n), interpret=True)
+            )
+    cfg = RenderConfig(height=32, width=32, shadows=True)
+    target = render_jnp_vec(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.1, seed=1)
+    final, losses = optimize_annealed(
+        start, target, spec, cfg,
+        OptConfig(iters=4, lr=1e-2), taus=(0.05, 0.0), target_scene=scene,
+        hard_ocfg=None,
+    )
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_soft_refuses_object_textures():
+    import dataclasses
+
+    scene, _ = _env_scene(n_spheres=4)
+    k = 4
+    tex = jnp.ones((scene.rects.count, k, k, 3), jnp.float32) * 0.5
+    textured = dataclasses.replace(
+        scene, rects=dataclasses.replace(scene.rects, texture=tex)
+    )
+    cfg = RenderConfig(height=16, width=16, soft_tau=0.05)
+    with pytest.raises(NotImplementedError):
+        render_pallas_vec_soft(textured, cfg, interpret=True)
+
+
 def test_soft_sharded_band_rendering():
     """Soft rendering under the row-band shard_map (jnp_vec path on the
     fake CPU mesh; the pallas_vec_soft band contract is pinned by
