@@ -4,6 +4,16 @@ Headline metric (driver contract, printed as ONE JSON line on stdout):
 rays/sec/chip for fused forward+backward at 512^2 on the 4-sphere+plane
 Phong+shadows scene (driver config 2 geometry at the BASELINE 512^2 size).
 
+Stall-proof ordering (round 4; round 3's official capture timed out with
+parsed=null behind a 1537 s server-side compile stall): the headline needs
+exactly TWO compiles — the fused training-step kernel and the jnp fwd+bwd
+baseline — so those run FIRST and the driver JSON is printed immediately
+after (~1 min warm-cache). Every other row runs best-effort BEHIND the
+JSON under a global wall-clock budget (RRT_BENCH_BUDGET_S, default 1500 s
+from process start): a row whose start would exceed the budget is skipped
+and recorded in bench_details.json["skipped_rows"] — no silent truncation,
+and one bad compile can no longer sink the metric of record.
+
 Methodology: per-step device time = two-point slope. We run the step inside
 a lax.scan (true carry dependence) for N1 and N2 iterations, force a VALUE
 fetch of a scalar reduction (on this environment's axon PJRT tunnel,
@@ -185,10 +195,15 @@ def main():
     from reversible_raytracer_tpu.ops.pipeline import RenderConfig
     from reversible_raytracer_tpu.ops.render import mse_loss, render_jnp
 
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("RRT_BENCH_BUDGET_S", "1500"))
+    deadline = t_start + budget_s
+
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     dev = jax.devices()[0]
-    _log(f"backend={backend} device={dev.device_kind} n_devices={len(jax.devices())}")
+    _log(f"backend={backend} device={dev.device_kind} n_devices={len(jax.devices())} "
+         f"budget={budget_s:.0f}s")
 
     H = W = 512
     rays = H * W
@@ -206,7 +221,32 @@ def main():
         fast_name = "jnp"
 
     details = {"backend": backend, "device": dev.device_kind, "size": H,
-               "fast_impl": fast_name}
+               "fast_impl": fast_name, "skipped_rows": []}
+
+    def _save():
+        with open("bench_details.json", "w") as fh:
+            json.dump(details, fh, indent=2)
+            fh.write("\n")
+
+    def row(name, fn):
+        """Run one best-effort bench row: skipped past the wall-clock
+        budget (logged, never silent), and exceptions downgrade to a skip
+        record instead of sinking the rest of the run."""
+        now = time.perf_counter()
+        if now > deadline:
+            _log(f"row {name}: SKIPPED (wall-clock budget {budget_s:.0f}s "
+                 f"exhausted at +{now - t_start:.0f}s)")
+            details["skipped_rows"].append({"row": name, "reason": "budget"})
+            _save()
+            return
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — bench row is best-effort
+            _log(f"row {name}: skipped ({type(e).__name__}: {e})")
+            details["skipped_rows"].append(
+                {"row": name, "reason": f"{type(e).__name__}: {e}"}
+            )
+        _save()
 
     if on_tpu:
         # The two-point delta must dwarf the tunnel's few-ms fetch jitter:
@@ -220,36 +260,16 @@ def main():
 
     k_rep = 5 if on_tpu else 1
 
-    # --- forward (median-of-k two-point slope) ---
-    t0 = time.perf_counter()
-    t_fast_fwd, fwd_lo, fwd_hi = _median_slope(
-        lambda n: _fwd_total(render_fast, scene, n), *fwd_pts, k=k_rep
-    )
-    _log(f"{fast_name} fwd: {t_fast_fwd*1e6:.1f} us/step "
-         f"[{fwd_lo*1e6:.1f}..{fwd_hi*1e6:.1f}] "
-         f"({rays/t_fast_fwd/1e9:.2f} Grays/s) [compile+bench {time.perf_counter()-t0:.0f}s]")
-    t_jnp_fwd = _scan_steps_fwd(lambda s: render_jnp(s, cfg), scene, *fwd_pts, k=k_rep)
-    _log(f"jnp    fwd: {t_jnp_fwd*1e6:.1f} us/step ({rays/t_jnp_fwd/1e9:.2f} Grays/s)")
-    details["fwd_rays_per_s"] = rays / t_fast_fwd
-    details["fwd_ms_spread"] = [fwd_lo * 1e3, t_fast_fwd * 1e3, fwd_hi * 1e3]
-    details["fwd_rays_per_s_jnp"] = rays / t_jnp_fwd
-
-    # --- forward+backward (median-of-k; the headline) ---
+    # ------------------------------------------------------------------
+    # HEADLINE FIRST (driver metric of record; exactly two compiles).
     #
     # The per-step computation of record is value_and_grad of the render
     # loss (what the optimizer loop runs). On TPU the production path is
     # the FUSED training-step kernel (ops/kernels/fused.loss_grad_pallas:
     # loss + scene grads in one launch, no forward kernel, no image in
-    # HBM); the two-kernel fwd + replaying-bwd chain is also measured and
-    # recorded for the kernel-level breakdown. The jnp baseline computes
-    # the identical (loss, grads) contract via XLA autodiff.
-    t0 = time.perf_counter()
-    t_two, g2_lo, g2_hi = _median_slope(
-        lambda n: _grad_total(render_fast, scene, target, n), *grad_pts, k=k_rep
-    )
-    _log(f"{fast_name} fwd+bwd (two-kernel): {t_two*1e3:.3f} ms/step "
-         f"[{g2_lo*1e3:.3f}..{g2_hi*1e3:.3f}] "
-         f"({rays/t_two/1e9:.3f} Grays/s) [compile+bench {time.perf_counter()-t0:.0f}s]")
+    # HBM). The jnp baseline computes the identical (loss, grads)
+    # contract via XLA autodiff.
+    # ------------------------------------------------------------------
     if on_tpu:
         from reversible_raytracer_tpu.ops.render import loss_and_grad_fn
 
@@ -262,83 +282,154 @@ def main():
              f"[{g_lo*1e3:.3f}..{g_hi*1e3:.3f}] "
              f"({rays/t_fast/1e9:.3f} Grays/s) "
              f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-        details["fwdbwd_ms_two_kernel"] = t_two * 1e3
     else:
-        t_fast, g_lo, g_hi = t_two, g2_lo, g2_hi
+        vag = None
+        t_fast, g_lo, g_hi = _median_slope(
+            lambda n: _grad_total(render_fast, scene, target, n), *grad_pts, k=k_rep
+        )
+    t0 = time.perf_counter()
     t_jnp = _scan_steps_grad(lambda s: render_jnp(s, cfg), scene, target, *grad_pts, k=k_rep)
-    _log(f"jnp    fwd+bwd: {t_jnp*1e3:.3f} ms/step ({rays/t_jnp/1e9:.3f} Grays/s)")
+    _log(f"jnp    fwd+bwd: {t_jnp*1e3:.3f} ms/step ({rays/t_jnp/1e9:.3f} Grays/s) "
+         f"[compile+bench {time.perf_counter()-t0:.0f}s]")
     value = rays / t_fast
     vs_baseline = t_jnp / t_fast
     details["fwdbwd_rays_per_s"] = value
     details["fwdbwd_ms_spread"] = [g_lo * 1e3, t_fast * 1e3, g_hi * 1e3]
     details["fwdbwd_rays_per_s_jnp"] = rays / t_jnp
     details["vs_xla_jnp_baseline"] = vs_baseline
+    _save()
 
-    # --- per-kernel time + speed-of-light (SURVEY.md §5.1) ---
-    # Per-kernel: the fused forward is one Pallas kernel (its scan slope is
-    # t_fast_fwd); the backward kernel's time is the fwd+bwd slope minus the
-    # forward's. SOL%: jaxpr-counted elementwise flops (this workload is
-    # VPU-bound; no matmuls, MXU irrelevant) against the v5e VPU peak.
-    from reversible_raytracer_tpu.utils.profiling import (
-        V5E_VPU_PEAK_FLOPS,
-        flops_estimate,
-    )
+    print(json.dumps({
+        "metric": "rays_per_sec_per_chip_fwd_bwd_512",
+        "value": round(value),
+        "unit": "rays/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }), flush=True)
+    _log(f"headline JSON printed at +{time.perf_counter()-t_start:.0f}s; "
+         f"remaining rows run best-effort under the budget")
 
-    small = RenderConfig(height=32, width=32, shadows=True)
-    fl_fwd = flops_estimate(lambda s: render_jnp(s, small), scene) / (32 * 32)
-    tgt_s = jnp.zeros((32, 32, 3), jnp.float32)
-    fl_fb = flops_estimate(
-        jax.grad(lambda s: mse_loss(render_jnp(s, small), tgt_s)), scene
-    ) / (32 * 32)
-    details["per_kernel_ms"] = {
-        "fwd_kernel": t_fast_fwd * 1e3,
-        "bwd_kernel": max(t_two - t_fast_fwd, 0.0) * 1e3,
-    }
-    if on_tpu:  # only measured there — off-TPU t_fast aliases t_two
-        details["per_kernel_ms"]["fused_step_kernel"] = t_fast * 1e3
-    details["flops_per_ray"] = {"fwd": fl_fwd, "fwd_bwd": fl_fb}
-    details["vpu_sol_pct"] = {
-        "fwd": 100 * rays * fl_fwd / t_fast_fwd / V5E_VPU_PEAK_FLOPS,
-        "fwd_bwd": 100 * rays * fl_fb / t_fast / V5E_VPU_PEAK_FLOPS,
-    }
-    _log(f"SOL: fwd {details['vpu_sol_pct']['fwd']:.0f}% "
-         f"fwd+bwd {details['vpu_sol_pct']['fwd_bwd']:.0f}% of v5e VPU peak "
-         f"({fl_fwd:.0f}/{fl_fb:.0f} flops/ray)")
+    # ------------------------------------------------------------------
+    # Everything below is best-effort detail behind the driver JSON.
+    # ------------------------------------------------------------------
+    state = {}
 
-    # --- dispatch-inclusive single calls (secondary; tunnel-noisy) ---
-    g_fast = jax.jit(jax.grad(lambda s: mse_loss(render_fast(s), target)))
-    details["fwdbwd_ms_host_dispatch"] = _host_dispatch(g_fast, scene) * 1e3
+    def row_fwd():
+        t0 = time.perf_counter()
+        t_fast_fwd, fwd_lo, fwd_hi = _median_slope(
+            lambda n: _fwd_total(render_fast, scene, n), *fwd_pts, k=k_rep
+        )
+        _log(f"{fast_name} fwd: {t_fast_fwd*1e6:.1f} us/step "
+             f"[{fwd_lo*1e6:.1f}..{fwd_hi*1e6:.1f}] "
+             f"({rays/t_fast_fwd/1e9:.2f} Grays/s) [compile+bench {time.perf_counter()-t0:.0f}s]")
+        t_jnp_fwd = _scan_steps_fwd(lambda s: render_jnp(s, cfg), scene, *fwd_pts, k=k_rep)
+        _log(f"jnp    fwd: {t_jnp_fwd*1e6:.1f} us/step ({rays/t_jnp_fwd/1e9:.2f} Grays/s)")
+        details["fwd_rays_per_s"] = rays / t_fast_fwd
+        details["fwd_ms_spread"] = [fwd_lo * 1e3, t_fast_fwd * 1e3, fwd_hi * 1e3]
+        details["fwd_rays_per_s_jnp"] = rays / t_jnp_fwd
+        state["t_fast_fwd"] = t_fast_fwd
 
-    # --- wall-clock to converge: 4-sphere 512^2 inverse render ---
-    tgt_img = jax.jit(render_fast)(scene)
-    start = configs.perturb(scene, spec, scale=0.05, seed=7)
-    # lr: sweep-validated on v5e — above ~5e-3 the optimizer can pop out of
-    # the basin after converging (stiff specular/visibility landscape).
-    ocfg = OptConfig(iters=400, lr=5e-3, schedule="cosine")
-    conv_kw = (
-        dict(vag_fn=vag, cache_key=f"{fast_name}-step")
-        if on_tpu
-        else dict(render_fn=render_fast, cache_key=fast_name)
-    )
-    t0 = time.perf_counter()
-    final, losses = optimize_scan(start, tgt_img, spec, cfg, ocfg, **conv_kw)
-    jax.block_until_ready(losses)
-    t_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    final, losses = optimize_scan(start, tgt_img, spec, cfg, ocfg, **conv_kw)
-    jax.block_until_ready(losses)
-    t_warm = time.perf_counter() - t0
-    err = float(param_error(final, scene, spec))
-    _log(f"convergence (400 Adam steps @512^2): {t_cold:.1f}s incl. compile, "
-         f"{t_warm:.2f}s warm  final_loss={float(losses[-1]):.3e} param_rms={err:.4f}")
-    details["converge_seconds_incl_compile"] = t_cold
-    details["converge_seconds_warm"] = t_warm
-    details["converge_param_rms"] = err
-    details["converge_final_loss"] = float(losses[-1])
+    row("fwd", row_fwd)
 
-    # --- spp=4 supersampling: fwd+bwd with per-subsample vis residuals ---
+    def row_two_kernel():
+        # Two-kernel chain (fwd kernel + replaying bwd kernel) — the
+        # kernel-level breakdown behind the fused step.
+        t0 = time.perf_counter()
+        t_two, g2_lo, g2_hi = _median_slope(
+            lambda n: _grad_total(render_fast, scene, target, n), *grad_pts, k=k_rep
+        )
+        _log(f"{fast_name} fwd+bwd (two-kernel): {t_two*1e3:.3f} ms/step "
+             f"[{g2_lo*1e3:.3f}..{g2_hi*1e3:.3f}] "
+             f"({rays/t_two/1e9:.3f} Grays/s) [compile+bench {time.perf_counter()-t0:.0f}s]")
+        if on_tpu:
+            details["fwdbwd_ms_two_kernel"] = t_two * 1e3
+        state["t_two"] = t_two
+
     if on_tpu:
+        row("two_kernel", row_two_kernel)
+    else:
+        state["t_two"] = t_fast
+
+    def row_sol():
+        # --- per-kernel time + speed-of-light (SURVEY.md §5.1) ---
+        # Per-kernel: the fused forward is one Pallas kernel (its scan
+        # slope); the backward kernel's time is the two-kernel fwd+bwd
+        # slope minus the forward's. SOL%: jaxpr-counted elementwise flops
+        # (this workload is VPU-bound; no matmuls, MXU irrelevant) against
+        # the v5e VPU peak.
+        from reversible_raytracer_tpu.utils.profiling import (
+            V5E_VPU_PEAK_FLOPS,
+            flops_estimate,
+        )
+
+        small = RenderConfig(height=32, width=32, shadows=True)
+        fl_fwd = flops_estimate(lambda s: render_jnp(s, small), scene) / (32 * 32)
+        tgt_s = jnp.zeros((32, 32, 3), jnp.float32)
+        fl_fb = flops_estimate(
+            jax.grad(lambda s: mse_loss(render_jnp(s, small), tgt_s)), scene
+        ) / (32 * 32)
+        details["flops_per_ray"] = {"fwd": fl_fwd, "fwd_bwd": fl_fb}
+        details["vpu_sol_pct"] = {
+            "fwd_bwd": 100 * rays * fl_fb / t_fast / V5E_VPU_PEAK_FLOPS,
+        }
+        if "t_fast_fwd" in state:
+            t_fast_fwd = state["t_fast_fwd"]
+            details["per_kernel_ms"] = {
+                "fwd_kernel": t_fast_fwd * 1e3,
+                "bwd_kernel": max(state["t_two"] - t_fast_fwd, 0.0) * 1e3,
+            }
+            if on_tpu:
+                details["per_kernel_ms"]["fused_step_kernel"] = t_fast * 1e3
+            details["vpu_sol_pct"]["fwd"] = (
+                100 * rays * fl_fwd / t_fast_fwd / V5E_VPU_PEAK_FLOPS
+            )
+            _log(f"SOL: fwd {details['vpu_sol_pct']['fwd']:.0f}% "
+                 f"fwd+bwd {details['vpu_sol_pct']['fwd_bwd']:.0f}% of v5e VPU peak "
+                 f"({fl_fwd:.0f}/{fl_fb:.0f} flops/ray)")
+
+    row("sol", row_sol)
+
+    def row_host_dispatch():
+        # --- dispatch-inclusive single calls (secondary; tunnel-noisy) ---
+        g_fast = jax.jit(jax.grad(lambda s: mse_loss(render_fast(s), target)))
+        details["fwdbwd_ms_host_dispatch"] = _host_dispatch(g_fast, scene) * 1e3
+
+    row("host_dispatch", row_host_dispatch)
+
+    def row_convergence():
+        # --- wall-clock to converge: 4-sphere 512^2 inverse render ---
+        tgt_img = jax.jit(render_fast)(scene)
+        start = configs.perturb(scene, spec, scale=0.05, seed=7)
+        # lr: sweep-validated on v5e — above ~5e-3 the optimizer can pop out
+        # of the basin after converging (stiff specular/visibility landscape).
+        ocfg = OptConfig(iters=400, lr=5e-3, schedule="cosine")
+        conv_kw = (
+            dict(vag_fn=vag, cache_key=f"{fast_name}-step")
+            if on_tpu
+            else dict(render_fn=render_fast, cache_key=fast_name)
+        )
+        t0 = time.perf_counter()
+        final, losses = optimize_scan(start, tgt_img, spec, cfg, ocfg, **conv_kw)
+        float(np.asarray(losses)[-1])  # value fetch before reading the clock
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        final, losses = optimize_scan(start, tgt_img, spec, cfg, ocfg, **conv_kw)
+        float(np.asarray(losses)[-1])
+        t_warm = time.perf_counter() - t0
+        err = float(param_error(final, scene, spec))
+        _log(f"convergence (400 Adam steps @512^2): {t_cold:.1f}s incl. compile, "
+             f"{t_warm:.2f}s warm  final_loss={float(losses[-1]):.3e} param_rms={err:.4f}")
+        details["converge_seconds_incl_compile"] = t_cold
+        details["converge_seconds_warm"] = t_warm
+        details["converge_param_rms"] = err
+        details["converge_final_loss"] = float(losses[-1])
+
+    row("convergence", row_convergence)
+
+    def row_spp4():
+        # --- spp=4 supersampling: fused step with in-kernel subsample loop
         import dataclasses
+
+        from reversible_raytracer_tpu.ops.render import loss_and_grad_fn
 
         cfg4 = dataclasses.replace(cfg, spp=4)
         vag4 = loss_and_grad_fn(scene, cfg4)
@@ -351,9 +442,15 @@ def main():
              f"[compile+bench {time.perf_counter()-t0:.0f}s]")
         details["fwdbwd_ms_spp4"] = t_spp4 * 1e3
 
-    # --- config-5 scale: object-chunked kernels at 513 objects, 512^2,
-    # and at the BASELINE config-5 driver shape (64 spheres + plane, 1024^2)
     if on_tpu:
+        row("spp4", row_spp4)
+
+    def row_config5():
+        # --- config-5 scale: object-chunked kernels at 513 objects, 512^2,
+        # and at the BASELINE config-5 driver shape (64 spheres + plane,
+        # 1024^2)
+        from reversible_raytracer_tpu.ops.render import loss_and_grad_fn
+
         scene5, _, _ = configs.config5_many_spheres(512, n_spheres=512)
         cfg5 = RenderConfig(height=512, width=512, shadows=True)
         tgt5 = jnp.zeros((512, 512, 3), jnp.float32)
@@ -365,6 +462,7 @@ def main():
         _log(f"pallas_vec 513-obj 512^2 fused step: {t5*1e3:.2f} ms/step "
              f"[compile+bench {time.perf_counter()-t0:.0f}s]")
         details["config5_513obj_fwdbwd_ms"] = t5 * 1e3
+        _save()
 
         scene5k, _, _ = configs.config5_many_spheres(1024, n_spheres=64)
         cfg5k = RenderConfig(height=1024, width=1024, shadows=True)
@@ -379,394 +477,390 @@ def main():
              f"[compile+bench {time.perf_counter()-t0:.0f}s]")
         details["config5_65obj_1024_fwdbwd_ms"] = t5k * 1e3
 
-    with open("bench_details.json", "w") as fh:
-        json.dump(details, fh, indent=2)
-
-    print(json.dumps({
-        "metric": "rays_per_sec_per_chip_fwd_bwd_512",
-        "value": round(value),
-        "unit": "rays/s",
-        "vs_baseline": round(vs_baseline, 3),
-    }), flush=True)
-
-    # --- soft-visibility kernels (annealed-inversion hot path) ---
-    # Measured AFTER the driver JSON is printed and guarded: the soft fwd
-    # kernel's server-side Mosaic compile is minutes-long when the compile
-    # cache is cold, and must not sink the headline on a stall.
     if on_tpu:
-        try:
-            import dataclasses as _dc
+        row("config5", row_config5)
 
-            from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
-                loss_grad_pallas_vec_soft,
-            )
+    def row_vec_capability():
+        # --- vec-scale capability rows: textured/env/spp4/reflective
+        # scenes through the object-chunked STEP kernel, each with a
+        # VPU-SOL roofline field (VERDICT r3 #3: the vec family had no
+        # flops/bandwidth context). flops/ray comes from jaxpr-counting
+        # the jnp_vec twin of the SAME scene+config at 32^2 — both kernel
+        # families trace the pipeline math, so the elementwise flop count
+        # is representative (the vec kernels' extra work is the chunk
+        # machinery + dense texel MACs, quantified separately below).
+        import dataclasses as _dc9
 
-            scene_s, _, _ = configs.config5_many_spheres(512, n_spheres=64)
-            cfg_s = _dc.replace(cfg, soft_tau=0.05)
-            tgt_s2 = jnp.zeros((H, W, 3), jnp.float32)
-            vag_s = lambda s, t: loss_grad_pallas_vec_soft(s, cfg_s, t)
-            t0 = time.perf_counter()
-            ts, _, _ = _median_slope(
-                lambda n: _vag_total(vag_s, scene_s, tgt_s2, n), 10, 60, k=3
-            )
-            _log(f"pallas soft 65-obj 512^2 fused step: {ts*1e3:.2f} ms/step "
-                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-            details["soft_65obj_512_fwdbwd_ms"] = ts * 1e3
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
-        except Exception as e:  # noqa: BLE001 — bench row is best-effort
-            _log(f"soft bench row skipped: {type(e).__name__}: {e}")
+        from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+            loss_grad_pallas_vec,
+        )
+        from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+        from reversible_raytracer_tpu.utils.profiling import (
+            V5E_VPU_PEAK_FLOPS,
+            flops_estimate,
+        )
 
-    # --- config-4 capability row: camera+checker annealed inversion ---
-    # Full joint inversion at the native 512^2 (soft-checker anneal,
-    # docs/OPTIMIZATION_NOTES.md). Best-effort like the soft row: the
-    # 3-object soft kernel pair is a fresh compile when the cache is cold.
+        def vec_sol(tag, scene_v, cfg_v, t_step):
+            small = _dc9.replace(cfg_v, height=32, width=32)
+            tgt32 = jnp.zeros((32, 32, 3), jnp.float32)
+            fl = flops_estimate(
+                jax.grad(lambda s: mse_loss(render_jnp_vec(s, small), tgt32)),
+                scene_v,
+            ) / (32 * 32)
+            sol = 100 * rays * fl / t_step / V5E_VPU_PEAK_FLOPS
+            details.setdefault("vec_flops_per_ray", {})[tag] = fl
+            details.setdefault("vec_vpu_sol_pct", {})[tag] = sol
+            _log(f"  vec SOL[{tag}]: {fl:.0f} flops/ray -> {sol:.1f}% of "
+                 f"v5e VPU peak")
+
+        rngv = np.random.default_rng(7)
+        basev, _, _ = configs.config5_many_spheres(512, n_spheres=64)
+        cfgv = RenderConfig(height=512, width=512, shadows=True)
+        tgtv = jnp.zeros((512, 512, 3), jnp.float32)
+
+        # plain 65-obj step (SOL context for the config5 row)
+        vagp = lambda s, t: loss_grad_pallas_vec(s, cfgv, t)
+        t0 = time.perf_counter()
+        tp, _, _ = _median_slope(
+            lambda n: _vag_total(vagp, basev, tgtv, n), 10, 60, k=3
+        )
+        _log(f"vec step kernel, 65-obj plain 512^2: {tp*1e3:.2f} ms/step "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["vec_plain_65obj_fwdbwd_ms"] = tp * 1e3
+        vec_sol("plain", basev, cfgv, tp)
+        _save()
+
+        texv = jnp.asarray(
+            rngv.uniform(0.1, 0.9, (basev.spheres.count, 16, 16, 3)),
+            jnp.float32,
+        )
+        globev = _dc9.replace(
+            basev, spheres=_dc9.replace(basev.spheres, texture=texv)
+        )
+        vagv = lambda s, t: loss_grad_pallas_vec(s, cfgv, t)
+        t0 = time.perf_counter()
+        tv, _, _ = _median_slope(
+            lambda n: _vag_total(vagv, globev, tgtv, n), 10, 60, k=3
+        )
+        _log(f"vec step kernel, 65-obj ALL-textured (K=16) 512^2: "
+             f"{tv*1e3:.2f} ms/step "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["vec_textured_65obj_fwdbwd_ms"] = tv * 1e3
+        vec_sol("textured", globev, cfgv, tv)
+        _save()
+
+        envv = jnp.asarray(
+            rngv.uniform(0.1, 0.9, (16, 16, 3)), jnp.float32
+        )
+        skyv = _dc9.replace(basev, env=envv)
+        vage = lambda s, t: loss_grad_pallas_vec(s, cfgv, t)
+        t0 = time.perf_counter()
+        te, _, _ = _median_slope(
+            lambda n: _vag_total(vage, skyv, tgtv, n), 10, 60, k=3
+        )
+        _log(f"vec step kernel, 65-obj env-mapped (K=16) 512^2: "
+             f"{te*1e3:.2f} ms/step "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["vec_env_65obj_fwdbwd_ms"] = te * 1e3
+        vec_sol("env", skyv, cfgv, te)
+        _save()
+
+        # in-kernel spp=4 vec step (round 3): the 2x2 subsample loop
+        # fused into one launch (validated interpret + TPU)
+        cfgv4 = _dc9.replace(cfgv, spp=4)
+        vagv4 = lambda s, t: loss_grad_pallas_vec(s, cfgv4, t)
+        t0 = time.perf_counter()
+        tv4, _, _ = _median_slope(
+            lambda n: _vag_total(vagv4, basev, tgtv, n), 10, 60, k=3
+        )
+        _log(f"vec step kernel, 65-obj spp=4 512^2: {tv4*1e3:.2f} ms/step "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["vec_spp4_65obj_fwdbwd_ms"] = tv4 * 1e3
+        _save()
+
+        # reflective vec step (round 3): per-level loop replay
+        matv = basev.spheres.material
+        mirv = jnp.asarray(
+            rngv.uniform(0.2, 0.8, (basev.spheres.count,)), jnp.float32
+        )
+        reflv = _dc9.replace(
+            basev,
+            spheres=_dc9.replace(
+                basev.spheres,
+                material=_dc9.replace(matv, mirror=mirv),
+            ),
+        )
+        cfgr = _dc9.replace(cfgv, reflections=1)
+        vagr = lambda s, t: loss_grad_pallas_vec(s, cfgr, t)
+        t0 = time.perf_counter()
+        tr_, _, _ = _median_slope(
+            lambda n: _vag_total(vagr, reflv, tgtv, n), 10, 60, k=3
+        )
+        _log(f"vec step kernel, 65-obj reflections=1 512^2: "
+             f"{tr_*1e3:.2f} ms/step "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["vec_reflect_65obj_fwdbwd_ms"] = tr_ * 1e3
+        vec_sol("reflect", reflv, cfgr, tr_)
+
     if on_tpu:
-        try:
-            from reversible_raytracer_tpu.optim import optimize_annealed
-            from reversible_raytracer_tpu.ops.kernels.fused_vec import (
-                render_pallas_vec,
-            )
+        row("vec_capability", row_vec_capability)
 
-            scene4, spec4, cfg4c = configs.config4_checker_camera(512)
-            start4 = configs.perturb(scene4, spec4, scale=0.05, seed=0)
-            tgt4 = jax.jit(lambda s: render_pallas_vec(s, cfg4c))(scene4)
-            ocfg4 = OptConfig(iters=150, lr=5e-3, schedule="cosine")
-            t0 = time.perf_counter()
-            final4, losses4 = optimize_annealed(
-                start4, tgt4, spec4, cfg4c, ocfg4,
-                taus=(0.08, 0.03, 0.01, 0.0), target_scene=scene4,
-                checker_ratio=12.5,
-            )
-            final_loss4 = float(losses4[-1])  # VALUE fetch: on the axon
-            # tunnel block_until_ready does not reliably wait (CLAUDE.md);
-            # the fetch must land before the clock is read.
-            t4 = time.perf_counter() - t0
-            eye_rms = float(np.sqrt(np.mean(
-                (np.asarray(final4.camera.eye) - np.asarray(scene4.camera.eye)) ** 2
-            )))
-            _log(f"config-4 camera+checker anneal @512^2 (600 steps): "
-                 f"{t4:.1f}s incl. compile  final_loss={final_loss4:.3e} "
-                 f"eye_rms={eye_rms:.2e}")
-            details["config4_anneal_seconds_incl_compile"] = t4
-            details["config4_anneal_eye_rms"] = eye_rms
-            details["config4_anneal_final_loss"] = final_loss4
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
-        except Exception as e:  # noqa: BLE001 — bench row is best-effort
-            _log(f"config-4 bench row skipped: {type(e).__name__}: {e}")
+    def row_sharded():
+        # --- sharded machinery cost on one chip (BASELINE.md row 4) ---
+        # mesh=1 shard_map step vs the unsharded scan step: the cost of the
+        # distributed machinery itself (multi-chip speedup is unmeasurable
+        # on one chip; the fake-mesh overhead curve lives in
+        # docs/scaling_fakemesh.json via scripts/scaling_bench.py).
+        # Two ratios, both from THIS run (VERDICT r3 weak #2 — the old
+        # single ambiguous field mixed definitions across runs):
+        #   sharded_mesh1_vs_scan_step — vs the unsharded optimize_scan
+        #     step (vag + Adam + bounds), the apples-to-apples comparator;
+        #   sharded_mesh1_vs_bare_vag  — vs the bare fused vag slope
+        #     (no optimizer), bounding the total machinery cost.
+        from reversible_raytracer_tpu.parallel import (
+            make_ray_mesh,
+            optimize_sharded_scan,
+        )
 
-    # --- config-6 capability row: mirror-reflections training step ---
-    # Per-step cost of the reflective fused step kernel (one bounce doubles
-    # the in-kernel trace) + the through-the-bounce inversion wall-clock.
-    # Best-effort: fresh Mosaic compile when the cache is cold.
+        if "converge_seconds_warm" not in details:
+            raise RuntimeError("needs the convergence row (skipped?)")
+        mesh1 = make_ray_mesh(1)
+        ocfg_sh = OptConfig(iters=60, lr=0.0)
+        tgt_sh = jax.jit(render_fast)(scene)
+        # warm (compile), then one timed scan dispatch
+        optimize_sharded_scan(scene, tgt_sh, mesh1, cfg, spec, ocfg_sh,
+                              impl="pallas_step")
+        t0 = time.perf_counter()
+        _, losses_sh = optimize_sharded_scan(
+            scene, tgt_sh, mesh1, cfg, spec, ocfg_sh, impl="pallas_step"
+        )
+        float(np.asarray(losses_sh)[-1])  # value fetch before the clock
+        t_sh = (time.perf_counter() - t0) / ocfg_sh.iters
+        t_unsh = details["converge_seconds_warm"] / 400.0
+        _log(f"sharded mesh=1 fused step @512^2: {t_sh*1e3:.3f} ms/step "
+             f"(x{t_sh/t_unsh:.2f} vs unsharded scan step "
+             f"{t_unsh*1e3:.3f} ms; x{t_sh/t_fast:.2f} vs bare vag "
+             f"{t_fast*1e3:.3f})")
+        details["sharded_mesh1_step_ms"] = t_sh * 1e3
+        details["sharded_mesh1_vs_scan_step"] = t_sh / t_unsh
+        details["sharded_mesh1_vs_bare_vag"] = t_sh / t_fast
+
     if on_tpu:
-        try:
-            scene6, spec6, cfg6 = configs.config6_mirror(512)
-            vag6 = loss_and_grad_fn(scene6, cfg6)
-            tgt6 = jnp.zeros((512, 512, 3), jnp.float32)
-            t0 = time.perf_counter()
-            t6, _, _ = _median_slope(
-                lambda n: _vag_total(vag6, scene6, tgt6, n), 10, 60, k=3
-            )
-            _log(f"pallas reflections=1 3-obj 512^2 fused step: {t6*1e3:.3f} "
-                 f"ms/step ({t6/t_fast:.2f}x the local-shading step) "
-                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-            details["config6_reflect_fwdbwd_ms"] = t6 * 1e3
+        row("sharded_mesh1", row_sharded)
 
-            from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+    def row_soft():
+        # --- soft-visibility kernels (annealed-inversion hot path) ---
+        import dataclasses as _dc
 
-            tgt6r = jax.jit(lambda s: render_pallas(s, cfg6))(scene6)
-            start6 = configs.perturb(scene6, spec6, scale=0.3, seed=6)
-            ocfg6 = OptConfig(iters=150, lr=2e-2, schedule="cosine")
-            t0 = time.perf_counter()
-            final6, losses6 = optimize_scan(
-                start6, tgt6r, spec6, cfg6, ocfg6,
-                vag_fn=vag6, cache_key="bench-config6",
-            )
-            l6 = float(losses6[-1])  # value fetch before reading the clock
-            t6w = time.perf_counter() - t0
-            rms6 = float(param_error(final6, scene6, spec6))
-            _log(f"config-6 mirror inversion @512^2 (150 steps, 30% perturb): "
-                 f"{t6w:.1f}s  final_loss={l6:.3e} mirror_rms={rms6:.2e}")
-            details["config6_invert_seconds"] = t6w
-            details["config6_invert_param_rms"] = rms6
-            details["config6_invert_final_loss"] = l6
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
-        except Exception as e:  # noqa: BLE001 — bench row is best-effort
-            _log(f"config-6 bench row skipped: {type(e).__name__}: {e}")
+        from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+            loss_grad_pallas_vec_soft,
+        )
 
-    # --- config-7 capability row: texture recovery ---
-    # Since the TPU validation of the dense hat-basis sampler
-    # (scripts/tpu_textured_check.py), loss_and_grad_fn dispatches small
-    # textured scenes to the UNROLLED step kernel; this row records that
-    # step cost, the XLA-fallback cost it replaced (the speedup the flip
-    # buys), and the 768-parameter texture-recovery wall-clock on the
-    # kernel step.
+        scene_s, _, _ = configs.config5_many_spheres(512, n_spheres=64)
+        cfg_s = _dc.replace(cfg, soft_tau=0.05)
+        tgt_s2 = jnp.zeros((H, W, 3), jnp.float32)
+        vag_s = lambda s, t: loss_grad_pallas_vec_soft(s, cfg_s, t)
+        t0 = time.perf_counter()
+        ts, _, _ = _median_slope(
+            lambda n: _vag_total(vag_s, scene_s, tgt_s2, n), 10, 60, k=3
+        )
+        _log(f"pallas soft 65-obj 512^2 fused step: {ts*1e3:.2f} ms/step "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["soft_65obj_512_fwdbwd_ms"] = ts * 1e3
+
     if on_tpu:
-        try:
-            scene7, spec7, cfg7 = configs.config7_texture(512)
-            vag7 = loss_and_grad_fn(scene7, cfg7)  # -> fused step kernel
-            tgt7 = jnp.zeros((512, 512, 3), jnp.float32)
-            t0 = time.perf_counter()
-            t7, _, _ = _median_slope(
-                lambda n: _vag_total(vag7, scene7, tgt7, n), 10, 60, k=3
-            )
-            _log(f"textured (fused step kernel) 512^2 fwd+bwd: "
-                 f"{t7*1e3:.3f} ms/step "
-                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-            details["config7_texture_fwdbwd_ms"] = t7 * 1e3
-            vag7j = loss_and_grad_fn(scene7, cfg7, impl="jnp")
-            t7j, _, _ = _median_slope(
-                lambda n: _vag_total(vag7j, scene7, tgt7, n), 10, 60, k=3
-            )
-            _log(f"textured (XLA jnp fallback) 512^2 fwd+bwd: "
-                 f"{t7j*1e3:.3f} ms/step")
-            details["config7_texture_fwdbwd_ms_jnp"] = t7j * 1e3
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)  # flush before the long scan
+        row("soft", row_soft)
 
-            tgt7r = jax.jit(lambda s: render_jnp(s, cfg7))(scene7)
-            start7 = configs.perturb(scene7, spec7, scale=0.4, seed=11)
-            ocfg7 = OptConfig(iters=200, lr=3e-2, schedule="cosine")
-            t0 = time.perf_counter()
-            final7, losses7 = optimize_scan(
-                start7, tgt7r, spec7, cfg7, ocfg7,
-                render_fn=lambda s: render_jnp(s, cfg7),
-                vag_fn=vag7,
-                cache_key="bench-config7-step",
-            )
-            l7 = float(losses7[-1])  # value fetch before reading the clock
-            t7w = time.perf_counter() - t0
-            rms7 = float(param_error(final7, scene7, spec7))
-            _log(f"config-7 texture recovery @512^2 (200 steps, 768 texels, "
-                 f"40% perturb): {t7w:.1f}s  final_loss={l7:.3e} "
-                 f"texture_rms={rms7:.3e} (incl. unobservable texels)")
-            details["config7_invert_seconds"] = t7w
-            details["config7_invert_texture_rms"] = rms7
-            details["config7_invert_final_loss"] = l7
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
-        except Exception as e:  # noqa: BLE001 — bench row is best-effort
-            _log(f"config-7 bench row skipped: {type(e).__name__}: {e}")
+    def row_config4():
+        # --- config-4 capability row: camera+checker annealed inversion ---
+        # Full joint inversion at the native 512^2 (soft-checker anneal,
+        # docs/OPTIMIZATION_NOTES.md).
+        from reversible_raytracer_tpu.optim import optimize_annealed
+        from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+            render_pallas_vec,
+        )
 
-    # --- config-8 capability row: globe (sphere-texture) recovery ---
-    # Mirrors the config-7 block (VERDICT r2 item #7): step-kernel cost,
-    # XLA-fallback cost, inversion wall-clock + recovery RMS.
+        scene4, spec4, cfg4c = configs.config4_checker_camera(512)
+        start4 = configs.perturb(scene4, spec4, scale=0.05, seed=0)
+        tgt4 = jax.jit(lambda s: render_pallas_vec(s, cfg4c))(scene4)
+        ocfg4 = OptConfig(iters=150, lr=5e-3, schedule="cosine")
+        t0 = time.perf_counter()
+        final4, losses4 = optimize_annealed(
+            start4, tgt4, spec4, cfg4c, ocfg4,
+            taus=(0.08, 0.03, 0.01, 0.0), target_scene=scene4,
+            checker_ratio=12.5,
+        )
+        final_loss4 = float(losses4[-1])  # VALUE fetch: on the axon
+        # tunnel block_until_ready does not reliably wait (CLAUDE.md);
+        # the fetch must land before the clock is read.
+        t4 = time.perf_counter() - t0
+        eye_rms = float(np.sqrt(np.mean(
+            (np.asarray(final4.camera.eye) - np.asarray(scene4.camera.eye)) ** 2
+        )))
+        _log(f"config-4 camera+checker anneal @512^2 (600 steps): "
+             f"{t4:.1f}s incl. compile  final_loss={final_loss4:.3e} "
+             f"eye_rms={eye_rms:.2e}")
+        details["config4_anneal_seconds_incl_compile"] = t4
+        details["config4_anneal_eye_rms"] = eye_rms
+        details["config4_anneal_final_loss"] = final_loss4
+
     if on_tpu:
-        try:
-            scene8, spec8, cfg8 = configs.config8_globe(512)
-            vag8 = loss_and_grad_fn(scene8, cfg8)  # -> fused step kernel
-            tgt8 = jnp.zeros((512, 512, 3), jnp.float32)
-            t0 = time.perf_counter()
-            t8, _, _ = _median_slope(
-                lambda n: _vag_total(vag8, scene8, tgt8, n), 10, 60, k=3
-            )
-            _log(f"globe (fused step kernel) 512^2 fwd+bwd: "
-                 f"{t8*1e3:.3f} ms/step "
-                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-            details["config8_globe_fwdbwd_ms"] = t8 * 1e3
-            vag8j = loss_and_grad_fn(scene8, cfg8, impl="jnp")
-            t8j, _, _ = _median_slope(
-                lambda n: _vag_total(vag8j, scene8, tgt8, n), 10, 60, k=3
-            )
-            _log(f"globe (XLA jnp fallback) 512^2 fwd+bwd: "
-                 f"{t8j*1e3:.3f} ms/step")
-            details["config8_globe_fwdbwd_ms_jnp"] = t8j * 1e3
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
+        row("config4", row_config4)
 
-            tgt8r = jax.jit(lambda s: render_jnp(s, cfg8))(scene8)
-            start8 = configs.perturb(scene8, spec8, scale=0.4, seed=12)
-            ocfg8 = OptConfig(iters=200, lr=3e-2, schedule="cosine")
-            t0 = time.perf_counter()
-            final8, losses8 = optimize_scan(
-                start8, tgt8r, spec8, cfg8, ocfg8,
-                render_fn=lambda s: render_jnp(s, cfg8),
-                vag_fn=vag8, cache_key="bench-config8-step",
-            )
-            l8 = float(losses8[-1])  # value fetch before reading the clock
-            t8w = time.perf_counter() - t0
-            rms8 = float(param_error(final8, scene8, spec8))
-            _log(f"config-8 globe recovery @512^2 (200 steps, 40% perturb): "
-                 f"{t8w:.1f}s  final_loss={l8:.3e} texture_rms={rms8:.3e}")
-            details["config8_invert_seconds"] = t8w
-            details["config8_invert_texture_rms"] = rms8
-            details["config8_invert_final_loss"] = l8
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
-        except Exception as e:  # noqa: BLE001 — bench row is best-effort
-            _log(f"config-8 bench row skipped: {type(e).__name__}: {e}")
+    def row_config6():
+        # --- config-6 capability row: mirror-reflections training step ---
+        from reversible_raytracer_tpu.ops.render import loss_and_grad_fn
 
-    # --- config-9 capability row: environment-map (sky) recovery ---
+        scene6, spec6, cfg6 = configs.config6_mirror(512)
+        vag6 = loss_and_grad_fn(scene6, cfg6)
+        tgt6 = jnp.zeros((512, 512, 3), jnp.float32)
+        t0 = time.perf_counter()
+        t6, _, _ = _median_slope(
+            lambda n: _vag_total(vag6, scene6, tgt6, n), 10, 60, k=3
+        )
+        _log(f"pallas reflections=1 3-obj 512^2 fused step: {t6*1e3:.3f} "
+             f"ms/step ({t6/t_fast:.2f}x the local-shading step) "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["config6_reflect_fwdbwd_ms"] = t6 * 1e3
+        _save()
+
+        from reversible_raytracer_tpu.ops.kernels.fused import render_pallas
+
+        tgt6r = jax.jit(lambda s: render_pallas(s, cfg6))(scene6)
+        start6 = configs.perturb(scene6, spec6, scale=0.3, seed=6)
+        ocfg6 = OptConfig(iters=150, lr=2e-2, schedule="cosine")
+        t0 = time.perf_counter()
+        final6, losses6 = optimize_scan(
+            start6, tgt6r, spec6, cfg6, ocfg6,
+            vag_fn=vag6, cache_key="bench-config6",
+        )
+        l6 = float(losses6[-1])  # value fetch before reading the clock
+        t6w = time.perf_counter() - t0
+        rms6 = float(param_error(final6, scene6, spec6))
+        _log(f"config-6 mirror inversion @512^2 (150 steps, 30% perturb): "
+             f"{t6w:.1f}s  final_loss={l6:.3e} mirror_rms={rms6:.2e}")
+        details["config6_invert_seconds"] = t6w
+        details["config6_invert_param_rms"] = rms6
+        details["config6_invert_final_loss"] = l6
+
     if on_tpu:
-        try:
-            scene9, spec9, cfg9 = configs.config9_sky(512)
-            vag9 = loss_and_grad_fn(scene9, cfg9)  # reflective unrolled step
-            tgt9 = jnp.zeros((512, 512, 3), jnp.float32)
-            t0 = time.perf_counter()
-            t9, _, _ = _median_slope(
-                lambda n: _vag_total(vag9, scene9, tgt9, n), 10, 60, k=3
-            )
-            _log(f"sky (fused step kernel, reflections=1) 512^2 fwd+bwd: "
-                 f"{t9*1e3:.3f} ms/step "
-                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-            details["config9_sky_fwdbwd_ms"] = t9 * 1e3
-            vag9j = loss_and_grad_fn(scene9, cfg9, impl="jnp")
-            t9j, _, _ = _median_slope(
-                lambda n: _vag_total(vag9j, scene9, tgt9, n), 10, 60, k=3
-            )
-            _log(f"sky (XLA jnp fallback) 512^2 fwd+bwd: {t9j*1e3:.3f} ms/step")
-            details["config9_sky_fwdbwd_ms_jnp"] = t9j * 1e3
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
+        row("config6", row_config6)
 
-            tgt9r = jax.jit(lambda s: render_jnp(s, cfg9))(scene9)
-            start9 = configs.perturb(scene9, spec9, scale=0.4, seed=13)
-            ocfg9 = OptConfig(iters=200, lr=3e-2, schedule="cosine")
-            t0 = time.perf_counter()
-            final9, losses9 = optimize_scan(
-                start9, tgt9r, spec9, cfg9, ocfg9,
-                render_fn=lambda s: render_jnp(s, cfg9),
-                vag_fn=vag9, cache_key="bench-config9-step",
-            )
-            l9 = float(losses9[-1])  # value fetch before reading the clock
-            t9w = time.perf_counter() - t0
-            rms9 = float(param_error(final9, scene9, spec9))
-            _log(f"config-9 sky recovery @512^2 (200 steps, 40% perturb): "
-                 f"{t9w:.1f}s  final_loss={l9:.3e} env_rms={rms9:.3e}")
-            details["config9_invert_seconds"] = t9w
-            details["config9_invert_env_rms"] = rms9
-            details["config9_invert_final_loss"] = l9
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
-        except Exception as e:  # noqa: BLE001 — bench row is best-effort
-            _log(f"config-9 bench row skipped: {type(e).__name__}: {e}")
+    def _texture_config_rows(tag, make_config, seed, label):
+        # Shared body for the config-7/8/9 rows: step-kernel cost, XLA
+        # fallback cost, inversion wall-clock + recovery RMS.
+        from reversible_raytracer_tpu.ops.render import loss_and_grad_fn
 
-    # --- round-3 capability row: textured/env scenes at VEC scale ---
-    # 64 textured spheres (texel SMEM row tails) and a 64-sphere env scene
-    # through the object-chunked STEP kernel — the scenes that ran at XLA
-    # speed in round 2 (~60 ms class) now run in the kernel class.
+        scene_t, spec_t, cfg_t = make_config(512)
+        vag_t = loss_and_grad_fn(scene_t, cfg_t)  # -> fused step kernel
+        tgt_t = jnp.zeros((512, 512, 3), jnp.float32)
+        t0 = time.perf_counter()
+        tt, _, _ = _median_slope(
+            lambda n: _vag_total(vag_t, scene_t, tgt_t, n), 10, 60, k=3
+        )
+        _log(f"{label} (fused step kernel) 512^2 fwd+bwd: "
+             f"{tt*1e3:.3f} ms/step "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details[f"{tag}_fwdbwd_ms"] = tt * 1e3
+        vag_tj = loss_and_grad_fn(scene_t, cfg_t, impl="jnp")
+        ttj, _, _ = _median_slope(
+            lambda n: _vag_total(vag_tj, scene_t, tgt_t, n), 10, 60, k=3
+        )
+        _log(f"{label} (XLA jnp fallback) 512^2 fwd+bwd: {ttj*1e3:.3f} ms/step")
+        details[f"{tag}_fwdbwd_ms_jnp"] = ttj * 1e3
+        _save()
+
+        tgt_tr = jax.jit(lambda s: render_jnp(s, cfg_t))(scene_t)
+        start_t = configs.perturb(scene_t, spec_t, scale=0.4, seed=seed)
+        ocfg_t = OptConfig(iters=200, lr=3e-2, schedule="cosine")
+        t0 = time.perf_counter()
+        final_t, losses_t = optimize_scan(
+            start_t, tgt_tr, spec_t, cfg_t, ocfg_t,
+            render_fn=lambda s: render_jnp(s, cfg_t),
+            vag_fn=vag_t, cache_key=f"bench-{tag}-step",
+        )
+        lt = float(losses_t[-1])  # value fetch before reading the clock
+        ttw = time.perf_counter() - t0
+        rms_t = float(param_error(final_t, scene_t, spec_t))
+        _log(f"{label} recovery @512^2 (200 steps, 40% perturb): "
+             f"{ttw:.1f}s  final_loss={lt:.3e} rms={rms_t:.3e}")
+        return ttw, rms_t, lt
+
+    def row_config7():
+        t, r, l = _texture_config_rows(
+            "config7_texture", configs.config7_texture, 11, "textured")
+        details["config7_invert_seconds"] = t
+        details["config7_invert_texture_rms"] = r
+        details["config7_invert_final_loss"] = l
+
+    def row_config8():
+        t, r, l = _texture_config_rows(
+            "config8_globe", configs.config8_globe, 12, "globe")
+        details["config8_invert_seconds"] = t
+        details["config8_invert_texture_rms"] = r
+        details["config8_invert_final_loss"] = l
+
+    def row_config9():
+        t, r, l = _texture_config_rows(
+            "config9_sky", configs.config9_sky, 13, "sky")
+        details["config9_invert_seconds"] = t
+        details["config9_invert_env_rms"] = r
+        details["config9_invert_final_loss"] = l
+
     if on_tpu:
-        try:
-            import dataclasses as _dc9
+        row("config7", row_config7)
+        row("config8", row_config8)
+        row("config9", row_config9)
 
-            from reversible_raytracer_tpu.ops.kernels.fused_vec import (
-                loss_grad_pallas_vec,
-            )
+    def row_config10():
+        # --- config-10 capability row (VERDICT r3 #2): chrome field —
+        # 64 mirrored spheres + env map at vec scale. Records the fused
+        # step cost (should land near the reflective vec row) and the
+        # inversion wall-clock; recovery-quality evidence (observable-
+        # masked env RMS, mirror RMS, PNGs) lives in
+        # examples/make_artifacts.py + scripts/config10_check.py.
+        from reversible_raytracer_tpu.ops.render import loss_and_grad_fn
 
-            rngv = np.random.default_rng(7)
-            basev, _, _ = configs.config5_many_spheres(512, n_spheres=64)
-            cfgv = RenderConfig(height=512, width=512, shadows=True)
-            tgtv = jnp.zeros((512, 512, 3), jnp.float32)
-            texv = jnp.asarray(
-                rngv.uniform(0.1, 0.9, (basev.spheres.count, 16, 16, 3)),
-                jnp.float32,
-            )
-            globev = _dc9.replace(
-                basev, spheres=_dc9.replace(basev.spheres, texture=texv)
-            )
-            vagv = lambda s, t: loss_grad_pallas_vec(s, cfgv, t)
-            t0 = time.perf_counter()
-            tv, _, _ = _median_slope(
-                lambda n: _vag_total(vagv, globev, tgtv, n), 10, 60, k=3
-            )
-            _log(f"vec step kernel, 65-obj ALL-textured (K=16) 512^2: "
-                 f"{tv*1e3:.2f} ms/step "
-                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-            details["vec_textured_65obj_fwdbwd_ms"] = tv * 1e3
+        scene10, spec10, cfg10 = configs.config10_chrome_field(512)
+        vag10 = loss_and_grad_fn(scene10, cfg10)
+        tgt10 = jnp.zeros((512, 512, 3), jnp.float32)
+        t0 = time.perf_counter()
+        t10, _, _ = _median_slope(
+            lambda n: _vag_total(vag10, scene10, tgt10, n), 10, 60, k=3
+        )
+        _log(f"config-10 chrome field (vec step, reflections=1, env) 512^2: "
+             f"{t10*1e3:.2f} ms/step "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+        details["config10_fwdbwd_ms"] = t10 * 1e3
+        _save()
 
-            envv = jnp.asarray(
-                rngv.uniform(0.1, 0.9, (16, 16, 3)), jnp.float32
-            )
-            skyv = _dc9.replace(basev, env=envv)
-            vage = lambda s, t: loss_grad_pallas_vec(s, cfgv, t)
-            t0 = time.perf_counter()
-            te, _, _ = _median_slope(
-                lambda n: _vag_total(vage, skyv, tgtv, n), 10, 60, k=3
-            )
-            _log(f"vec step kernel, 65-obj env-mapped (K=16) 512^2: "
-                 f"{te*1e3:.2f} ms/step "
-                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-            details["vec_env_65obj_fwdbwd_ms"] = te * 1e3
+        from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+            render_pallas_vec,
+        )
 
-            # in-kernel spp=4 vec step (round 3): the 2x2 subsample loop
-            # fused into one launch (validated interpret + TPU)
-            cfgv4 = _dc9.replace(cfgv, spp=4)
-            vagv4 = lambda s, t: loss_grad_pallas_vec(s, cfgv4, t)
-            t0 = time.perf_counter()
-            tv4, _, _ = _median_slope(
-                lambda n: _vag_total(vagv4, basev, tgtv, n), 10, 60, k=3
-            )
-            _log(f"vec step kernel, 65-obj spp=4 512^2: {tv4*1e3:.2f} ms/step "
-                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-            details["vec_spp4_65obj_fwdbwd_ms"] = tv4 * 1e3
+        tgt10r = jax.jit(lambda s: render_pallas_vec(s, cfg10))(scene10)
+        start10 = configs.perturb(scene10, spec10, scale=0.2, seed=10)
+        ocfg10 = OptConfig(iters=300, lr=2e-2, schedule="cosine")
+        t0 = time.perf_counter()
+        final10, losses10 = optimize_scan(
+            start10, tgt10r, spec10, cfg10, ocfg10,
+            vag_fn=vag10, cache_key="bench-config10-step",
+        )
+        l10 = float(losses10[-1])  # value fetch before reading the clock
+        t10w = time.perf_counter() - t0
+        rms10 = float(param_error(final10, scene10, spec10))
+        _log(f"config-10 chrome inversion @512^2 (300 steps, 20% perturb): "
+             f"{t10w:.1f}s  final_loss={l10:.3e} param_rms={rms10:.3e}")
+        details["config10_invert_seconds"] = t10w
+        details["config10_invert_param_rms"] = rms10
+        details["config10_invert_final_loss"] = l10
 
-            # reflective vec step (round 3): per-level loop replay
-            matv = basev.spheres.material
-            mirv = jnp.asarray(
-                rngv.uniform(0.2, 0.8, (basev.spheres.count,)), jnp.float32
-            )
-            reflv = _dc9.replace(
-                basev,
-                spheres=_dc9.replace(
-                    basev.spheres,
-                    material=_dc9.replace(matv, mirror=mirv),
-                ),
-            )
-            cfgr = _dc9.replace(cfgv, reflections=1)
-            vagr = lambda s, t: loss_grad_pallas_vec(s, cfgr, t)
-            t0 = time.perf_counter()
-            tr_, _, _ = _median_slope(
-                lambda n: _vag_total(vagr, reflv, tgtv, n), 10, 60, k=3
-            )
-            _log(f"vec step kernel, 65-obj reflections=1 512^2: "
-                 f"{tr_*1e3:.2f} ms/step "
-                 f"[compile+bench {time.perf_counter()-t0:.0f}s]")
-            details["vec_reflect_65obj_fwdbwd_ms"] = tr_ * 1e3
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
-        except Exception as e:  # noqa: BLE001 — bench row is best-effort
-            _log(f"vec textured/env bench rows skipped: {type(e).__name__}: {e}")
-
-    # --- sharded machinery cost on one chip (BASELINE.md row 4 evidence) ---
-    # mesh=1 shard_map step vs the unsharded fused step: the cost of the
-    # distributed machinery itself (multi-chip speedup is unmeasurable on
-    # one chip; the fake-mesh overhead curve lives in
-    # docs/scaling_fakemesh.json via scripts/scaling_bench.py).
     if on_tpu:
-        try:
-            from reversible_raytracer_tpu.parallel import (
-                make_ray_mesh,
-                optimize_sharded_scan,
-            )
+        row("config10", row_config10)
 
-            mesh1 = make_ray_mesh(1)
-            ocfg_sh = OptConfig(iters=60, lr=0.0)
-            tgt_sh = jax.jit(render_fast)(scene)
-            # warm (compile), then one timed scan dispatch
-            optimize_sharded_scan(scene, tgt_sh, mesh1, cfg, spec, ocfg_sh,
-                                  impl="pallas_step")
-            t0 = time.perf_counter()
-            _, losses_sh = optimize_sharded_scan(
-                scene, tgt_sh, mesh1, cfg, spec, ocfg_sh, impl="pallas_step"
-            )
-            float(np.asarray(losses_sh)[-1])  # value fetch before the clock
-            t_sh = (time.perf_counter() - t0) / ocfg_sh.iters
-            # Fair comparator: the UNSHARDED optimize_scan step (vag +
-            # Adam + bounds, measured above as converge_seconds_warm/400)
-            # — t_fast is the bare fused vag without the optimizer update.
-            t_unsh = details["converge_seconds_warm"] / 400.0
-            _log(f"sharded mesh=1 fused step @512^2: {t_sh*1e3:.3f} ms/step "
-                 f"(machinery overhead x{t_sh/t_unsh:.2f} vs unsharded "
-                 f"scan step {t_unsh*1e3:.3f} ms; bare vag {t_fast*1e3:.3f})")
-            details["sharded_mesh1_step_ms"] = t_sh * 1e3
-            details["sharded_mesh1_overhead_ratio"] = t_sh / t_unsh
-            with open("bench_details.json", "w") as fh:
-                json.dump(details, fh, indent=2)
-        except Exception as e:  # noqa: BLE001 — bench row is best-effort
-            _log(f"sharded mesh=1 row skipped: {type(e).__name__}: {e}")
+    _save()
+    _log(f"bench complete at +{time.perf_counter()-t_start:.0f}s "
+         f"({len(details['skipped_rows'])} rows skipped)")
 
 
 if __name__ == "__main__":

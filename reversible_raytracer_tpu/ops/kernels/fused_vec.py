@@ -147,6 +147,18 @@ class VecTileConfig:
     # bitwise-equal to unroll=1 by test). v5e sweep at 513 objects:
     # 2.91 ms (u=1) / 2.78 (2) / 2.56 (4) / 2.71 (8).
     unroll: int = 4
+    # Chunk-skip granularity for TEXEL-BEARING object groups in the
+    # attribute resolve and the backward's per-object vjps (round 4,
+    # VERDICT r3 #3: the textured corner). A live chunk runs the K^2-MAC
+    # dense texel sample for EVERY member even when one object wins the
+    # tile's pixels, so texel rows want finer chunks than the default
+    # CHUNK=16 (the cond-per-chunk sync is cheap against ~800 dense MACs
+    # per pixel per member). Must divide CHUNK so SMEM padding and kbest
+    # numbering are untouched; results are bitwise-identical for ANY
+    # value (disjoint masks; skipped vjps are exactly zero). Untextured
+    # groups always use CHUNK. auto_tiles picks the swept default
+    # (scripts/tex_chunk_sweep.py records the v5e numbers).
+    tex_chunk: int = CHUNK
 
 
 # ---------------------------------------------------------------------------
@@ -430,7 +442,8 @@ def _nearest_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset,
 
 def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
                    rct_offset, p_sph: int = P_SPH, p_rct: int = P_RCT,
-                   with_mirror: bool = False):
+                   with_mirror: bool = False,
+                   sph_chunk: int = CHUNK, rct_chunk: int = CHUNK):
     """Phase 2: materialize the winner's 10 attribute planes from k_best.
 
     Chunk-skipped (same pattern as obj_backward): a CHUNK of objects none of
@@ -449,7 +462,7 @@ def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
         planes = planes + (zero,)  # "mir" init 0 (trace_nearest's init)
 
     def group(eval_fn, read, P, k_offset, n_obj, planes, with_t_known,
-              mir_idx):
+              mir_idx, chunk):
         def per_object(k, planes):
             mask = kbest == (k + k_offset)
             pv = tuple(read(k, c) for c in range(P))
@@ -463,26 +476,26 @@ def _resolve_attrs(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kbest,
             return tuple(jnp.where(mask, nv, ov) for nv, ov in zip(new, planes))
 
         def chunk_body(ci, planes):
-            k0 = ci * CHUNK
+            k0 = ci * chunk
             lo = k0 + k_offset
-            in_chunk = ((kbest >= lo) & (kbest < lo + CHUNK)).astype(f32)
+            in_chunk = ((kbest >= lo) & (kbest < lo + chunk)).astype(f32)
             any_live = jnp.max(in_chunk) > 0.0
             return jax.lax.cond(
                 any_live,
-                lambda p: jax.lax.fori_loop(k0, k0 + CHUNK, per_object, p),
+                lambda p: jax.lax.fori_loop(k0, k0 + chunk, per_object, p),
                 lambda p: p,
                 planes,
             )
 
-        n_chunks = (n_obj + CHUNK - 1) // CHUNK
+        n_chunks = (n_obj + chunk - 1) // chunk
         return jax.lax.fori_loop(0, n_chunks, chunk_body, planes)
 
     if n_sph:
         planes = group(_sphere_eval, sph_read, p_sph, 0, n_sph, planes, True,
-                       P_SPH - 1)
+                       P_SPH - 1, sph_chunk)
     if n_rct:
         planes = group(_rect_eval, rct_read, p_rct, rct_offset, n_rct, planes,
-                       False, P_RCT - 1)
+                       False, P_RCT - 1, rct_chunk)
     names = ATTR_NAMES + ("mir",) if with_mirror else ATTR_NAMES
     return dict(zip(names, planes))
 
@@ -652,6 +665,13 @@ def _make_fused_vec(
     R = cfg.reflections if cfg.shader == "phong" else 0
     n_vis = n_lights * (1 + R) if (cfg.shadows and cfg.shader == "phong") else 0
 
+    # Finer chunk-skip for texel-bearing groups (see VecTileConfig.tex_chunk):
+    # must divide CHUNK so the SMEM pad rows / kbest numbering are unchanged.
+    tc = max(1, min(tiles.tex_chunk, CHUNK))
+    assert CHUNK % tc == 0, f"tex_chunk {tc} must divide CHUNK {CHUNK}"
+    sph_chunk = tc if sph_tex_len else CHUNK
+    rct_chunk = tc if rct_tex_len else CHUNK
+
     def tile_coords(off_ref, i, j, bh_, bw_):
         row0 = off_ref[0, 0] + (i * bh_).astype(f32)
         col0 = off_ref[0, 1] + (j * bw_).astype(f32)
@@ -690,6 +710,7 @@ def _make_fused_vec(
                 sph_read, n_sph, rct_read, n_rct, o_l, d_l, (bh, bw), t,
                 kbest, ns_pad, p_sph=p_sph, p_rct=p_rct,
                 with_mirror=depth < R,
+                sph_chunk=sph_chunk, rct_chunk=rct_chunk,
             )
             return t, hit, at
 
@@ -812,6 +833,7 @@ def _make_fused_vec(
                     sph_read, n_sph, rct_read, n_rct, o_l, d_l, shape,
                     t_sel, kbest, ns_pad, p_sph=p_sph, p_rct=p_rct,
                     with_mirror=wm,
+                    sph_chunk=sph_chunk, rct_chunk=rct_chunk,
                 )
                 planes = tuple(
                     jax.lax.stop_gradient(at_replay[name]) for name in names
@@ -933,7 +955,8 @@ def _make_fused_vec(
             jax.lax.fori_loop(0, nr_pad, z_rct, 0)
 
         def obj_backward(eval_fn, read, P, k_offset, dref, n_obj,
-                         kbest, o_l, d_l, d_t, d_planes, with_m, mir_idx):
+                         kbest, o_l, d_l, d_t, d_planes, with_m, mir_idx,
+                         chunk):
             """Chunked masked vjps: a CHUNK of objects whose members win no
             pixel of this tile has identically-zero cotangents, so the whole
             chunk's vjps are skipped with ONE lax.cond (per-object conds
@@ -967,22 +990,22 @@ def _make_fused_vec(
                 return (vm.vadd(d_o_acc, d_o_k), vm.vadd(d_d_acc, d_d_k))
 
             def chunk_body(ci, acc):
-                k0 = ci * CHUNK
+                k0 = ci * chunk
                 lo = k0 + k_offset
                 in_chunk = (
-                    (kbest >= lo) & (kbest < lo + CHUNK)
+                    (kbest >= lo) & (kbest < lo + chunk)
                 ).astype(f32)
                 any_live = jnp.max(in_chunk) > 0.0
                 return jax.lax.cond(
                     any_live,
                     lambda a: jax.lax.fori_loop(
-                        k0, k0 + CHUNK, per_object, a
+                        k0, k0 + chunk, per_object, a
                     ),
                     lambda a: a,
                     acc,
                 )
 
-            n_chunks = (n_obj + CHUNK - 1) // CHUNK
+            n_chunks = (n_obj + chunk - 1) // chunk
             return chunk_body, n_chunks
 
         # Reverse pass, per subsample, over the levels deepest first. Each
@@ -1021,12 +1044,14 @@ def _make_fused_vec(
                     chunk_body, n_chunks = obj_backward(
                         _sphere_eval, sph_read, p_sph, 0, dsph_ref, n_sph,
                         kbest, o_l, d_l, d_t_l, d_pl_l, with_m, P_SPH - 1,
+                        sph_chunk,
                     )
                     acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
                 if n_rct:
                     chunk_body, n_chunks = obj_backward(
                         _rect_eval, rct_read, p_rct, ns_pad, drct_ref, n_rct,
                         kbest, o_l, d_l, d_t_l, d_pl_l, with_m, P_RCT - 1,
+                        rct_chunk,
                     )
                     acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
                 d_o_obj, d_d_obj = acc

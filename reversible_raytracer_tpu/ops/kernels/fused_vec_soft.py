@@ -260,6 +260,20 @@ def _occluded_soft_loop(sph_read, n_sph, rct_read, n_rct, tau, unroll=1):
     return occluded_fn
 
 
+def soft_kernel_ok(scene_like: Scene) -> bool:
+    """Can the soft kernel family handle this scene? The ONE shared
+    eligibility predicate for every dispatch site (ops.render.resolve_impl
+    and optim.anneal_stage_impl — round-3 ADVICE flagged the duplicated
+    inline copies as drift-prone). True when the scene has no OBJECT texel
+    grids (the soft SMEM object rows hold scalars) and any env map fits
+    the dense-sampler budget (K <= 32 — same threshold as the hard vec
+    family; TPU-validated at K=16 by docs/vec_textured_tpu_check.json's
+    softenv rows, with the K=32 boundary itself checked by
+    `scripts/vec_textured_tpu_check.py --mode softenv --k 32`)."""
+    k = int(np.shape(scene_like.env)[0])
+    return not scene_object_textured(scene_like) and k <= 32
+
+
 def auto_tiles_soft(scene_like: Scene,
                     tiles: "VecTileConfig | None") -> VecTileConfig:
     """Default tiling with a backward-tile shrink for env-mapped scenes:

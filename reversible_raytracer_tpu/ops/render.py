@@ -57,15 +57,14 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
         # threshold as the hard vec kernels), object texel grids and
         # the checker-only relaxation run on the jnp path.
         # (reflections + taus raises in jnp_vec — the relaxations are
-        # reflections-exclusive.)
-        from ..models.scene import scene_object_textured
+        # reflections-exclusive.) Eligibility is the shared
+        # fused_vec_soft.soft_kernel_ok predicate (one source of truth
+        # with optim.anneal_stage_impl).
+        from .kernels.fused_vec_soft import soft_kernel_ok
 
-        soft_kernel_ok = (
-            not scene_object_textured(scene) and env_size(scene) <= 32
-        )
         return (
             "pallas_vec_soft"
-            if (on_tpu and cfg.soft_tau > 0.0 and soft_kernel_ok)
+            if (on_tpu and cfg.soft_tau > 0.0 and soft_kernel_ok(scene))
             else "jnp_vec"
         )
     if textured:

@@ -127,6 +127,89 @@ def project_bounds(scene: Scene, spec: ParamSpec) -> Scene:
     )
 
 
+def make_flat_update(template: Scene, spec: ParamSpec, ocfg: OptConfig):
+    """Optimizer update on ONE flat f32 vector (round 4, VERDICT r3 #4).
+
+    The per-leaf update (mask -> adam -> lr-scale -> apply -> project) emits
+    a separate tiny XLA fusion per scene leaf: ~34 leaves x a few fusions
+    each ~ 0.4 ms/step on v5e — 3x the 0.128 ms fused training kernel it
+    wraps (measured: optimize_scan step 0.55 ms vs bare vag 0.128 ms).
+    Flattening the whole scene with `ravel_pytree` collapses the update to
+    a handful of vector ops on one ~O(10^2..10^4)-element array.
+
+    Semantics are element-for-element identical to the per-leaf chain
+    (masking, Adam/SGD, `lr_scales` path rules, cosine schedule, box
+    projection are all elementwise; the ParamSpec registry is pre-flattened
+    into aligned mask/lo/hi/scale vectors). Enforced by
+    tests/test_optimize.py::test_flat_update_matches_per_leaf_step.
+
+    Returns ``(init, apply)`` with ``init(scene) -> opt_state`` and
+    ``apply(scene, opt_state, grads) -> (scene, opt_state, grad_norm)``.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    from .models.scene import path_matches
+
+    _, unravel = ravel_pytree(template)
+
+    def expand(fills):
+        # Per-leaf scalar registry entry -> full-leaf-shape f32 vector.
+        return ravel_pytree(jax.tree_util.tree_map(
+            lambda leaf, v: jnp.full(jnp.shape(leaf), v, jnp.float32),
+            template, fills,
+        ))[0]
+
+    mask = expand(spec.trainable)
+    lo = expand(spec.lower)
+    hi = expand(spec.upper)
+
+    def scale_leaf(path, leaf):
+        name = _path_name(path)
+        for needle, mult in ocfg.lr_scales:
+            if path_matches(name, needle):
+                return jnp.full(jnp.shape(leaf), mult, jnp.float32)
+        return jnp.full(jnp.shape(leaf), 1.0, jnp.float32)
+
+    scale = ravel_pytree(
+        jax.tree_util.tree_map_with_path(scale_leaf, template)
+    )[0]
+
+    if ocfg.optimizer == "sgd":
+        base = [optax.trace(decay=ocfg.momentum)] if ocfg.momentum else []
+    elif ocfg.optimizer == "adam":
+        base = [optax.scale_by_adam(b1=ocfg.b1, b2=ocfg.b2, eps=ocfg.eps)]
+    else:
+        raise ValueError(f"unknown optimizer {ocfg.optimizer!r}")
+
+    # lr_scales multiply AFTER the base normalization, BEFORE the lr — the
+    # exact chain position of scale_by_path in make_optimizer (float
+    # multiplies don't commute in rounding; same order keeps the two paths
+    # bit-compatible).
+    def _scale_by_vector():
+        return optax.GradientTransformation(
+            lambda params: optax.EmptyState(),
+            lambda updates, st, params=None: (updates * scale, st),
+        )
+
+    parts = base
+    if ocfg.lr_scales:
+        parts = parts + [_scale_by_vector()]
+    tx = optax.chain(*parts, optax.scale_by_learning_rate(ocfg.learning_rate()))
+
+    def init(scene: Scene):
+        return tx.init(ravel_pytree(scene)[0])
+
+    def apply(scene: Scene, opt_state, grads: Scene):
+        g = ravel_pytree(grads)[0] * mask
+        gnorm = jnp.sqrt(jnp.sum(g * g))
+        u, new_state = tx.update(g, opt_state)
+        flat = ravel_pytree(scene)[0] + u
+        flat = jnp.where(mask > 0, jnp.clip(flat, lo, hi), flat)
+        return unravel(flat), new_state, gnorm
+
+    return init, apply
+
+
 def make_step(
     rcfg: RenderConfig,
     spec: ParamSpec,
@@ -269,11 +352,12 @@ def optimize_scan(
         cache_key = cache_key or "jnp-default"
     loss_of = loss_fn_for(ocfg.loss)
     target = jnp.asarray(target, jnp.float32)
-    tx = make_optimizer(ocfg)
+    # Flat-vector update (make_flat_update): the per-leaf optax chain costs
+    # more than the fused render kernel per step on TPU (one tiny XLA
+    # fusion per scene leaf); the flat form is a handful of vector ops.
+    finit, fapply = make_flat_update(scene, spec, ocfg)
 
     def build(length):
-        tx_b = make_optimizer(ocfg)
-
         @jax.jit
         def run(scene: Scene, opt_state, target):
             def body(carry, _):
@@ -287,10 +371,7 @@ def optimize_scan(
                     l, grads = jax.value_and_grad(
                         lambda s: loss_of(render_fn(s), target)
                     )(scene)
-                grads = mask_grads(grads, spec)
-                updates, opt_state = tx_b.update(grads, opt_state, scene)
-                scene = optax.apply_updates(scene, updates)
-                scene = project_bounds(scene, spec)
+                scene, opt_state, _ = fapply(scene, opt_state, grads)
                 return (scene, opt_state), l
 
             (scene, opt_state), losses = jax.lax.scan(
@@ -322,7 +403,7 @@ def optimize_scan(
         n_full, rem = divmod(ocfg.iters, max_chunk)
         lengths = [max_chunk] * n_full + ([rem] if rem else [])
 
-    opt_state = tx.init(scene)
+    opt_state = finit(scene)
     all_losses = []
     it = 0
     for length in lengths:
@@ -423,11 +504,9 @@ def anneal_stage_impl(scene: Scene, tau: float) -> str:
         return "jnp_vec"
     textured = scene_textured(scene)
     if tau > 0.0:
-        from .models.scene import scene_object_textured
-        from .ops.render import env_size
+        from .ops.kernels.fused_vec_soft import soft_kernel_ok
 
-        soft_ok = not scene_object_textured(scene) and env_size(scene) <= 32
-        return "pallas_vec_soft" if soft_ok else "jnp_vec"
+        return "pallas_vec_soft" if soft_kernel_ok(scene) else "jnp_vec"
     if textured:
         from .ops.kernels.fused_vec import vec_smem_ok
         from .ops.render import env_size

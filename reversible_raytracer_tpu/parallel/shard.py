@@ -29,7 +29,14 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.scene import ParamSpec, Scene
-from ..optim import OptConfig, loss_fn_for, make_optimizer, mask_grads, project_bounds
+from ..optim import (
+    OptConfig,
+    loss_fn_for,
+    make_flat_update,
+    make_optimizer,
+    mask_grads,
+    project_bounds,
+)
 from ..ops.pipeline import RenderConfig
 from ..ops.render import render_jnp
 
@@ -210,26 +217,28 @@ def make_sharded_step(
     n = mesh.shape[RAYS_AXIS]
     assert rcfg.height % n == 0
     band = rcfg.height // n
-    tx = make_optimizer(ocfg)
     loss_and_grads = _sharded_loss_and_grads(mesh, rcfg, band, ocfg.loss, impl)
 
     target_sharding = NamedSharding(mesh, P(RAYS_AXIS))
     replicated = NamedSharding(mesh, P())
+    flat_init, flat_apply = None, None  # built lazily from the first scene
 
     @jax.jit
     def step(scene, opt_state, target):
         l, grads = loss_and_grads(scene, target)
-        grads = mask_grads(grads, spec)
-        gnorm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, opt_state, scene)
-        scene = optax.apply_updates(scene, updates)
-        scene = project_bounds(scene, spec)
+        # Flat-vector update (optim.make_flat_update): the per-leaf chain
+        # costs one tiny XLA fusion per scene leaf — more than the fused
+        # band kernel itself per step (VERDICT r3 #4).
+        scene, opt_state, gnorm = flat_apply(scene, opt_state, grads)
         return scene, opt_state, l, gnorm
 
     def init(scene, target):
+        nonlocal flat_init, flat_apply
+        if flat_init is None:
+            flat_init, flat_apply = make_flat_update(scene, spec, ocfg)
         scene = jax.device_put(scene, replicated)
         target = jax.device_put(jnp.asarray(target, jnp.float32), target_sharding)
-        return scene, tx.init(scene), target
+        return scene, flat_init(scene), target
 
     return step, init
 
@@ -256,22 +265,19 @@ def optimize_sharded_scan(
     band = rcfg.height // n
 
     def build():
-        tx = make_optimizer(ocfg)
         loss_and_grads = _sharded_loss_and_grads(
             mesh, rcfg, band, ocfg.loss, impl
         )
+        flat_init, flat_apply = make_flat_update(scene, spec, ocfg)
 
         @jax.jit
         def run(scene, target):
-            opt_state = tx.init(scene)
+            opt_state = flat_init(scene)
 
             def body(carry, _):
                 scene, opt_state = carry
                 l, grads = loss_and_grads(scene, target)
-                grads = mask_grads(grads, spec)
-                updates, opt_state = tx.update(grads, opt_state, scene)
-                scene = optax.apply_updates(scene, updates)
-                scene = project_bounds(scene, spec)
+                scene, opt_state, _ = flat_apply(scene, opt_state, grads)
                 return (scene, opt_state), l
 
             (scene, _), losses = jax.lax.scan(

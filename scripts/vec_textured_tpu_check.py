@@ -78,7 +78,7 @@ def _check_one(tag, scene, cfg, results, skip_jnp, grad_leaf,
     )(scene)
     l_r = float(l_r)
     assert abs(l_k - l_r) <= 1e-4 * max(l_r, 1e-9) + 1e-9, (l_k, l_r)
-    worst = 0.0
+    worst, worst_p = 0.0, "(no differing leaf)"
     for (path, a), (_, b) in zip(
         jax.tree_util.tree_flatten_with_path(g_k)[0],
         jax.tree_util.tree_flatten_with_path(g_r)[0],
@@ -94,7 +94,14 @@ def _check_one(tag, scene, cfg, results, skip_jnp, grad_leaf,
     assert worst < 5e-2, (worst, worst_p)  # boundary-flip class
     tex_g = np.abs(np.asarray(grad_leaf(g_k)))
     assert tex_g.max() > 0.0, "texel grads are dead"
+    # Persist the audit trail (VERDICT r3 #5: the committed JSON carried
+    # bit-identical env/tex worst-rels with no leaf names to adjudicate
+    # coincidence vs stale merge — every figure now names its leaf and
+    # records both loss values from THIS run).
     results[f"{tag}_grads_worst_rel"] = worst
+    results[f"{tag}_grads_worst_leaf"] = worst_p
+    results[f"{tag}_loss_kernel"] = l_k
+    results[f"{tag}_loss_vag"] = l_r
 
     t_step = _scan_steps_vag(
         lambda s, t: loss_grad_pallas_vec(s, cfg, t), scene, target, 10, 60

@@ -125,3 +125,118 @@ def test_config2_converges():
     err = float(param_error(final, scene, spec))
     assert err < 0.06, f"param RMS {e0} -> {err}"
     assert float(np.asarray(losses)[-1]) < float(np.asarray(losses)[0]) * 0.6
+
+
+def test_flat_update_matches_per_leaf_step():
+    """optim.make_flat_update (the single-vector optimizer update used by
+    optimize_scan and the sharded steps) is element-for-element the same
+    math as the per-leaf chain in make_step — including gradient masking,
+    Adam, lr_scales path rules, the cosine schedule, and box projection."""
+    from reversible_raytracer_tpu.optim import make_flat_update
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    import optax as _optax
+
+    from reversible_raytracer_tpu.optim import (
+        make_optimizer,
+        mask_grads,
+    )
+
+    scene, spec, _ = configs.config2_four_spheres()
+    cfg = RenderConfig(height=32, width=32, shadows=True)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.2, seed=4)
+    ocfg = OptConfig(
+        iters=5, lr=2e-2, schedule="cosine",
+        lr_scales=(("spheres.radius", 0.3), ("spheres.material.color", 2.0)),
+    )
+
+    # Both update paths are driven by ONE gradient stream (a separately-
+    # compiled grad program can differ from make_step's fused one by a few
+    # ulp, which the optimizer dynamics then amplify — the claim under
+    # test is the UPDATE math, so the inputs must be identical).
+    vag = jax.jit(jax.value_and_grad(
+        lambda s: mse_loss(render_jnp(s, cfg), target)
+    ))
+    tx = make_optimizer(ocfg)
+    finit, fapply = make_flat_update(start, spec, ocfg)
+    s_flat, o_flat = start, finit(start)
+    o_leaf = tx.init(start)
+    for _ in range(5):
+        _, grads = vag(s_flat)
+        # Per-leaf chain applied to the SAME (scene, grads).
+        mg = mask_grads(grads, spec)
+        gn_ref = float(_optax.global_norm(mg))
+        updates, o_leaf = tx.update(mg, o_leaf, s_flat)
+        s_ref = _optax.apply_updates(s_flat, updates)
+        s_ref = project_bounds(s_ref, spec)
+        # Flat update on the same inputs; both states advance in lockstep.
+        s_flat, o_flat, gn_flat = fapply(s_flat, o_flat, grads)
+        for (p, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref),
+            jax.tree_util.tree_leaves(s_flat),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9,
+                err_msg=f"leaf {jax.tree_util.keystr(p)} diverged",
+            )
+        np.testing.assert_allclose(gn_ref, float(gn_flat), rtol=1e-5)
+
+
+def test_flat_update_untrainable_leaves_bit_identical():
+    """Frozen leaves must come back BIT-identical through the flat
+    round-trip (ravel -> update -> unravel): masked gradients are exactly
+    zero, Adam's update of a zero gradient is exactly zero, and the bounds
+    projection is gated on the mask."""
+    from reversible_raytracer_tpu.optim import make_flat_update
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    scene, spec, _ = configs.config1_single_sphere()
+    cfg = RenderConfig(height=24, width=24, shadows=False)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.2, seed=3)
+    finit, fapply = make_flat_update(start, spec, OptConfig(iters=1, lr=5e-2))
+    _, grads = jax.value_and_grad(
+        lambda s: mse_loss(render_jnp(s, cfg), target)
+    )(start)
+    new_scene, _, _ = fapply(start, finit(start), grads)
+    np.testing.assert_array_equal(
+        np.asarray(new_scene.lights.position), np.asarray(start.lights.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_scene.camera.eye), np.asarray(start.camera.eye)
+    )
+    assert not np.array_equal(
+        np.asarray(new_scene.spheres.center), np.asarray(start.spheres.center)
+    )
+
+
+def test_flat_update_sgd_momentum_matches():
+    """SGD+momentum through the flat path equals the per-leaf chain (the
+    annealed hard-polish stage runs SGD — see optimize_annealed)."""
+    from reversible_raytracer_tpu.optim import make_flat_update
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    scene, spec, _ = configs.config1_single_sphere()
+    cfg = RenderConfig(height=24, width=24, shadows=False)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.2, seed=5)
+    ocfg = OptConfig(iters=4, lr=0.3, optimizer="sgd", momentum=0.9,
+                     schedule="constant")
+
+    step, tx = make_step(cfg, spec, ocfg)
+    s1, o1 = start, tx.init(start)
+    for _ in range(4):
+        s1, o1, _, _ = step(s1, o1, target)
+
+    vag = jax.jit(jax.value_and_grad(
+        lambda s: mse_loss(render_jnp(s, cfg), target)
+    ))
+    finit, fapply = make_flat_update(start, spec, ocfg)
+    s2, o2 = start, finit(start)
+    for _ in range(4):
+        _, grads = vag(s2)
+        s2, o2, _ = fapply(s2, o2, grads)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7)

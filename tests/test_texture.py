@@ -685,3 +685,40 @@ def test_loss_and_grad_fn_textured_dispatch(monkeypatch):
     assert kind(R.loss_and_grad_fn(scene, cfg, impl="pallas")) == "unrolled"
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert kind(R.loss_and_grad_fn(scene, cfg)) == "fallback"
+
+
+def test_vec_kernel_tex_chunk_bitwise_invariant():
+    """VecTileConfig.tex_chunk (round 4: finer chunk-skip granularity for
+    texel-bearing groups) is a pure scheduling knob: render AND fused-step
+    loss/grads are BITWISE identical at any divisor of CHUNK (disjoint
+    kbest masks; skipped chunks' vjps are exactly zero)."""
+    import dataclasses
+
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        VecTileConfig,
+        auto_tiles,
+        loss_grad_pallas_vec,
+        render_pallas_vec,
+    )
+
+    scene, spec = _big_textured_scene()
+    cfg = RenderConfig(height=48, width=64, shadows=True)
+    target = jnp.asarray(np.linspace(0, 1, 48 * 64 * 3, dtype=np.float32)
+                         .reshape(48, 64, 3))
+    base_tiles = auto_tiles(scene, cfg, None)
+    ref_img = None
+    ref = None
+    for c in (16, 4, 1):
+        tiles = dataclasses.replace(base_tiles, tex_chunk=c)
+        img = np.asarray(render_pallas_vec(scene, cfg, tiles=tiles,
+                                           interpret=True))
+        l, g = loss_grad_pallas_vec(scene, cfg, target, tiles=tiles,
+                                    interpret=True)
+        if ref is None:
+            ref_img, ref = img, (float(l), g)
+            continue
+        np.testing.assert_array_equal(img, ref_img)
+        assert float(l) == ref[0]
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(ref[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
