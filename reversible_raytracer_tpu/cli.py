@@ -184,7 +184,7 @@ def cmd_invert(args):
             final, best_loss, finals = optimize_multistart(
                 start, target, spec, cfg, ocfg,
                 restarts=args.restarts, jitter=args.restart_jitter,
-                seed=args.seed + 1000,
+                seed=args.seed + 1000, proposal=args.restart_proposal,
                 taus=taus, target_scene=truth,
                 soft_size=args.anneal_size, checker_ratio=args.checker_ratio,
                 max_chunk=max_chunk, chunk_callback=frame_cb,
@@ -345,6 +345,12 @@ def main(argv=None):
                          "docs/OPTIMIZATION_NOTES.md)")
     pi.add_argument("--restart-jitter", type=float, default=0.15,
                     help="relative re-perturbation scale for --restarts")
+    pi.add_argument("--restart-proposal", default="jitter",
+                    choices=["jitter", "per_sphere", "swap", "mixed"],
+                    help="restart proposal family (optim.propose_restart): "
+                         "structure-aware moves (per-sphere re-jitter, "
+                         "pairwise identity swaps) attack topology stalls "
+                         "that i.i.d. jitter cannot reach")
     pi.add_argument("--anneal-size", type=int, default=None,
                     help="resolution for the soft anneal stages (coarse-to-"
                          "fine; the final hard stage runs at full size)")

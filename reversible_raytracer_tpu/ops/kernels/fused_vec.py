@@ -156,8 +156,10 @@ class VecTileConfig:
     # per pixel per member). Must divide CHUNK so SMEM padding and kbest
     # numbering are untouched; results are bitwise-identical for ANY
     # value (disjoint masks; skipped vjps are exactly zero). Untextured
-    # groups always use CHUNK. auto_tiles picks the swept default
-    # (scripts/tex_chunk_sweep.py records the v5e numbers).
+    # groups always use CHUNK. auto_tiles picks the swept default: v5e
+    # 64 textured spheres (K=16) 512^2 fused step
+    # (scripts/tex_chunk_sweep.py): 10.61 ms (16) / 8.21 (8) / 5.07 (4)
+    # / 4.16 (2) / 4.25 (1) — chunk 2 wins, 2.55x over the round-3 16.
     tex_chunk: int = CHUNK
 
 
@@ -564,8 +566,12 @@ def auto_tiles(scene_like: Scene, cfg: RenderConfig,
     if obj_tex:
         # Texel-tail rows: the backward's per-texel masked reductions
         # prefer smaller tiles (swept at 64 textured spheres K=16 512^2:
-        # 10.61 ms at 32 rows vs 11.56 at 64; 128 fails to compile).
+        # 10.61 ms at 32 rows vs 11.56 at 64; 128 fails to compile), and
+        # the dense K^2-MAC texel sampling wants the FINE chunk-skip
+        # (round 4: tex_chunk=2 takes the same scene 10.61 -> 4.16 ms —
+        # see VecTileConfig.tex_chunk).
         bwd = min(bwd, 32)
+        t = dataclasses.replace(t, tex_chunk=2)
         if refl:
             # Textured bounces multiply the texel-accumulator live set by
             # the level count (each level's replay keeps its own hat-weight

@@ -44,10 +44,15 @@ soft-specific site is the compositor's blend target, which becomes the
 per-pixel `pipeline.miss_color` env sample of the primary ray direction
 (mirroring `pipeline_vec._render_soft`'s `bg`); env texel gradients fall
 out of the backward's S-stage vjp (shade + composite), which already
-differentiates w.r.t. the flat globals. Object texel grids stay refused
-(the SMEM rows here hold scalars; `impl='auto'`/`anneal_stage_impl`
-route object-textured soft stages to render_jnp_vec) — annealing a
-large env-mapped scene's GEOMETRY now runs its soft stages in-kernel.
+differentiates w.r.t. the flat globals.
+
+Object texel grids (round 4, VERDICT r3 #6): textured groups append
+their texel grids to the SMEM object rows exactly like `fused_vec` (the
+shared `_row_plan` / `vec_smem_ok` budget); `_sphere_eval`/`_rect_eval`
+auto-detect the long rows and sample dense, and the backward's
+per-object masked vjps emit texel cotangents through the same dpv
+write-back. Soft anneal stages of object-textured vec-scale scenes now
+run in-kernel instead of on render_jnp_vec (~140-310 ms/step class).
 """
 
 from __future__ import annotations
@@ -185,17 +190,22 @@ def _two_min_loop(sph_read, n_sph, rct_read, n_rct, o, d, shape, rct_offset,
 
 
 def _resolve_soft_layer(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel,
-                        kbest, rct_offset, tau, checker_tau):
+                        kbest, rct_offset, tau, checker_tau,
+                        p_sph: int = P_SPH, p_rct: int = P_RCT,
+                        sph_chunk: int = CHUNK, rct_chunk: int = CHUNK):
     """Chunk-skipped resolve of one layer's attribute planes + its soft
     alpha (same pattern as fused_vec._resolve_attrs; sphere alpha is the
     sigmoid coverage, rect alpha is 1 — a rect can only win with a real
     hit). Returns (attrs dict, alpha plane). ``checker_tau`` is the runtime
-    soft-checker temperature (see fused_vec._sphere_eval)."""
+    soft-checker temperature (see fused_vec._sphere_eval). ``p_sph``/
+    ``p_rct`` > the base widths mean texel row tails (round 4 — the eval
+    fns auto-detect and sample dense); ``sph_chunk``/``rct_chunk`` are the
+    skip granularities (finer for texel rows, fused_vec.tex_chunk)."""
     f32 = jnp.float32
     zero = jnp.zeros(shape, f32)
     planes = tuple([zero] * 9 + [jnp.ones(shape, f32)] + [zero])  # + alpha
 
-    def group(is_sphere, read, P, k_offset, n_obj, planes):
+    def group(is_sphere, read, P, k_offset, n_obj, planes, chunk):
         def per_object(k, planes):
             mask = kbest == (k + k_offset)
             pv = tuple(read(k, c) for c in range(P))
@@ -211,24 +221,25 @@ def _resolve_soft_layer(sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel,
             return tuple(jnp.where(mask, nv, ov) for nv, ov in zip(new, planes))
 
         def chunk_body(ci, planes):
-            k0 = ci * CHUNK
+            k0 = ci * chunk
             lo = k0 + k_offset
-            in_chunk = ((kbest >= lo) & (kbest < lo + CHUNK)).astype(f32)
+            in_chunk = ((kbest >= lo) & (kbest < lo + chunk)).astype(f32)
             any_live = jnp.max(in_chunk) > 0.0
             return jax.lax.cond(
                 any_live,
-                lambda p: jax.lax.fori_loop(k0, k0 + CHUNK, per_object, p),
+                lambda p: jax.lax.fori_loop(k0, k0 + chunk, per_object, p),
                 lambda p: p,
                 planes,
             )
 
-        n_chunks = (n_obj + CHUNK - 1) // CHUNK
+        n_chunks = (n_obj + chunk - 1) // chunk
         return jax.lax.fori_loop(0, n_chunks, chunk_body, planes)
 
     if n_sph:
-        planes = group(True, sph_read, P_SPH, 0, n_sph, planes)
+        planes = group(True, sph_read, p_sph, 0, n_sph, planes, sph_chunk)
     if n_rct:
-        planes = group(False, rct_read, P_RCT, rct_offset, n_rct, planes)
+        planes = group(False, rct_read, p_rct, rct_offset, n_rct, planes,
+                       rct_chunk)
     return dict(zip(ATTR_NAMES, planes[:10])), planes[10]
 
 
@@ -269,9 +280,15 @@ def soft_kernel_ok(scene_like: Scene) -> bool:
     the dense-sampler budget (K <= 32 — same threshold as the hard vec
     family; TPU-validated at K=16 by docs/vec_textured_tpu_check.json's
     softenv rows, with the K=32 boundary itself checked by
-    `scripts/vec_textured_tpu_check.py --mode softenv --k 32`)."""
+    `scripts/vec_textured_tpu_check.py --mode softenv --k 32`). Round 4:
+    OBJECT texel grids are supported too — they ride per-row SMEM tails
+    exactly like the hard family (same probed `vec_smem_ok` budget), so
+    the soft anneal stages of an object-textured vec-scale scene now run
+    in-kernel instead of at XLA speed (VERDICT r3 #6)."""
+    from .fused_vec import vec_smem_ok
+
     k = int(np.shape(scene_like.env)[0])
-    return not scene_object_textured(scene_like) and k <= 32
+    return vec_smem_ok(scene_like) and k <= 32
 
 
 def auto_tiles_soft(scene_like: Scene,
@@ -286,9 +303,17 @@ def auto_tiles_soft(scene_like: Scene,
     if tiles is not None:
         return tiles
     t = VecTileConfig()
+    bwd = t.bh_bwd
     if scene_like.env_mapped:
-        return dataclasses.replace(t, bh_bwd=32)
-    return t
+        bwd = 32
+    if scene_object_textured(scene_like):
+        # Texel-tail rows (round 4): same live-set class as the hard
+        # family's textured backward (per-texel reduction partials x the
+        # TWO composited layers) — adopt its 32-row shrink and its swept
+        # skip granularity (tex_chunk=2, fused_vec.auto_tiles).
+        bwd = min(bwd, 32)
+        t = dataclasses.replace(t, tex_chunk=2)
+    return dataclasses.replace(t, bh_bwd=bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -314,24 +339,34 @@ def _make_fused_vec_soft(
             "mirror reflections require hard semantics (reflections=0 when "
             "soft_tau > 0; anneal to hard, then polish with reflections on)"
         )
-    if scene_object_textured(scene_like):
-        raise NotImplementedError(
-            "object texel grids render via the jnp paths (the soft SMEM "
-            "object rows hold scalars; env maps ARE supported — they ride "
-            "the globals plan) — impl='auto'/anneal_stage_impl route"
-        )
     out_h = cfg.height if out_h is None else out_h
     n_sph = scene_like.spheres.count
     n_rct = scene_like.rects.count
     n_lights = scene_like.lights.count
     env_shape = tuple(np.shape(scene_like.env))
+    sph_tex_shape = tuple(np.shape(scene_like.spheres.texture))
+    rct_tex_shape = tuple(np.shape(scene_like.rects.texture))
+    # Texel row tails (round 4, VERDICT r3 #6): same SMEM row plan as the
+    # hard family — textured groups append K*K*3 texel scalars per row,
+    # the eval fns auto-detect, and the backward's per-object vjps emit
+    # texel cotangents through the same dpv write-back.
+    from .fused_vec import SMEM_BUDGET_BYTES, _row_plan, vec_smem_ok
+
+    (p_sph, p_rct, ns_pad_est, nr_pad_est,
+     sph_tex_len, rct_tex_len, smem_bytes) = _row_plan(scene_like)
+    if not vec_smem_ok(scene_like):
+        raise NotImplementedError(
+            f"textured object rows need {smem_bytes//1024} KiB of SMEM "
+            f"(> the ~{SMEM_BUDGET_BYTES//1024} KiB budget) — this scene "
+            "renders via jnp_vec (impl='auto' routes)"
+        )
     # tau enters the kernels as a runtime SMEM scalar, NOT a compile-time
     # constant: the annealed inversion sweeps tau per stage and must reuse
     # ONE compiled kernel pair (the soft fwd compile is minutes-long).
     # Both taus are runtime SMEM scalars — neutralize them in the cache key
     # so every anneal stage (soft AND checker temperature) shares ONE compile.
     # env_shape is in the key: the flat-globals width Sg depends on it.
-    key = ((n_sph, n_rct, n_lights, env_shape),
+    key = ((n_sph, n_rct, n_lights, env_shape, sph_tex_shape, rct_tex_shape),
            dataclasses.replace(cfg, soft_tau=1.0, checker_tau=1.0),
            tiles, interpret, out_h)
     hit_entry = _CACHE.get(key)
@@ -346,8 +381,18 @@ def _make_fused_vec_soft(
     Hp = _round_up(H, math.lcm(bh, bhb))
     Wp = _round_up(W, math.lcm(bw, bwb))
     f32 = jnp.float32
-    ns_pad = _round_up(max(n_sph, 1), CHUNK)
-    nr_pad = _round_up(max(n_rct, 1), CHUNK)
+    ns_pad = ns_pad_est
+    nr_pad = nr_pad_est
+    sph_pad_row = np.concatenate(
+        [_SPH_PAD_ROW, np.full(sph_tex_len, 0.5, np.float32)]
+    ) if sph_tex_len else _SPH_PAD_ROW
+    rct_pad_row = np.concatenate(
+        [_RCT_PAD_ROW, np.full(rct_tex_len, 0.5, np.float32)]
+    ) if rct_tex_len else _RCT_PAD_ROW
+    tc = max(1, min(tiles.tex_chunk, CHUNK))
+    assert CHUNK % tc == 0, f"tex_chunk {tc} must divide CHUNK {CHUNK}"
+    sph_chunk = tc if sph_tex_len else CHUNK
+    rct_chunk = tc if rct_tex_len else CHUNK
     cfg_layer = dataclasses.replace(cfg, clip=False, soft_tau=0.0)
 
     def tile_coords(off_ref, i, j, bh_, bw_):
@@ -375,7 +420,8 @@ def _make_fused_vec_soft(
             live = t_sel < BIG * 0.5
             at, alpha = _resolve_soft_layer(
                 sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kb,
-                ns_pad, tau, ctau,
+                ns_pad, tau, ctau, p_sph=p_sph, p_rct=p_rct,
+                sph_chunk=sph_chunk, rct_chunk=rct_chunk,
             )
             a = jnp.where(live, alpha, 0.0)
             col = shade_from_attrs(
@@ -421,8 +467,8 @@ def _make_fused_vec_soft(
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((bh, bw), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -499,7 +545,8 @@ def _make_fused_vec_soft(
         for t_sel, kb in ((t1, k1), (t2, k2)):
             at_l, alpha_l = _resolve_soft_layer(
                 sph_read, n_sph, rct_read, n_rct, o, d, shape, t_sel, kb,
-                ns_pad, tau, ctau,
+                ns_pad, tau, ctau, p_sph=p_sph, p_rct=p_rct,
+                sph_chunk=sph_chunk, rct_chunk=rct_chunk,
             )
             planes = tuple(
                 jax.lax.stop_gradient(at_l[name]) for name in ATTR_NAMES
@@ -589,12 +636,12 @@ def _make_fused_vec_soft(
                 dglob_ref[0, idx] = 0.0
 
             def z_sph(k, _):
-                for c in range(P_SPH):
+                for c in range(p_sph):
                     dsph_ref[k, c] = 0.0
                 return 0
 
             def z_rct(k, _):
-                for c in range(P_RCT):
+                for c in range(p_rct):
                     drct_ref[k, c] = 0.0
                 return 0
 
@@ -756,7 +803,7 @@ def _make_fused_vec_soft(
                 def per_object(k, acc2):
                     d_o_a, d_d_a = acc2
                     mask = (kbest_l == k).astype(f32_)
-                    pv = tuple(sph_read(k, c) for c in range(P_SPH))
+                    pv = tuple(sph_read(k, c) for c in range(p_sph))
 
                     def f(pv, o, d):
                         t_rank, alpha = _sphere_soft_geom(pv[:4], o, d, tau)
@@ -773,27 +820,28 @@ def _make_fused_vec_soft(
                             + tuple(p * mask for p in d_planes)
                             + (d_alpha * mask,))
                     dpv, d_o_k, d_d_k = obj_vjp(cots)
-                    for c in range(P_SPH):
+                    for c in range(p_sph):
                         dsph_ref[k, c] = dsph_ref[k, c] + dpv[c]
                     return (vm.vadd(d_o_a, d_o_k), vm.vadd(d_d_a, d_d_k))
 
                 def chunk_body(ci, acc2):
-                    k0 = ci * CHUNK
-                    in_chunk = ((kbest_l >= k0) & (kbest_l < k0 + CHUNK)).astype(f32_)
+                    k0 = ci * sph_chunk
+                    in_chunk = ((kbest_l >= k0) & (kbest_l < k0 + sph_chunk)).astype(f32_)
                     return jax.lax.cond(
                         jnp.max(in_chunk) > 0.0,
-                        lambda a: jax.lax.fori_loop(k0, k0 + CHUNK, per_object, a),
+                        lambda a: jax.lax.fori_loop(k0, k0 + sph_chunk, per_object, a),
                         lambda a: a,
                         acc2,
                     )
 
-                return jax.lax.fori_loop(0, n_chunks_s, chunk_body, acc)
+                n_chunks_f = (n_sph + sph_chunk - 1) // sph_chunk
+                return jax.lax.fori_loop(0, n_chunks_f, chunk_body, acc)
 
             def rct_group(acc):
                 def per_object(k, acc2):
                     d_o_a, d_d_a = acc2
                     mask = (kbest_l == (ns_pad + k)).astype(f32_)
-                    pv = tuple(rct_read(k, c) for c in range(P_RCT))
+                    pv = tuple(rct_read(k, c) for c in range(p_rct))
 
                     def f(pv, o, d):
                         t, n_unit, col, coeffs = _rect_eval(pv, o, d, checker_tau=ctau)
@@ -803,22 +851,22 @@ def _make_fused_vec_soft(
                     _, obj_vjp = jax.vjp(f, pv, o, d)
                     cots = (d_t * mask,) + tuple(p * mask for p in d_planes)
                     dpv, d_o_k, d_d_k = obj_vjp(cots)
-                    for c in range(P_RCT):
+                    for c in range(p_rct):
                         drct_ref[k, c] = drct_ref[k, c] + dpv[c]
                     return (vm.vadd(d_o_a, d_o_k), vm.vadd(d_d_a, d_d_k))
 
                 def chunk_body(ci, acc2):
-                    k0 = ci * CHUNK
+                    k0 = ci * rct_chunk
                     lo = ns_pad + k0
-                    in_chunk = ((kbest_l >= lo) & (kbest_l < lo + CHUNK)).astype(f32_)
+                    in_chunk = ((kbest_l >= lo) & (kbest_l < lo + rct_chunk)).astype(f32_)
                     return jax.lax.cond(
                         jnp.max(in_chunk) > 0.0,
-                        lambda a: jax.lax.fori_loop(k0, k0 + CHUNK, per_object, a),
+                        lambda a: jax.lax.fori_loop(k0, k0 + rct_chunk, per_object, a),
                         lambda a: a,
                         acc2,
                     )
 
-                n_chunks_r = (n_rct + CHUNK - 1) // CHUNK
+                n_chunks_r = (n_rct + rct_chunk - 1) // rct_chunk
                 return jax.lax.fori_loop(0, n_chunks_r, chunk_body, acc)
 
             if n_sph:
@@ -851,21 +899,21 @@ def _make_fused_vec_soft(
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ]
         + [
             pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
         ] * 3,
         out_specs=[
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, Sg), f32),
-            jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
-            jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
+            jax.ShapeDtypeStruct((ns_pad, p_sph), f32),
+            jax.ShapeDtypeStruct((nr_pad, p_rct), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_chunks_s, bhb, bwb), jnp.float32),
@@ -883,8 +931,8 @@ def _make_fused_vec_soft(
             pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ]
         + [
             pl.BlockSpec((bhb, bwb), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -892,14 +940,14 @@ def _make_fused_vec_soft(
         out_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, Sg), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((ns_pad, P_SPH), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((nr_pad, P_RCT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((ns_pad, p_sph), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nr_pad, p_rct), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, 1), f32),
             jax.ShapeDtypeStruct((1, Sg), f32),
-            jax.ShapeDtypeStruct((ns_pad, P_SPH), f32),
-            jax.ShapeDtypeStruct((nr_pad, P_RCT), f32),
+            jax.ShapeDtypeStruct((ns_pad, p_sph), f32),
+            jax.ShapeDtypeStruct((nr_pad, p_rct), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_chunks_s, bhb, bwb), jnp.float32),
@@ -913,8 +961,8 @@ def _make_fused_vec_soft(
     def fused(gflat, sph, rct, offsets, tau_arr):
         return tuple(fwd_call(
             offsets, tau_arr, gflat.reshape(1, Sg),
-            pad_rows(sph, ns_pad, _SPH_PAD_ROW),
-            pad_rows(rct, nr_pad, _RCT_PAD_ROW),
+            pad_rows(sph, ns_pad, sph_pad_row),
+            pad_rows(rct, nr_pad, rct_pad_row),
         ))
 
     def fused_fwd(gflat, sph, rct, offsets, tau_arr):
@@ -927,8 +975,8 @@ def _make_fused_vec_soft(
         gr, gg, gb = cotangents
         dglob, dsph, drct = bwd_call(
             offsets, tau_arr, gflat.reshape(1, Sg),
-            pad_rows(sph, ns_pad, _SPH_PAD_ROW),
-            pad_rows(rct, nr_pad, _RCT_PAD_ROW),
+            pad_rows(sph, ns_pad, sph_pad_row),
+            pad_rows(rct, nr_pad, rct_pad_row),
             gr, gg, gb,
         )
         return (
@@ -949,8 +997,8 @@ def _make_fused_vec_soft(
     def apply_step(gflat, sph, rct, meta_row, tau_arr, tr, tg, tb):
         sq, dglob, dsph, drct = step_call(
             meta_row, tau_arr, gflat.reshape(1, Sg),
-            pad_rows(sph, ns_pad, _SPH_PAD_ROW),
-            pad_rows(rct, nr_pad, _RCT_PAD_ROW),
+            pad_rows(sph, ns_pad, sph_pad_row),
+            pad_rows(rct, nr_pad, rct_pad_row),
             tr, tg, tb,
         )
         return sq[0, 0], dglob.reshape(Sg), dsph, drct

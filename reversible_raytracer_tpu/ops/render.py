@@ -54,8 +54,9 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
         # elsewhere (the HARD Pallas kernels would silently drop the
         # taus — they refuse). The soft kernels require soft_tau > 0;
         # env maps ride their SMEM globals plan (round 3, same K <= 32
-        # threshold as the hard vec kernels), object texel grids and
-        # the checker-only relaxation run on the jnp path.
+        # threshold as the hard vec kernels), object texel grids ride
+        # per-row SMEM tails (round 4, vec_smem_ok budget); only the
+        # checker-only relaxation runs on the jnp path.
         # (reflections + taus raises in jnp_vec — the relaxations are
         # reflections-exclusive.) Eligibility is the shared
         # fused_vec_soft.soft_kernel_ok predicate (one source of truth

@@ -429,6 +429,100 @@ def param_error(scene: Scene, truth: Scene, spec: ParamSpec):
     return jnp.sqrt(total / jnp.maximum(count, 1.0))
 
 
+def swap_spheres(scene: Scene, i: int, j: int, geometry_only: bool = True) -> Scene:
+    """Swap parameter rows of spheres ``i`` and ``j``.
+
+    ``geometry_only=True`` (the useful form) swaps ONLY the center rows:
+    a topology stall is an identity error — the sphere carrying A's
+    appearance descended into B's spatial basin — and center-swapping is
+    its exact inverse, re-pairing appearances with basins. Swapping FULL
+    rows (``geometry_only=False``) is a NO-OP by permutation symmetry:
+    the re-indexed scene renders identically, so descent from it lands in
+    the same stall (measured: all 8 full-swap restarts reproduced the
+    stall loss to 10 digits — docs/OPTIMIZATION_NOTES.md
+    'Structure-aware restarts')."""
+    import dataclasses
+
+    n = scene.spheres.count
+
+    def swap_leaf(x):
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n:
+            xi, xj = x[i], x[j]
+            return x.at[i].set(xj).at[j].set(xi)
+        return x
+
+    if geometry_only:
+        return dataclasses.replace(
+            scene,
+            spheres=dataclasses.replace(
+                scene.spheres, center=swap_leaf(scene.spheres.center)
+            ),
+        )
+    return dataclasses.replace(
+        scene, spheres=jax.tree_util.tree_map(swap_leaf, scene.spheres)
+    )
+
+
+def rejitter_one_sphere(start: Scene, spec: ParamSpec, idx: int,
+                        scale: float, seed: int) -> Scene:
+    """Re-perturb ONLY sphere ``idx``'s trainable rows (same relative-
+    noise convention as configs.perturb), leaving every other parameter at
+    ``start``. The i.i.d. whole-scene jitter must trade off dislodging the
+    stuck sphere against wrecking the converged ones; the per-sphere
+    proposal takes arbitrarily large kicks at one suspect for free."""
+    import dataclasses
+
+    from .models.configs import perturb
+
+    n = start.spheres.count
+    jittered = perturb(start, spec, scale=scale, seed=seed)
+
+    def merge(a, b):
+        if getattr(a, "ndim", 0) >= 1 and a.shape[0] == n:
+            return a.at[idx].set(b[idx])
+        return a
+
+    return dataclasses.replace(
+        start,
+        spheres=jax.tree_util.tree_map(merge, start.spheres, jittered.spheres),
+    )
+
+
+def propose_restart(start: Scene, spec: ParamSpec, r: int, jitter: float,
+                    seed: int, proposal: str = "jitter") -> Scene:
+    """Starting point for restart ``r`` >= 1 (restart 0 is always
+    ``start`` verbatim) under the given proposal family:
+
+    - ``"jitter"``     — i.i.d. relative re-jitter of all trainable leaves
+      (the round-3 behavior);
+    - ``"per_sphere"`` — re-jitter ONLY sphere (r-1) % N, cycling through
+      the spheres (and growing the kick scale each full cycle);
+    - ``"swap"``       — swap sphere pair (r-1) % C(N,2) in a fixed
+      enumeration (no randomness: the proposal set IS the hypothesis set);
+    - ``"mixed"``      — alternate swap (odd r) and per_sphere (even r).
+    """
+    from itertools import combinations
+
+    from .models.configs import perturb
+
+    if r == 0:
+        return start
+    if proposal == "jitter":
+        return perturb(start, spec, scale=jitter, seed=seed + r)
+    n = start.spheres.count
+    if proposal == "swap" or (proposal == "mixed" and r % 2 == 1):
+        k = (r - 1) if proposal == "swap" else (r - 1) // 2
+        pairs = list(combinations(range(n), 2))
+        i, j = pairs[k % len(pairs)]
+        return swap_spheres(start, i, j)
+    if proposal == "per_sphere" or proposal == "mixed":
+        k = (r - 1) if proposal == "per_sphere" else (r - 2) // 2
+        idx = k % n
+        scale = jitter * (1.0 + k // n)  # grow the kick each full cycle
+        return rejitter_one_sphere(start, spec, idx, scale, seed + r)
+    raise ValueError(f"unknown restart proposal {proposal!r}")
+
+
 def optimize_multistart(
     start: Scene,
     target,
@@ -439,6 +533,7 @@ def optimize_multistart(
     jitter: float = 0.15,
     seed: int = 0,
     optimize_fn=None,
+    proposal: str = "jitter",
     **anneal_kw,
 ):
     """Seeded random-restart wrapper: run the inner optimizer from
@@ -457,13 +552,18 @@ def optimize_multistart(
     ``optimize_fn(scene) -> (final_scene, losses)`` overrides the inner
     optimizer; default is `optimize_annealed` with ``**anneal_kw``.
 
+    ``proposal``: how restart starting points are generated — see
+    `propose_restart` (round 4: "swap" / "per_sphere" / "mixed" attack
+    topology stalls with structure-aware moves that i.i.d. jitter cannot
+    reach; measured on the documented config-2 stall set in
+    docs/OPTIMIZATION_NOTES.md).
+
     Returns (best_scene, best_loss, per_restart_final_losses). Wall-clock
     is ``restarts`` x the inner optimizer (compiles are shared: every
     restart reuses the same cached scan runners).
     """
     import dataclasses
 
-    from .models.configs import perturb
     from .ops.pipeline_vec import render_jnp_vec
 
     if optimize_fn is None:
@@ -480,8 +580,7 @@ def optimize_multistart(
 
     best_scene, best_loss, finals = None, None, []
     for r in range(restarts):
-        s0 = start if r == 0 else perturb(start, spec, scale=jitter,
-                                          seed=seed + r)
+        s0 = propose_restart(start, spec, r, jitter, seed, proposal)
         final, _ = optimize_fn(s0)
         l = float(eval_loss(final))
         finals.append(l)
@@ -493,13 +592,12 @@ def optimize_multistart(
 def anneal_stage_impl(scene: Scene, tau: float) -> str:
     """Which renderer an `optimize_annealed` stage uses for this scene and
     tau on the CURRENT backend (exposed so tests and callers share the
-    decision). Soft (tau > 0) stages: env-mapped scenes run in the soft
-    vec kernels (round 3 — env rides their SMEM globals plan, K <= 32);
-    object texel grids are refused there, so OBJECT-textured soft stages
-    run on render_jnp_vec (whose soft compositor gained texture support
-    alongside the feature). The hard tau = 0 polish runs on fused_vec —
-    including textured/env scenes since round 3, when they fit its SMEM
-    budgets (vec_smem_ok, env K <= 32)."""
+    decision). Soft (tau > 0) stages run in the soft vec kernels whenever
+    `fused_vec_soft.soft_kernel_ok` allows: env maps ride their SMEM
+    globals plan (K <= 32, round 3) and object texel grids ride per-row
+    SMEM tails (round 4 — same probed vec_smem_ok budget as the hard
+    family); anything past those budgets runs on render_jnp_vec. The
+    hard tau = 0 polish runs on fused_vec under the same budgets."""
     if jax.default_backend() != "tpu":
         return "jnp_vec"
     textured = scene_textured(scene)

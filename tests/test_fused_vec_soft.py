@@ -277,14 +277,126 @@ def test_annealed_env_soft_kernel_stages(monkeypatch):
     assert np.isfinite(np.asarray(losses)).all()
 
 
-def test_soft_refuses_object_textures():
+def _textured_soft_scene(size=48, n_spheres=10, k=8, seed=5, smooth=False):
+    """Sphere field with per-object texel grids — the round-4 soft ×
+    object-texture capability product. ``smooth=True`` switches to the
+    config-2 geometry (4 LARGE spheres) with low-contrast gradient
+    textures: the boundary-masked gradient tests need textured sphere
+    INTERIORS to count as stable pixels, and config-5's spheres at test
+    sizes are so small that silhouette dilation masks them whole
+    (measured: all-zero texel grads in BOTH paths at 40-48^2 regardless
+    of texture contrast)."""
     import dataclasses
 
-    scene, _ = _env_scene(n_spheres=4)
-    k = 4
-    tex = jnp.ones((scene.rects.count, k, k, 3), jnp.float32) * 0.5
+    rng = np.random.default_rng(seed)
+    if smooth:
+        scene, spec, _ = configs.config2_four_spheres(size)
+        ii, jj = np.meshgrid(np.linspace(0, 1, k), np.linspace(0, 1, k),
+                             indexing="ij")
+        base = np.stack([0.35 + 0.1 * ii, 0.4 + 0.08 * jj,
+                         0.45 - 0.08 * ii], axis=-1)
+        per = rng.uniform(0.9, 1.1, (scene.spheres.count, 1, 1, 1))
+        tex = jnp.asarray(base[None] * per, jnp.float32)
+    else:
+        scene, spec, _ = configs.config5_many_spheres(size, n_spheres=n_spheres)
+        tex = jnp.asarray(
+            rng.uniform(0.1, 0.9, (scene.spheres.count, k, k, 3)), jnp.float32
+        )
+    return dataclasses.replace(
+        scene, spheres=dataclasses.replace(scene.spheres, texture=tex)
+    ), spec
+
+
+def test_soft_textured_fwd_matches_jnp_vec():
+    """Round 4: OBJECT texel grids in the soft kernels (SMEM row tails,
+    like fused_vec) — forward vs the jnp_vec soft compositor. Textured
+    rows sample dense (hat-basis) vs jnp's gather: identical away from
+    half-texel edge bands, so the textured tolerance class applies on top
+    of the usual soft boundary masking."""
+    scene, _ = _textured_soft_scene()
+    cfg = RenderConfig(height=48, width=48, shadows=True, soft_tau=0.05)
+    a = np.asarray(render_jnp_vec(scene, cfg))
+    b = np.asarray(render_pallas_vec_soft(scene, cfg, interpret=True))
+    stable = ~_edge_mask(a, b)
+    assert stable.mean() > 0.3
+    assert np.abs(a - b)[stable].max() < 1e-3
+    assert (np.abs(a - b).max(-1) > 1e-3).mean() < 2e-2
+
+
+def test_soft_textured_step_kernel_matches_ad():
+    """The fused soft TRAINING-STEP kernel on an object-textured scene vs
+    autodiff of the soft render kernel: strict agreement incl. the texel
+    cotangents emitted through the per-object dpv write-back."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+        loss_grad_pallas_vec_soft,
+    )
+    from reversible_raytracer_tpu.ops.render import mse_loss
+
+    scene, spec = _textured_soft_scene(n_spheres=8)
+    cfg = RenderConfig(height=40, width=72, shadows=True, soft_tau=0.05)
+    start = configs.perturb(scene, spec, scale=0.05, seed=3)
+    target = jnp.asarray(
+        np.asarray(render_pallas_vec_soft(scene, cfg, interpret=True))
+    )
+    l_ref, g_ref = jax.value_and_grad(
+        lambda s: mse_loss(render_pallas_vec_soft(s, cfg, interpret=True), target)
+    )(start)
+    l_f, g_f = loss_grad_pallas_vec_soft(start, cfg, target, interpret=True)
+    assert abs(float(l_ref) - float(l_f)) <= 1e-5 * max(float(l_ref), 1e-9)
+    assert np.abs(np.asarray(g_f.spheres.texture)).max() > 0.0
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g_f)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        scale = max(np.abs(a).max(), 1e-9)
+        np.testing.assert_allclose(a, b, atol=1e-4 * scale, err_msg=str(path))
+
+
+def test_soft_textured_texel_grads_match_jnp_vec():
+    """TEXEL-gradient parity vs XLA autodiff of the jnp_vec soft path.
+
+    The boundary-masked methodology of the other bwd tests cannot be used
+    here: texel gradients live on textured sphere INTERIORS, and at test
+    sizes the edge mask (limb-shading discontinuities + dilation) covers
+    the spheres whole — measured: the MASKED texel gradient is exactly
+    zero in BOTH paths, making a masked comparison vacuous. Instead the
+    texture leaf is compared UNMASKED: each texel's gradient is a
+    reduction over many interior pixels, so the sparse boundary-flip
+    pixels that the mask would have removed contribute only a small
+    relative error (tolerance 2e-3 of the leaf max). The other leaves'
+    parity is covered by the masked untextured test and by the strict
+    kernel-vs-kernel-AD step test above."""
+    scene, spec = _textured_soft_scene(smooth=True)
+    cfg = RenderConfig(height=48, width=48, shadows=True, soft_tau=0.05)
+    target = jnp.zeros((48, 48, 3), jnp.float32)
+
+    def loss(render):
+        return lambda s: jnp.sum((render(s) - target) ** 2)
+
+    gv = jax.grad(loss(lambda s: render_jnp_vec(s, cfg)))(scene)
+    gp = jax.grad(
+        loss(lambda s: render_pallas_vec_soft(s, cfg, interpret=True))
+    )(scene)
+    a = np.asarray(gv.spheres.texture)
+    b = np.asarray(gp.spheres.texture)
+    assert np.abs(a).max() > 0.0 and np.abs(b).max() > 0.0
+    np.testing.assert_allclose(a, b, atol=2e-3 * np.abs(a).max())
+
+
+def test_soft_refuses_over_budget_textures():
+    """Texel row plans past the probed SMEM budget still refuse loudly
+    (vec_smem_ok — shared with the hard family); in-budget object
+    textures are SUPPORTED since round 4."""
+    import dataclasses
+
+    scene, _ = _env_scene(n_spheres=64)
+    k = 32  # 64 rows x (17 + 3072) scalars ~ 772 KiB >> 384 KiB budget
+    tex = jnp.ones((scene.spheres.count, k, k, 3), jnp.float32) * 0.5
     textured = dataclasses.replace(
-        scene, rects=dataclasses.replace(scene.rects, texture=tex)
+        scene, spheres=dataclasses.replace(scene.spheres, texture=tex)
     )
     cfg = RenderConfig(height=16, width=16, soft_tau=0.05)
     with pytest.raises(NotImplementedError):

@@ -537,16 +537,17 @@ def test_config8_globe_builds_and_matches_oracles():
 
 
 def test_annealed_textured_stage_routing(monkeypatch):
-    """optimize_annealed stage dispatch for textured scenes on TPU: the
-    SOFT vec kernels refuse texel grids, so soft stages run jnp_vec
-    (regression: round 2 crashed with NotImplementedError at the first
-    stage's target render) — but the hard tau=0 polish takes the vec step
-    kernel since round 3. The end-to-end run is exercised with the kernels
+    """optimize_annealed stage dispatch for textured scenes on TPU:
+    since round 4 the SOFT vec kernels take object texel grids too (SMEM
+    row tails, shared vec_smem_ok budget), so BOTH the soft stages and
+    the hard tau=0 polish run in-kernel; over-budget textures keep every
+    stage on jnp_vec. The end-to-end run is exercised with the kernels
     forced to interpret mode."""
     import functools
 
     from reversible_raytracer_tpu import optim as optim_mod
     from reversible_raytracer_tpu.ops.kernels import fused_vec as FV
+    from reversible_raytracer_tpu.ops.kernels import fused_vec_soft as FVS
     from reversible_raytracer_tpu.optim import (
         OptConfig,
         anneal_stage_impl,
@@ -555,9 +556,9 @@ def test_annealed_textured_stage_routing(monkeypatch):
 
     monkeypatch.setattr(optim_mod.jax, "default_backend", lambda: "tpu")
     scene, spec = _tex_scene(32)
-    assert anneal_stage_impl(scene, 0.05) == "jnp_vec"
+    assert anneal_stage_impl(scene, 0.05) == "pallas_vec_soft"
     assert anneal_stage_impl(scene, 0.0) == "pallas_vec"
-    # a budget-blowing texture keeps even the hard stage on jnp_vec
+    # a budget-blowing texture keeps every stage on jnp_vec
     k = 128
     huge = dataclasses.replace(
         scene, rects=dataclasses.replace(
@@ -565,16 +566,17 @@ def test_annealed_textured_stage_routing(monkeypatch):
             texture=jnp.zeros((scene.rects.count, k, k, 3), jnp.float32),
         )
     )
+    assert anneal_stage_impl(huge, 0.05) == "jnp_vec"
     assert anneal_stage_impl(huge, 0.0) == "jnp_vec"
 
-    monkeypatch.setattr(
-        FV, "loss_grad_pallas_vec",
-        functools.partial(FV.loss_grad_pallas_vec, interpret=True),
-    )
-    monkeypatch.setattr(
-        FV, "render_pallas_vec",
-        functools.partial(FV.render_pallas_vec, interpret=True),
-    )
+    for mod, names in (
+        (FVS, ("render_pallas_vec_soft", "loss_grad_pallas_vec_soft")),
+        (FV, ("render_pallas_vec", "loss_grad_pallas_vec")),
+    ):
+        for n in names:
+            monkeypatch.setattr(
+                mod, n, functools.partial(getattr(mod, n), interpret=True)
+            )
     cfg = RenderConfig(height=32, width=32)
     target = render_jnp(scene, cfg)
     start = configs.perturb(scene, spec, scale=0.2, seed=1)
