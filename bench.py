@@ -625,17 +625,24 @@ def main():
         if "converge_seconds_warm" not in details:
             raise RuntimeError("needs the convergence row (skipped?)")
         mesh1 = make_ray_mesh(1)
-        ocfg_sh = OptConfig(iters=60, lr=0.0)
         tgt_sh = jax.jit(render_fast)(scene)
-        # warm (compile), then one timed scan dispatch
-        optimize_sharded_scan(scene, tgt_sh, mesh1, cfg, spec, ocfg_sh,
-                              impl="pallas_step")
-        t0 = time.perf_counter()
-        _, losses_sh = optimize_sharded_scan(
-            scene, tgt_sh, mesh1, cfg, spec, ocfg_sh, impl="pallas_step"
-        )
-        float(np.asarray(losses_sh)[-1])  # value fetch before the clock
-        t_sh = (time.perf_counter() - t0) / ocfg_sh.iters
+
+        # Two-point slope over scan LENGTHS (60 vs 360 iters): a single
+        # timed 60-iter dispatch buries ~0.5 ms/step of dispatch + tunnel
+        # fetch in the figure (the round-3 "7x overhead" was mostly this
+        # measurement artifact, not machinery).
+        def sh_total(iters):
+            ocfg_n = OptConfig(iters=iters, lr=0.0)
+            optimize_sharded_scan(scene, tgt_sh, mesh1, cfg, spec, ocfg_n,
+                                  impl="pallas_step")  # warm/compile
+            t0 = time.perf_counter()
+            _, losses_sh = optimize_sharded_scan(
+                scene, tgt_sh, mesh1, cfg, spec, ocfg_n, impl="pallas_step"
+            )
+            float(np.asarray(losses_sh)[-1])  # value fetch before the clock
+            return time.perf_counter() - t0
+
+        t_sh, _, _ = _median_slope(sh_total, 60, 360, k=3)
         t_unsh = details["converge_seconds_warm"] / 400.0
         _log(f"sharded mesh=1 fused step @512^2: {t_sh*1e3:.3f} ms/step "
              f"(x{t_sh/t_unsh:.2f} vs unsharded scan step "

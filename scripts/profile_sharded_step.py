@@ -57,12 +57,18 @@ def main():
     out = {"iters": n}
 
     def timed(fn, label):
+        # Dispatch-INCLUSIVE wall clock of one whole scan (divided by n):
+        # at 60 iters the fixed dispatch + ~30 ms tunnel fetch dominate,
+        # so this is an upper bound only — the slope-based per-step
+        # numbers of record live in bench.py. The per-op TRACE below is
+        # what this script is for.
         fn()  # warm/compile
         t0 = time.perf_counter()
         fn()
         dt = time.perf_counter() - t0
-        out[f"{label}_ms_per_step"] = dt / n * 1e3
-        print(f"{label}: {dt/n*1e3:.3f} ms/step", file=sys.stderr, flush=True)
+        out[f"{label}_wall_ms_per_step_dispatch_incl"] = dt / n * 1e3
+        print(f"{label}: {dt/n*1e3:.3f} ms/step (dispatch-incl)",
+              file=sys.stderr, flush=True)
         return dt
 
     def run_sharded():

@@ -126,7 +126,8 @@ def main():
     ap.add_argument("--k", type=int, default=16, help="texture/env K")
     ap.add_argument("--mode",
                     choices=["env", "tex", "refl", "texrefl", "spp4refl",
-                             "spp4tex", "softenv", "both", "all", "round3b"],
+                             "spp4tex", "softenv", "softtex", "both", "all",
+                             "round3b"],
                     default="both")
     ap.add_argument("--skip-jnp", action="store_true")
     args = ap.parse_args()
@@ -239,6 +240,13 @@ def main():
         cfg_s = dataclasses.replace(cfg, soft_tau=0.05)
         _check_one("softenv", sky_soft, cfg_s, results, args.skip_jnp,
                    lambda g: g.env, kernels="soft")
+
+    if args.mode in ("softtex", "all"):
+        # Round 4: OBJECT texel grids in the SOFT kernel family (texel SMEM
+        # row tails — the anneal's soft stages for object-textured scenes).
+        cfg_st = dataclasses.replace(cfg, soft_tau=0.05)
+        _check_one("softtex", textured(base), cfg_st, results, args.skip_jnp,
+                   lambda g: g.spheres.texture, kernels="soft")
 
     print(json.dumps(results))
 
