@@ -346,7 +346,7 @@ def main(argv=None):
     pi.add_argument("--restart-jitter", type=float, default=0.15,
                     help="relative re-perturbation scale for --restarts")
     pi.add_argument("--restart-proposal", default="jitter",
-                    choices=["jitter", "per_sphere", "swap", "mixed"],
+                    choices=["jitter", "per_sphere", "swap", "swap_jitter", "mixed"],
                     help="restart proposal family (optim.propose_restart): "
                          "structure-aware moves (per-sphere re-jitter, "
                          "pairwise identity swaps) attack topology stalls "

@@ -499,6 +499,9 @@ def propose_restart(start: Scene, spec: ParamSpec, r: int, jitter: float,
       the spheres (and growing the kick scale each full cycle);
     - ``"swap"``       — swap sphere pair (r-1) % C(N,2) in a fixed
       enumeration (no randomness: the proposal set IS the hypothesis set);
+    - ``"swap_jitter"``— the same center-swap enumeration, then a HALF-
+      jitter of all trainable leaves (composite moves: an identity repair
+      alone may leave the start outside the repaired basin);
     - ``"mixed"``      — alternate swap (odd r) and per_sphere (even r).
     """
     from itertools import combinations
@@ -510,11 +513,15 @@ def propose_restart(start: Scene, spec: ParamSpec, r: int, jitter: float,
     if proposal == "jitter":
         return perturb(start, spec, scale=jitter, seed=seed + r)
     n = start.spheres.count
-    if proposal == "swap" or (proposal == "mixed" and r % 2 == 1):
-        k = (r - 1) if proposal == "swap" else (r - 1) // 2
+    if (proposal in ("swap", "swap_jitter")
+            or (proposal == "mixed" and r % 2 == 1)):
+        k = (r - 1) if proposal != "mixed" else (r - 1) // 2
         pairs = list(combinations(range(n), 2))
         i, j = pairs[k % len(pairs)]
-        return swap_spheres(start, i, j)
+        out = swap_spheres(start, i, j)
+        if proposal == "swap_jitter":
+            out = perturb(out, spec, scale=0.5 * jitter, seed=seed + r)
+        return out
     if proposal == "per_sphere" or proposal == "mixed":
         k = (r - 1) if proposal == "per_sphere" else (r - 2) // 2
         idx = k % n

@@ -240,3 +240,50 @@ def test_flat_update_sgd_momentum_matches():
 
     for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7)
+
+
+def test_restart_proposals():
+    """optim.propose_restart: restart 0 is the start verbatim; center-only
+    swaps exchange exactly the center rows; FULL-row swaps are a no-op by
+    permutation symmetry (the re-indexed scene renders identically — the
+    measured reason geometry_only is the default)."""
+    from reversible_raytracer_tpu.optim import propose_restart, swap_spheres
+
+    scene, spec, _ = configs.config2_four_spheres()
+    cfg = RenderConfig(height=24, width=24, shadows=True)
+
+    s0 = propose_restart(scene, spec, 0, 0.2, 7, "swap")
+    for a, b in zip(jax.tree_util.tree_leaves(s0), jax.tree_util.tree_leaves(scene)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    sw = swap_spheres(scene, 0, 2, geometry_only=True)
+    np.testing.assert_array_equal(
+        np.asarray(sw.spheres.center[0]), np.asarray(scene.spheres.center[2])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sw.spheres.center[2]), np.asarray(scene.spheres.center[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sw.spheres.radius), np.asarray(scene.spheres.radius)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sw.spheres.material.color),
+        np.asarray(scene.spheres.material.color),
+    )
+
+    full = swap_spheres(scene, 0, 2, geometry_only=False)
+    np.testing.assert_array_equal(
+        np.asarray(render_jnp(full, cfg)), np.asarray(render_jnp(scene, cfg))
+    )
+
+    per = propose_restart(scene, spec, 1, 0.2, 7, "per_sphere")
+    # only sphere 0's rows moved; lights/camera untouched
+    assert not np.array_equal(
+        np.asarray(per.spheres.center[0]), np.asarray(scene.spheres.center[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(per.spheres.center[1:]), np.asarray(scene.spheres.center[1:])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(per.camera.eye), np.asarray(scene.camera.eye)
+    )
