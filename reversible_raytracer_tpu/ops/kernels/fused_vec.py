@@ -563,6 +563,15 @@ def auto_tiles(scene_like: Scene, cfg: RenderConfig,
     bwd = t.bh_bwd
     if scene_like.env_mapped and refl:
         bwd = max(8, bwd // (1 + refl))
+    if int(np.shape(scene_like.env)[0]) > 16:
+        # Large env maps: the backward's dense env hat-weight planes scale
+        # with K — at K=32 the step OOMs scoped vmem at 32-row tiles
+        # (36.97M) AND 16-row tiles (17.84M, limit 16M); 8 rows compile
+        # and run (probed on v5e). This is what keeps the K <= 32
+        # dispatch threshold (render.resolve_impl / resolve_step_impl)
+        # honest for the hard family; the SOFT family's fixed term is
+        # bigger and caps at K <= 16 instead (fused_vec_soft).
+        bwd = 8
     if obj_tex:
         # Texel-tail rows: the backward's per-texel masked reductions
         # prefer smaller tiles (swept at 64 textured spheres K=16 512^2:
@@ -603,7 +612,11 @@ def _make_fused_vec(
         raise NotImplementedError(f"spp must be 1 or 4, got {cfg.spp}")
     # spp=4 RENDERING stays on the 4-launch wrapper (one spp=1 compile
     # serves both settings — subsample offsets are runtime off_ref
-    # scalars; see render_pallas_vec). spp=4 TRAINING fuses the 2x2
+    # scalars; see render_pallas_vec). Measured on v5e (round 4, 64-obj
+    # 512^2): wrapper 1.992 ms = 3.88x the 0.513 ms spp=1 render — 3%
+    # UNDER the ideal 4x, so an in-kernel render-side subsample loop has
+    # nothing left to win (launches are free relative to the tile work).
+    # spp=4 TRAINING fuses the 2x2
     # subsample loop INTO the step kernel (round 3, VERDICT r2 item #8):
     # the mse residual is taken of the post-clip subsample AVERAGE, which
     # cannot decompose into 4 independent step launches — the step-mode

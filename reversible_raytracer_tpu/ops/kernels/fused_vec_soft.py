@@ -277,18 +277,22 @@ def soft_kernel_ok(scene_like: Scene) -> bool:
     and optim.anneal_stage_impl — round-3 ADVICE flagged the duplicated
     inline copies as drift-prone). True when the scene has no OBJECT texel
     grids (the soft SMEM object rows hold scalars) and any env map fits
-    the dense-sampler budget (K <= 32 — same threshold as the hard vec
-    family; TPU-validated at K=16 by docs/vec_textured_tpu_check.json's
-    softenv rows, with the K=32 boundary itself checked by
-    `scripts/vec_textured_tpu_check.py --mode softenv --k 32`). Round 4:
-    OBJECT texel grids are supported too — they ride per-row SMEM tails
-    exactly like the hard family (same probed `vec_smem_ok` budget), so
-    the soft anneal stages of an object-textured vec-scale scene now run
-    in-kernel instead of at XLA speed (VERDICT r3 #6)."""
+    the dense-sampler budget. The env threshold is K <= 16 — STRICTER
+    than the hard vec family's 32: the soft STEP kernel at env K=32
+    fails to compile with a scoped-vmem OOM whose dominant term is
+    row-count-INDEPENDENT (measured on v5e: 38.86M scoped at 32-row
+    backward tiles, 22.27M at 8 rows, vs the 16M limit — a ~16.7M fixed
+    allocation from the S-stage vjp's three dense env samples x 2K
+    hat-weight planes, so no tile shrink can admit K=32). Dispatch
+    routes K>16 soft env scenes to the jnp_vec soft path instead.
+    Round 4: OBJECT texel grids are supported too — they ride per-row
+    SMEM tails exactly like the hard family (same probed `vec_smem_ok`
+    budget), so the soft anneal stages of an object-textured vec-scale
+    scene now run in-kernel instead of at XLA speed (VERDICT r3 #6)."""
     from .fused_vec import vec_smem_ok
 
     k = int(np.shape(scene_like.env)[0])
-    return vec_smem_ok(scene_like) and k <= 32
+    return vec_smem_ok(scene_like) and k <= 16
 
 
 def auto_tiles_soft(scene_like: Scene,
@@ -305,6 +309,9 @@ def auto_tiles_soft(scene_like: Scene,
     t = VecTileConfig()
     bwd = t.bh_bwd
     if scene_like.env_mapped:
+        # K is capped at 16 by soft_kernel_ok: K=32's scoped-vmem demand
+        # has a ~16.7M row-independent term (38.86M @ 32 rows, 22.27M @
+        # 8 rows, limit 16M — measured on v5e), so no shrink here helps.
         bwd = 32
     if scene_object_textured(scene_like):
         # Texel-tail rows (round 4): same live-set class as the hard

@@ -216,9 +216,12 @@ def test_soft_env_step_kernel_matches_ad():
 
 
 def test_soft_env_routing(monkeypatch):
-    """Dispatch: env-mapped (<= K=32) soft scenes take the soft vec
-    kernels on TPU; object texel grids and oversized env maps stay on
-    jnp_vec. Both resolve_impl and anneal_stage_impl agree."""
+    """Dispatch: env-mapped (<= K=16) soft scenes take the soft vec
+    kernels on TPU; oversized env maps stay on jnp_vec — the soft env
+    cap is STRICTER than the hard family's 32 (K=32's soft backward has
+    a ~16.7M row-independent scoped-vmem term vs the 16M limit, measured
+    on v5e; see soft_kernel_ok). Both resolve_impl and anneal_stage_impl
+    agree."""
     import dataclasses
 
     from reversible_raytracer_tpu import optim as optim_mod
@@ -231,6 +234,15 @@ def test_soft_env_routing(monkeypatch):
     cfg = RenderConfig(height=32, width=32, soft_tau=0.05)
     assert resolve_impl(scene, cfg) == "pallas_vec_soft"
     assert anneal_stage_impl(scene, 0.05) == "pallas_vec_soft"
+    at_cap = dataclasses.replace(
+        scene, env=jnp.zeros((16, 16, 3), jnp.float32)
+    )
+    assert resolve_impl(at_cap, cfg) == "pallas_vec_soft"
+    k32 = dataclasses.replace(
+        scene, env=jnp.zeros((32, 32, 3), jnp.float32)
+    )
+    assert resolve_impl(k32, cfg) == "jnp_vec"
+    assert anneal_stage_impl(k32, 0.05) == "jnp_vec"
     huge = dataclasses.replace(
         scene, env=jnp.zeros((64, 64, 3), jnp.float32)
     )
