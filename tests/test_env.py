@@ -356,3 +356,27 @@ def test_config10_chrome_field(monkeypatch):
     assert float(_jnp.abs(final.spheres.material.mirror
                           - start.spheres.material.mirror).max()) > 1e-3
     assert float(_jnp.abs(final.env - start.env).max()) > 1e-3
+
+
+def test_env_k_tile_and_dispatch_boundaries():
+    """Round 4 (measured on v5e, docs/env_k32_boundary_check.json): the
+    HARD vec family's backward fits env K=32 only at 8-row tiles
+    (auto_tiles shrinks for K > 16); the SOFT family's scoped-vmem demand
+    has a ~16.7M row-independent term, so soft_kernel_ok caps its env at
+    K <= 16. Pin both decisions."""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import auto_tiles
+    from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+        soft_kernel_ok,
+    )
+
+    scene, _, cfg = _sky_scene(env_k=16, reflections=0)
+    tiles16 = auto_tiles(scene, cfg, None)
+    assert soft_kernel_ok(scene)
+
+    k32 = dataclasses.replace(
+        scene, env=jnp.zeros((32, 32, 3), jnp.float32)
+    )
+    tiles32 = auto_tiles(k32, cfg, None)
+    assert tiles32.bh_bwd == 8
+    assert tiles16.bh_bwd > tiles32.bh_bwd
+    assert not soft_kernel_ok(k32)
