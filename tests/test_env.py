@@ -380,3 +380,35 @@ def test_env_k_tile_and_dispatch_boundaries():
     assert tiles32.bh_bwd == 8
     assert tiles16.bh_bwd > tiles32.bh_bwd
     assert not soft_kernel_ok(k32)
+
+
+def test_env_observability_mask_semantics():
+    """The config-10 evidence metric (scripts/config10_check.py) defines
+    texel observability as |d sum(image)/d env[i,j]| > 0 at the truth
+    scene. Semantics check at tiny size: bumping an UNOBSERVABLE texel
+    leaves the rendered image bitwise unchanged, bumping the strongest
+    observable texel does not; and a gradient step moves only observable
+    texels."""
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, _, cfg = _sky_scene(size=24, env_k=8, reflections=1)
+    g_env = np.asarray(
+        jax.grad(lambda s: jnp.sum(render_jnp_vec(s, cfg)))(scene).env
+    )
+    mag = np.abs(g_env).max(-1)  # (K, K) any-channel
+    obs = mag > 0.0
+    # config 9's tilted camera sees a band of sky, not all of it
+    assert obs.any() and not obs.all()
+
+    img0 = np.asarray(render_jnp_vec(scene, cfg))
+
+    def bumped(i, j):
+        env = scene.env.at[i, j].add(0.25)
+        return np.asarray(
+            render_jnp_vec(dataclasses.replace(scene, env=env), cfg)
+        )
+
+    ui, uj = map(int, np.argwhere(~obs)[0])
+    np.testing.assert_array_equal(bumped(ui, uj), img0)
+    oi, oj = map(int, np.unravel_index(np.argmax(mag), mag.shape))
+    assert np.abs(bumped(oi, oj) - img0).max() > 0.0
