@@ -185,6 +185,7 @@ def cmd_invert(args):
                 start, target, spec, cfg, ocfg,
                 restarts=args.restarts, jitter=args.restart_jitter,
                 seed=args.seed + 1000, proposal=args.restart_proposal,
+                chain=args.restart_chain,
                 taus=taus, target_scene=truth,
                 soft_size=args.anneal_size, checker_ratio=args.checker_ratio,
                 max_chunk=max_chunk, chunk_callback=frame_cb,
@@ -346,11 +347,18 @@ def main(argv=None):
     pi.add_argument("--restart-jitter", type=float, default=0.15,
                     help="relative re-perturbation scale for --restarts")
     pi.add_argument("--restart-proposal", default="jitter",
-                    choices=["jitter", "per_sphere", "swap", "swap_jitter", "mixed"],
+                    choices=["jitter", "per_sphere", "swap", "swap_jitter",
+                             "mixed", "resid"],
                     help="restart proposal family (optim.propose_restart): "
                          "structure-aware moves (per-sphere re-jitter, "
-                         "pairwise identity swaps) attack topology stalls "
-                         "that i.i.d. jitter cannot reach")
+                         "pairwise identity swaps, residual-guided "
+                         "re-seeding) attack topology stalls that i.i.d. "
+                         "jitter cannot reach")
+    pi.add_argument("--restart-chain", action="store_true",
+                    help="propose each restart from the best converged "
+                         "scene so far (sequential repair; with "
+                         "--restart-proposal resid this closed the "
+                         "0.45/seed-2 stall — OPTIMIZATION_NOTES)")
     pi.add_argument("--anneal-size", type=int, default=None,
                     help="resolution for the soft anneal stages (coarse-to-"
                          "fine; the final hard stage runs at full size)")

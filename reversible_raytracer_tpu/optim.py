@@ -488,8 +488,97 @@ def rejitter_one_sphere(start: Scene, spec: ParamSpec, idx: int,
     )
 
 
+def residual_reseed(start: Scene, spec: ParamSpec, target, rcfg,
+                    rank: int, seed: int, jitter: float) -> Scene:
+    """Residual-guided restart proposal (VERDICT r3 #7's third family):
+    re-seed one SUSPECT sphere's center at the brightest UNEXPLAINED
+    image region, then half-jitter everything (the swap_jitter lesson:
+    an identity repair alone may leave the start outside the repaired
+    basin).
+
+    - Suspect ranking: per-sphere visible-footprint attribution — nearest
+      sphere per pixel (sphere-only trace via `pipeline.intersect_sphere`
+      over `camera_rays`); a sphere's suspicion is the mean |luma
+      residual| over the pixels it wins. Spheres with NO footprint
+      (driven behind another or off-frame by the stall) rank most
+      suspect. ``rank`` cycles through the suspect order.
+    - Target region: per cycle, the next non-max-suppressed peak of the
+      POSITIVE residual (target brighter than render = mass we fail to
+      explain); the suspect's center moves onto that pixel's camera ray
+      at its CURRENT eye distance (depth is the raytracer's blind axis —
+      keep it, fix the image-plane position).
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from .models.configs import perturb
+    from .ops.pipeline import BIG, camera_rays, intersect_sphere
+    from .ops.pipeline_vec import render_jnp_vec
+
+    hard = dataclasses.replace(rcfg, soft_tau=0.0, checker_tau=0.0)
+    img = np.asarray(render_jnp_vec(start, hard))
+    tgt = np.asarray(jnp.asarray(target))
+    resid = tgt.mean(-1) - img.mean(-1)  # signed luma; > 0 = missing mass
+    H, W = resid.shape
+
+    ii, jj = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing="ij")
+    o, d = camera_rays(start.camera, jnp.asarray(ii), jnp.asarray(jj),
+                       H, W, rcfg.projection)
+    n = start.spheres.count
+    centers = np.asarray(start.spheres.center)
+    radii = np.asarray(start.spheres.radius)
+    ts = np.stack([
+        np.asarray(intersect_sphere(o, d, tuple(centers[k]),
+                                    float(radii[k])))
+        for k in range(n)
+    ])
+    kbest, tmin = ts.argmin(0), ts.min(0)
+    vis = tmin < BIG * 0.5
+    suspicion = np.full(n, np.inf)  # no-footprint spheres sort first
+    for k in range(n):
+        m = vis & (kbest == k)
+        if m.any():
+            suspicion[k] = np.abs(resid[m]).mean()
+    order = np.argsort(-suspicion, kind="stable")  # inf (hidden) first
+    idx = int(order[rank % n])
+    cycle = rank // n
+
+    # cycle-th positive-residual peak under non-max suppression, so
+    # successive cycles try distinct unexplained regions.
+    pos = np.clip(resid, 0.0, None)
+    r_sup2 = float(max(2, H // 10)) ** 2
+    peaks = []
+    for p in np.argsort(pos.ravel(), kind="stable")[::-1]:
+        py, px = divmod(int(p), W)
+        if all((py - a) ** 2 + (px - b) ** 2 > r_sup2 for a, b in peaks):
+            peaks.append((py, px))
+            if len(peaks) > cycle:
+                break
+    py, px = peaks[min(cycle, len(peaks) - 1)]
+
+    eye = np.asarray(start.camera.eye)
+    t_keep = float(np.linalg.norm(centers[idx] - eye))
+    o1, d1 = camera_rays(
+        start.camera, jnp.asarray([[float(py)]]), jnp.asarray([[float(px)]]),
+        H, W, rcfg.projection,
+    )
+    new_c = jnp.stack(
+        [jnp.ravel(oc + t_keep * dc)[0] for oc, dc in zip(o1, d1)]
+    )
+    out = dataclasses.replace(
+        start,
+        spheres=dataclasses.replace(
+            start.spheres, center=start.spheres.center.at[idx].set(new_c)
+        ),
+    )
+    return perturb(out, spec, scale=0.5 * jitter, seed=seed)
+
+
 def propose_restart(start: Scene, spec: ParamSpec, r: int, jitter: float,
-                    seed: int, proposal: str = "jitter") -> Scene:
+                    seed: int, proposal: str = "jitter",
+                    target=None, rcfg=None) -> Scene:
     """Starting point for restart ``r`` >= 1 (restart 0 is always
     ``start`` verbatim) under the given proposal family:
 
@@ -502,7 +591,10 @@ def propose_restart(start: Scene, spec: ParamSpec, r: int, jitter: float,
     - ``"swap_jitter"``— the same center-swap enumeration, then a HALF-
       jitter of all trainable leaves (composite moves: an identity repair
       alone may leave the start outside the repaired basin);
-    - ``"mixed"``      — alternate swap (odd r) and per_sphere (even r).
+    - ``"mixed"``      — alternate swap (odd r) and per_sphere (even r);
+    - ``"resid"``      — residual-guided: re-seed the rank-(r-1) suspect
+      sphere at the brightest unexplained image region + half-jitter
+      (`residual_reseed`; needs ``target`` and ``rcfg``).
     """
     from itertools import combinations
 
@@ -512,6 +604,11 @@ def propose_restart(start: Scene, spec: ParamSpec, r: int, jitter: float,
         return start
     if proposal == "jitter":
         return perturb(start, spec, scale=jitter, seed=seed + r)
+    if proposal == "resid":
+        if target is None or rcfg is None:
+            raise ValueError("proposal='resid' needs target and rcfg")
+        return residual_reseed(start, spec, target, rcfg, r - 1,
+                               seed + r, jitter)
     n = start.spheres.count
     if (proposal in ("swap", "swap_jitter")
             or (proposal == "mixed" and r % 2 == 1)):
@@ -541,6 +638,7 @@ def optimize_multistart(
     seed: int = 0,
     optimize_fn=None,
     proposal: str = "jitter",
+    chain: bool = False,
     **anneal_kw,
 ):
     """Seeded random-restart wrapper: run the inner optimizer from
@@ -586,13 +684,33 @@ def optimize_multistart(
     )
 
     best_scene, best_loss, finals = None, None, []
+    stale = 0  # chained mode: rounds since the last improvement
     for r in range(restarts):
-        s0 = propose_restart(start, spec, r, jitter, seed, proposal)
+        # chain=True: propose from the best CONVERGED scene so far instead
+        # of the original start — sequential repair for stalls with more
+        # than one displaced sphere (one proposal can only fix one; the
+        # next proposal should see the previous fix, not undo it). Most
+        # useful with proposal="resid", whose suspect ranking re-derives
+        # from the chained scene's own residual each round; the proposal
+        # index advances only while stuck (same base + same index would
+        # re-propose the identical restart), and resets on improvement so
+        # each new base is attacked at its own worst suspect first.
+        if chain and best_scene is not None:
+            # seed + r keeps the half-jitter fresh across chained rounds
+            # (ri resets on improvement, so a fixed seed would repeat it).
+            base, ri, sd = best_scene, stale + 1, seed + r
+        else:
+            base, ri, sd = start, r, seed
+        s0 = propose_restart(base, spec, ri, jitter, sd, proposal,
+                             target=target, rcfg=rcfg)
         final, _ = optimize_fn(s0)
         l = float(eval_loss(final))
         finals.append(l)
         if best_loss is None or l < best_loss:
             best_scene, best_loss = final, l
+            stale = 0
+        else:
+            stale += 1
     return best_scene, best_loss, finals
 
 

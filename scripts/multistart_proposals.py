@@ -66,10 +66,14 @@ def main():
         log(f"--- stall {scale}/seed{seed}: start RMS {rms0:.3f}")
         for prop in args.proposals:
             t0 = time.time()
+            # "<name>_chain" measures the chained (sequential-repair) mode
+            # of optimize_multistart: propose from the best-so-far scene.
+            chain = prop.endswith("_chain")
+            inner = prop[:-6] if chain else prop
             best, best_loss, finals = optimize_multistart(
                 start, target, spec, cfg, ocfg,
                 restarts=args.restarts, jitter=args.jitter, seed=100,
-                proposal=prop,
+                proposal=inner, chain=chain,
                 taus=(0.08, 0.03, 0.0), target_scene=scene,
             )
             rms = float(param_error(best, scene, spec))

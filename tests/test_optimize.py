@@ -287,3 +287,87 @@ def test_restart_proposals():
     np.testing.assert_array_equal(
         np.asarray(per.camera.eye), np.asarray(scene.camera.eye)
     )
+
+
+def test_restart_proposal_resid():
+    """Round 4 `resid` proposal: re-seeds ONE suspect sphere at the
+    brightest unexplained region's ray (depth preserved) and half-jitters
+    the rest. Properties pinned: exactly one sphere takes a large center
+    move; the reseeded center keeps its eye distance; restart 0 is the
+    start verbatim; missing target/rcfg raises."""
+    import pytest as _pytest
+
+    from reversible_raytracer_tpu.optim import propose_restart
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, spec, _ = configs.config2_four_spheres(32)
+    cfg = RenderConfig(height=32, width=32, shadows=True)
+    target = render_jnp_vec(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.45, seed=2)
+
+    s0 = propose_restart(start, spec, 0, 0.3, 7, "resid",
+                         target=target, rcfg=cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(s0),
+                    jax.tree_util.tree_leaves(start)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    s1 = propose_restart(start, spec, 1, 0.3, 7, "resid",
+                         target=target, rcfg=cfg)
+    dc = np.abs(np.asarray(s1.spheres.center)
+                - np.asarray(start.spheres.center)).max(axis=1)
+    big = dc > 0.5
+    assert big.sum() == 1, dc  # one relocated sphere; others half-jittered
+    idx = int(np.argmax(dc))
+    eye = np.asarray(start.camera.eye)
+    d_old = np.linalg.norm(np.asarray(start.spheres.center[idx]) - eye)
+    # the reseed itself preserves eye distance; the half-jitter then moves
+    # the center by <= ~0.5*jitter relative noise on top
+    d_new = np.linalg.norm(np.asarray(s1.spheres.center[idx]) - eye)
+    assert abs(d_new - d_old) / d_old < 0.5
+
+    with _pytest.raises(ValueError):
+        propose_restart(start, spec, 1, 0.3, 7, "resid")
+
+
+def test_multistart_chain_mechanics(monkeypatch):
+    """optimize_multistart(chain=True): proposals come from the best
+    CONVERGED scene once one exists (sequential repair), the proposal
+    index advances only while stuck and resets on improvement, and
+    chain=False keeps the round-3 behavior (always from start, index=r,
+    fixed seed)."""
+    from reversible_raytracer_tpu import optim as optim_mod
+    from reversible_raytracer_tpu.optim import optimize_multistart
+
+    scene, spec, _ = configs.config2_four_spheres(16)
+    cfg = RenderConfig(height=16, width=16, shadows=True)
+    target = render_jnp(scene, cfg)
+
+    calls = []
+
+    def fake_propose(base, spec_, ri, jitter, sd, proposal, target=None,
+                     rcfg=None):
+        calls.append((base, ri, sd))
+        return base
+
+    monkeypatch.setattr(optim_mod, "propose_restart", fake_propose)
+
+    # Inner optimizer: identity. Losses are then identical across rounds
+    # (same returned scene), so the first round stays best forever.
+    noop = lambda s: (s, [0.0])
+
+    calls.clear()
+    optimize_multistart(scene, target, spec, cfg, ocfg := optim_mod.OptConfig(iters=1),
+                        restarts=4, jitter=0.2, seed=5, optimize_fn=noop,
+                        proposal="per_sphere", chain=False)
+    assert [(c[1], c[2]) for c in calls] == [(0, 5), (1, 5), (2, 5), (3, 5)]
+    assert all(c[0] is scene for c in calls)
+
+    calls.clear()
+    optimize_multistart(scene, target, spec, cfg, ocfg,
+                        restarts=4, jitter=0.2, seed=5, optimize_fn=noop,
+                        proposal="per_sphere", chain=True)
+    # r=0: no best yet -> from start, index 0. r>=1: from best (which is
+    # the identity-returned scene), index = stale+1 climbing while stuck.
+    assert [(c[1], c[2]) for c in calls] == [(0, 5), (1, 6), (2, 7), (3, 8)]
+    assert calls[0][0] is scene
+    assert all(c[0] is not None for c in calls[1:])
