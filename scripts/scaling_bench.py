@@ -16,13 +16,15 @@ cost is one psum of O(scene) floats per step over ICI (~2 us), projecting
 >90% strong-scaling efficiency at 8 chips for 512^2 (24 us/chip-step vs
 ~2 us collective).
 
-Round-4 readings: flat through mesh=4 (0.93-1.02), ~1.23-1.27 at mesh=8 —
-8 fake devices contending for the same host cores (the round-3 artifact
-read 0.98 at mesh=8 with the old per-leaf optimizer; the flat-update scan
-body appears to interleave worse under 8-way thread contention). This
-contention has no real-silicon analogue; the AUTHORITATIVE machinery
-number is bench.py's TPU row: sharded mesh=1 step = 1.008x the bare fused
-step (xprof: sharded and unsharded scan bodies both 128.7 us/step).
+Round-4 readings: flat, 0.88-1.08 across the mesh sizes. A transient
+mesh=8 regression to ~1.23 (with mesh=1 at 46 ms vs 27) during round 4
+was NOT contention: the first flat-update formulation raveled the WHOLE
+scene, turning untrainable leaves (camera/lights/...) into loop-carried
+slices and defeating XLA's constant folding of them into the render —
+fixed by raveling trainable leaves only (optim.make_flat_update
+docstring). The AUTHORITATIVE real-silicon machinery number is bench.py's
+TPU row: sharded mesh=1 step = 1.008x the bare fused step (xprof:
+sharded and unsharded scan bodies both 128.7 us/step).
 
 Usage: python scripts/scaling_bench.py [--size 256] [--iters 60]
 """
