@@ -340,6 +340,7 @@ def optimize(
 
 
 _SCAN_CACHE: dict = {}
+_RESEED_CACHE: dict = {}
 
 
 def optimize_scan(
@@ -541,6 +542,10 @@ def residual_reseed(start: Scene, spec: ParamSpec, target, rcfg,
       explain); the suspect's center moves onto that pixel's camera ray
       at its CURRENT eye distance (depth is the raytracer's blind axis —
       keep it, fix the image-plane position).
+    All device work runs under ONE cached jit per (rcfg, scene structure)
+    — eager jnp on the axon tunnel pays a ~30 ms roundtrip PER OP, which
+    would make each proposal minutes-slow at 512²; the host keeps only
+    the tiny argsort/NMS logic.
     """
     import dataclasses
 
@@ -548,36 +553,64 @@ def residual_reseed(start: Scene, spec: ParamSpec, target, rcfg,
 
     from .models.configs import perturb
     from .ops.pipeline import BIG, camera_rays, intersect_sphere
-    from .ops.pipeline_vec import render_jnp_vec
 
-    hard = dataclasses.replace(rcfg, soft_tau=0.0, checker_tau=0.0)
-    img = np.asarray(render_jnp_vec(start, hard))
-    tgt = np.asarray(jnp.asarray(target))
-    resid = tgt.mean(-1) - img.mean(-1)  # signed luma; > 0 = missing mass
-    H, W = resid.shape
-
-    ii, jj = np.meshgrid(np.arange(H, dtype=np.float32),
-                         np.arange(W, dtype=np.float32), indexing="ij")
-    o, d = camera_rays(start.camera, jnp.asarray(ii), jnp.asarray(jj),
-                       H, W, rcfg.projection)
     n = start.spheres.count
-    centers = np.asarray(start.spheres.center)
-    radii = np.asarray(start.spheres.radius)
-    ts = np.stack([
-        np.asarray(intersect_sphere(o, d, tuple(centers[k]),
-                                    float(radii[k])))
-        for k in range(n)
-    ])
-    kbest, tmin = ts.argmin(0), ts.min(0)
-    vis = tmin < BIG * 0.5
-    suspicion = np.full(n, np.inf)  # no-footprint spheres sort first
-    for k in range(n):
-        m = vis & (kbest == k)
-        if m.any():
-            suspicion[k] = np.abs(resid[m]).mean()
+    key = ("resid", rcfg, n, jax.tree_util.tree_structure(start))
+    attrib = _RESEED_CACHE.get(key)
+    if attrib is None:
+        from .ops.pipeline_vec import render_jnp_vec
+
+        hard = dataclasses.replace(rcfg, soft_tau=0.0, checker_tau=0.0)
+        H, W = rcfg.height, rcfg.width
+
+        @jax.jit
+        def attrib(scene, tgt):
+            img = render_jnp_vec(scene, hard)
+            resid = tgt.mean(-1) - img.mean(-1)  # signed luma
+            ii, jj = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                                  jnp.arange(W, dtype=jnp.float32),
+                                  indexing="ij")
+            o, d = camera_rays(scene.camera, ii, jj, H, W, rcfg.projection)
+            ts = jnp.stack([
+                intersect_sphere(
+                    o, d,
+                    (scene.spheres.center[k, 0], scene.spheres.center[k, 1],
+                     scene.spheres.center[k, 2]),
+                    scene.spheres.radius[k])
+                for k in range(n)
+            ])
+            kbest, tmin = ts.argmin(0), ts.min(0)
+            vis = tmin < BIG * 0.5
+            suspicion = jnp.stack([
+                jnp.where(
+                    (vis & (kbest == k)).any(),
+                    jnp.sum(jnp.abs(resid) * (vis & (kbest == k)))
+                    / jnp.maximum(jnp.sum(vis & (kbest == k)), 1),
+                    jnp.inf,  # no-footprint spheres sort first
+                )
+                for k in range(n)
+            ])
+            return resid, suspicion
+
+        @jax.jit
+        def unproject(scene, py, px, t_keep):
+            o1, d1 = camera_rays(scene.camera, py[None, None],
+                                 px[None, None], H, W, rcfg.projection)
+            return jnp.stack([
+                jnp.ravel(oc + t_keep * dc)[0] for oc, dc in zip(o1, d1)
+            ])
+
+        _RESEED_CACHE[key] = (attrib, unproject)
+
+    attrib, unproject = _RESEED_CACHE[key]
+    resid, suspicion = jax.device_get(
+        attrib(start, jnp.asarray(target, jnp.float32))
+    )
+    H, W = resid.shape
     order = np.argsort(-suspicion, kind="stable")  # inf (hidden) first
     idx = int(order[rank % n])
     cycle = rank // n
+    centers = np.asarray(start.spheres.center)
 
     # cycle-th positive-residual peak under non-max suppression, so
     # successive cycles try distinct unexplained regions.
@@ -594,13 +627,8 @@ def residual_reseed(start: Scene, spec: ParamSpec, target, rcfg,
 
     eye = np.asarray(start.camera.eye)
     t_keep = float(np.linalg.norm(centers[idx] - eye))
-    o1, d1 = camera_rays(
-        start.camera, jnp.asarray([[float(py)]]), jnp.asarray([[float(px)]]),
-        H, W, rcfg.projection,
-    )
-    new_c = jnp.stack(
-        [jnp.ravel(oc + t_keep * dc)[0] for oc, dc in zip(o1, d1)]
-    )
+    new_c = unproject(start, jnp.float32(py), jnp.float32(px),
+                      jnp.float32(t_keep))
     out = dataclasses.replace(
         start,
         spheres=dataclasses.replace(
