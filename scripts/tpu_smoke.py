@@ -293,8 +293,24 @@ def main():
             )
         ), dataclasses.replace(cfg33, reflections=1)),
         ("spp4", base33, dataclasses.replace(cfg33, spp=4)),
+        # Round-4 soft rows: env + OBJECT texel grids in the SOFT kernel
+        # family (the anneal's soft stages; fused_vec_soft). The jnp_vec
+        # reference renders the same soft compositor when soft_tau > 0.
+        ("softenv", dataclasses.replace(base33, env=env33),
+         dataclasses.replace(cfg33, soft_tau=0.05)),
+        ("softtex", dataclasses.replace(
+            base33, spheres=dataclasses.replace(base33.spheres, texture=tex33)
+        ), dataclasses.replace(cfg33, soft_tau=0.05)),
     )
     for name, scene_v, cfg_v in vec_rows:
+        if cfg_v.soft_tau > 0.0:
+            from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+                loss_grad_pallas_vec_soft as loss_grad_pallas_vec,
+            )
+        else:
+            from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+                loss_grad_pallas_vec,
+            )
         t0 = time.time()
         tgt_v = jnp.asarray(
             np.asarray(jax.jit(lambda s, c=cfg_v: render_jnp_vec(s, c))(scene_v))
