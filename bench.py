@@ -769,9 +769,13 @@ def main():
     if on_tpu:
         row("config6", row_config6)
 
-    def _texture_config_rows(tag, make_config, seed, label):
+    def _texture_config_rows(tag, make_config, seed, label, tex_leaf):
         # Shared body for the config-7/8/9 rows: step-kernel cost, XLA
-        # fallback cost, inversion wall-clock + recovery RMS.
+        # fallback cost, inversion wall-clock + recovery RMS — the texture
+        # leaf's RMS split by OBSERVABILITY (config-10's round-4 lesson
+        # generalized: an aggregate RMS mixes in texels no ray samples,
+        # which carry zero gradient and CANNOT move; texel (i,j) is
+        # observable iff |d sum(image)/d texel| > 0 at the truth scene).
         from reversible_raytracer_tpu.ops.render import loss_and_grad_fn
 
         scene_t, spec_t, cfg_t = make_config(512)
@@ -805,27 +809,48 @@ def main():
         lt = float(losses_t[-1])  # value fetch before reading the clock
         ttw = time.perf_counter() - t0
         rms_t = float(param_error(final_t, scene_t, spec_t))
+
+        g_obs = jax.jit(
+            jax.grad(lambda s: jnp.sum(render_jnp(s, cfg_t)))
+        )(scene_t)
+        gt = np.asarray(tex_leaf(g_obs))
+        obs = np.abs(gt).max(-1) > 0.0  # any-channel, per texel
+        d2 = np.asarray(
+            (tex_leaf(final_t) - tex_leaf(scene_t)) ** 2
+        ).mean(-1)
+        obs_rms = float(np.sqrt(d2[obs].mean())) if obs.any() else 0.0
+        unobs_rms = (
+            float(np.sqrt(d2[~obs].mean())) if (~obs).any() else 0.0
+        )
         _log(f"{label} recovery @512^2 (200 steps, 40% perturb): "
-             f"{ttw:.1f}s  final_loss={lt:.3e} rms={rms_t:.3e}")
+             f"{ttw:.1f}s  final_loss={lt:.3e} rms={rms_t:.3e}  "
+             f"tex_rms obs={obs_rms:.3e} unobs={unobs_rms:.3e} "
+             f"(obs frac {obs.mean():.2f})")
+        details[f"{tag}_rms_observable"] = obs_rms
+        details[f"{tag}_rms_unobservable"] = unobs_rms
+        details[f"{tag}_observable_frac"] = float(obs.mean())
         return ttw, rms_t, lt
 
     def row_config7():
         t, r, l = _texture_config_rows(
-            "config7_texture", configs.config7_texture, 11, "textured")
+            "config7_texture", configs.config7_texture, 11, "textured",
+            lambda s: s.rects.texture)
         details["config7_invert_seconds"] = t
         details["config7_invert_texture_rms"] = r
         details["config7_invert_final_loss"] = l
 
     def row_config8():
         t, r, l = _texture_config_rows(
-            "config8_globe", configs.config8_globe, 12, "globe")
+            "config8_globe", configs.config8_globe, 12, "globe",
+            lambda s: s.spheres.texture)
         details["config8_invert_seconds"] = t
         details["config8_invert_texture_rms"] = r
         details["config8_invert_final_loss"] = l
 
     def row_config9():
         t, r, l = _texture_config_rows(
-            "config9_sky", configs.config9_sky, 13, "sky")
+            "config9_sky", configs.config9_sky, 13, "sky",
+            lambda s: s.env)
         details["config9_invert_seconds"] = t
         details["config9_invert_env_rms"] = r
         details["config9_invert_final_loss"] = l
