@@ -435,7 +435,7 @@ def main():
         vag4 = loss_and_grad_fn(scene, cfg4)
         t0 = time.perf_counter()
         t_spp4, _, _ = _median_slope(
-            lambda n: _vag_total(vag4, scene, target, n), 10, 60, k=3
+            lambda n: _vag_total(vag4, scene, target, n), 30, 180, k=3
         )
         _log(f"pallas spp=4 fwd+bwd: {t_spp4*1e3:.3f} ms/step "
              f"({t_spp4/t_fast:.2f}x the spp=1 step) "
@@ -522,7 +522,7 @@ def main():
         vagp = lambda s, t: loss_grad_pallas_vec(s, cfgv, t)
         t0 = time.perf_counter()
         tp, _, _ = _median_slope(
-            lambda n: _vag_total(vagp, basev, tgtv, n), 10, 60, k=3
+            lambda n: _vag_total(vagp, basev, tgtv, n), 20, 120, k=3
         )
         _log(f"vec step kernel, 65-obj plain 512^2: {tp*1e3:.2f} ms/step "
              f"[compile+bench {time.perf_counter()-t0:.0f}s]")
@@ -556,7 +556,7 @@ def main():
         vage = lambda s, t: loss_grad_pallas_vec(s, cfgv, t)
         t0 = time.perf_counter()
         te, _, _ = _median_slope(
-            lambda n: _vag_total(vage, skyv, tgtv, n), 10, 60, k=3
+            lambda n: _vag_total(vage, skyv, tgtv, n), 20, 120, k=3
         )
         _log(f"vec step kernel, 65-obj env-mapped (K=16) 512^2: "
              f"{te*1e3:.2f} ms/step "
@@ -739,7 +739,7 @@ def main():
         tgt6 = jnp.zeros((512, 512, 3), jnp.float32)
         t0 = time.perf_counter()
         t6, _, _ = _median_slope(
-            lambda n: _vag_total(vag6, scene6, tgt6, n), 10, 60, k=3
+            lambda n: _vag_total(vag6, scene6, tgt6, n), 100, 600, k=3
         )
         _log(f"pallas reflections=1 3-obj 512^2 fused step: {t6*1e3:.3f} "
              f"ms/step ({t6/t_fast:.2f}x the local-shading step) "
@@ -783,7 +783,7 @@ def main():
         tgt_t = jnp.zeros((512, 512, 3), jnp.float32)
         t0 = time.perf_counter()
         tt, _, _ = _median_slope(
-            lambda n: _vag_total(vag_t, scene_t, tgt_t, n), 10, 60, k=3
+            lambda n: _vag_total(vag_t, scene_t, tgt_t, n), 40, 240, k=3
         )
         _log(f"{label} (fused step kernel) 512^2 fwd+bwd: "
              f"{tt*1e3:.3f} ms/step "
