@@ -246,3 +246,21 @@ def test_pallas_interpret_band_offsets():
         render_pallas(scene, cfg, row0=16.0, out_height=16, interpret=True)
     )
     np.testing.assert_allclose(band, full[16:32], atol=1e-5)
+
+
+def test_cli_invert_restart_chain(tmp_path, capsys):
+    """CLI plumbing for the round-4 restart machinery: --restarts with
+    --restart-proposal resid --restart-chain runs the chained
+    residual-guided multistart end-to-end (tiny sizes; the measured
+    escape evidence lives in docs/OPTIMIZATION_NOTES.md)."""
+    from reversible_raytracer_tpu.cli import main
+
+    main([
+        "invert", "--config", "2", "--size", "24", "--iters", "6",
+        "--perturb", "0.3", "--seed", "2", "--anneal", "0.05,0",
+        "--restarts", "3", "--restart-jitter", "0.3",
+        "--restart-proposal", "resid", "--restart-chain", "--quiet",
+    ])
+    err = capsys.readouterr().err
+    assert "multistart finals" in err
+    assert err.count("e-") >= 3  # three per-restart finals printed
