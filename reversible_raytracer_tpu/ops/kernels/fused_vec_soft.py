@@ -277,14 +277,15 @@ def soft_kernel_ok(scene_like: Scene) -> bool:
     and optim.anneal_stage_impl — round-3 ADVICE flagged the duplicated
     inline copies as drift-prone). True when the scene has no OBJECT texel
     grids (the soft SMEM object rows hold scalars) and any env map fits
-    the dense-sampler budget. The env threshold is K <= 16 — STRICTER
-    than the hard vec family's 32: the soft STEP kernel at env K=32
-    fails to compile with a scoped-vmem OOM whose dominant term is
-    row-count-INDEPENDENT (measured on v5e: 38.86M scoped at 32-row
-    backward tiles, 22.27M at 8 rows, vs the 16M limit — a ~16.7M fixed
-    allocation from the S-stage vjp's three dense env samples x 2K
-    hat-weight planes, so no tile shrink can admit K=32). Dispatch
-    routes K>16 soft env scenes to the jnp_vec soft path instead.
+    the dense-sampler budget. The env threshold is K <= 24 — STRICTER
+    than the hard vec family's 32: the soft STEP kernel's scoped-vmem
+    demand has a row-count-independent term that scales ~K² (the S-stage
+    vjp's three dense env samples x 2K hat-weight planes). Measured on
+    v5e: K=32 is impossible at ANY tile size (38.86M scoped at 32-row
+    backward tiles, still 22.27M at 8 rows, limit 16M — ~16.7M fixed);
+    K=24 fits at 8-row tiles (20.82M at 16 rows fails, 8 rows compiles
+    and runs — `auto_tiles_soft` shrinks for K > 16). Dispatch routes
+    K > 24 soft env scenes to the jnp_vec soft path instead.
     Round 4: OBJECT texel grids are supported too — they ride per-row
     SMEM tails exactly like the hard family (same probed `vec_smem_ok`
     budget), so the soft anneal stages of an object-textured vec-scale
@@ -292,7 +293,7 @@ def soft_kernel_ok(scene_like: Scene) -> bool:
     from .fused_vec import vec_smem_ok
 
     k = int(np.shape(scene_like.env)[0])
-    return vec_smem_ok(scene_like) and k <= 16
+    return vec_smem_ok(scene_like) and k <= 24
 
 
 def auto_tiles_soft(scene_like: Scene,
@@ -309,10 +310,13 @@ def auto_tiles_soft(scene_like: Scene,
     t = VecTileConfig()
     bwd = t.bh_bwd
     if scene_like.env_mapped:
-        # K is capped at 16 by soft_kernel_ok: K=32's scoped-vmem demand
-        # has a ~16.7M row-independent term (38.86M @ 32 rows, 22.27M @
-        # 8 rows, limit 16M — measured on v5e), so no shrink here helps.
         bwd = 32
+        if int(np.shape(scene_like.env)[0]) > 16:
+            # K=24 fits ONLY at 8-row tiles (16 rows OOM scoped vmem at
+            # 20.82M vs the 16M limit, measured on v5e); K is capped at
+            # 24 by soft_kernel_ok — K=32's ~16.7M row-INDEPENDENT term
+            # makes it impossible at any tile size.
+            bwd = 8
     if scene_object_textured(scene_like):
         # Texel-tail rows (round 4): same live-set class as the hard
         # family's textured backward (per-texel reduction partials x the

@@ -54,8 +54,8 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
         # elsewhere (the HARD Pallas kernels would silently drop the
         # taus — they refuse). The soft kernels require soft_tau > 0;
         # env maps ride their SMEM globals plan (round 3; soft env cap
-        # K <= 16, stricter than the hard family's 32 — measured
-        # scoped-vmem OOM at K=32, see soft_kernel_ok), texel grids ride
+        # K <= 24, stricter than the hard family's 32 — measured
+        # scoped-vmem boundary, see soft_kernel_ok), texel grids ride
         # per-row SMEM tails (round 4, vec_smem_ok budget); only the
         # checker-only relaxation runs on the jnp path.
         # (reflections + taus raises in jnp_vec — the relaxations are

@@ -781,8 +781,8 @@ def anneal_stage_impl(scene: Scene, tau: float) -> str:
     tau on the CURRENT backend (exposed so tests and callers share the
     decision). Soft (tau > 0) stages run in the soft vec kernels whenever
     `fused_vec_soft.soft_kernel_ok` allows: env maps ride their SMEM
-    globals plan (K <= 16 for the soft family — measured scoped-vmem OOM
-    at K=32, see soft_kernel_ok) and object texel grids ride per-row
+    globals plan (K <= 24 for the soft family — measured scoped-vmem
+    boundary, see soft_kernel_ok) and object texel grids ride per-row
     SMEM tails (round 4 — same probed vec_smem_ok budget as the hard
     family); anything past those budgets runs on render_jnp_vec. The
     hard tau = 0 polish runs on fused_vec under the same budgets."""

@@ -381,6 +381,19 @@ def test_env_k_tile_and_dispatch_boundaries():
     assert tiles16.bh_bwd > tiles32.bh_bwd
     assert not soft_kernel_ok(k32)
 
+    # Soft family: K=24 is admitted (8-row backward tiles; measured to
+    # compile+run on v5e — 16-row tiles OOM scoped vmem at 20.82M).
+    from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+        auto_tiles_soft,
+    )
+
+    k24 = dataclasses.replace(
+        scene, env=jnp.zeros((24, 24, 3), jnp.float32)
+    )
+    assert soft_kernel_ok(k24)
+    assert auto_tiles_soft(k24, None).bh_bwd == 8
+    assert auto_tiles_soft(scene, None).bh_bwd == 32  # K=16 keeps 32
+
 
 def test_env_observability_mask_semantics():
     """The config-10 evidence metric (scripts/config10_check.py) defines

@@ -216,12 +216,12 @@ def test_soft_env_step_kernel_matches_ad():
 
 
 def test_soft_env_routing(monkeypatch):
-    """Dispatch: env-mapped (<= K=16) soft scenes take the soft vec
+    """Dispatch: env-mapped (<= K=24) soft scenes take the soft vec
     kernels on TPU; oversized env maps stay on jnp_vec — the soft env
     cap is STRICTER than the hard family's 32 (K=32's soft backward has
-    a ~16.7M row-independent scoped-vmem term vs the 16M limit, measured
-    on v5e; see soft_kernel_ok). Both resolve_impl and anneal_stage_impl
-    agree."""
+    a ~16.7M row-independent scoped-vmem term vs the 16M limit; K=24
+    fits at 8-row tiles — measured on v5e, see soft_kernel_ok). Both
+    resolve_impl and anneal_stage_impl agree."""
     import dataclasses
 
     from reversible_raytracer_tpu import optim as optim_mod
@@ -235,7 +235,7 @@ def test_soft_env_routing(monkeypatch):
     assert resolve_impl(scene, cfg) == "pallas_vec_soft"
     assert anneal_stage_impl(scene, 0.05) == "pallas_vec_soft"
     at_cap = dataclasses.replace(
-        scene, env=jnp.zeros((16, 16, 3), jnp.float32)
+        scene, env=jnp.zeros((24, 24, 3), jnp.float32)
     )
     assert resolve_impl(at_cap, cfg) == "pallas_vec_soft"
     k32 = dataclasses.replace(
