@@ -393,6 +393,9 @@ def test_env_k_tile_and_dispatch_boundaries():
     assert soft_kernel_ok(k24)
     assert auto_tiles_soft(k24, None).bh_bwd == 8
     assert auto_tiles_soft(scene, None).bh_bwd == 32  # K=16 keeps 32
+    # Hard family at K=24: 16-row tiles fit and are 1.8x faster than 8
+    # (3.83 vs 6.87 ms/step on v5e); only K > 24 drops to 8.
+    assert auto_tiles(k24, cfg, None).bh_bwd == 16
 
 
 def test_env_observability_mask_semantics():
