@@ -574,8 +574,10 @@ def auto_tiles(scene_like: Scene, cfg: RenderConfig,
         # bigger and caps at K <= 24 instead (fused_vec_soft).
         bwd = 8
     elif env_k > 16:
-        # K=24 fits 16-row tiles and is 1.8x faster there than at 8
-        # (measured on v5e: 3.83 vs 6.87 ms/step, 64-obj 512^2).
+        # K=24 fits 16-row tiles and is ~1.8x faster there than at 8 —
+        # both probed on v5e at 64-obj 512^2: local-shading 3.83 vs
+        # 6.87 ms/step, reflections=1 (per-level env planes and all)
+        # 6.89 vs 12.10 ms/step.
         bwd = min(bwd, 16)
     if obj_tex:
         # Texel-tail rows: the backward's per-texel masked reductions
