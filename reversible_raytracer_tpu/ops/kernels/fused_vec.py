@@ -593,14 +593,16 @@ def auto_tiles(scene_like: Scene, cfg: RenderConfig,
             # the level count (each level's replay keeps its own hat-weight
             # planes live through the reverse pass).
             bwd = max(8, bwd // (1 + refl))
-    if cfg.spp == 4 and (obj_tex or refl):
-        # The step kernel's in-kernel subsample loop at spp=4 FITS at 64
-        # rows untextured/unreflective (and is fastest there — see the
-        # factory note); the spp x (texel | level) live-set products do
-        # not, so halve once more (conservative; re-sweep on TPU when the
-        # combos get bench rows).
+    if cfg.spp == 4 and refl:
+        # spp=4 multiplies the per-LEVEL live set: reflective spp=4
+        # halves once (swept on v5e at 64-obj 512^2: 32 rows = 10.32
+        # ms/step, 64 rows OOM scoped vmem by 16 KiB), and env/texel
+        # bounce chains halve once more. Textured WITHOUT bounces keeps
+        # the obj_tex 32-row tiles untouched — round 4's sweep showed
+        # the old conservative double-halving to 8 rows cost 2.4x
+        # (39.79 -> 16.63 ms/step at 32 rows; 64 OOMs at 19.8M).
         bwd = max(8, bwd // 2)
-        if obj_tex or (scene_like.env_mapped and refl):
+        if obj_tex or scene_like.env_mapped:
             bwd = max(8, bwd // 2)
     return dataclasses.replace(t, bh_bwd=bwd)
 
