@@ -588,10 +588,14 @@ def auto_tiles(scene_like: Scene, cfg: RenderConfig,
         # see VecTileConfig.tex_chunk).
         bwd = min(bwd, 32)
         t = dataclasses.replace(t, tex_chunk=2)
-        if refl:
+        if refl >= 2:
             # Textured bounces multiply the texel-accumulator live set by
             # the level count (each level's replay keeps its own hat-weight
-            # planes live through the reverse pass).
+            # planes live through the reverse pass) — but ONE bounce still
+            # fits the 32-row tiles and is 1.38x faster there than the old
+            # halving to 16 (swept on v5e, 64 textured+mirrored spheres
+            # 512^2: 17.06 vs 23.60 ms/step; deeper chains keep the old
+            # conservative shrink).
             bwd = max(8, bwd // (1 + refl))
     if cfg.spp == 4 and refl:
         # spp=4 multiplies the per-LEVEL live set: reflective spp=4
