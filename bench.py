@@ -4,15 +4,30 @@ Headline metric (driver contract, printed as ONE JSON line on stdout):
 rays/sec/chip for fused forward+backward at 512^2 on the 4-sphere+plane
 Phong+shadows scene (driver config 2 geometry at the BASELINE 512^2 size).
 
-Stall-proof ordering (round 4; round 3's official capture timed out with
-parsed=null behind a 1537 s server-side compile stall): the headline needs
-exactly TWO compiles — the fused training-step kernel and the jnp fwd+bwd
-baseline — so those run FIRST and the driver JSON is printed immediately
-after (~1 min warm-cache). Every other row runs best-effort BEHIND the
-JSON under a global wall-clock budget (RRT_BENCH_BUDGET_S, default 1500 s
-from process start): a row whose start would exceed the budget is skipped
-and recorded in bench_details.json["skipped_rows"] — no silent truncation,
-and one bad compile can no longer sink the metric of record.
+Two modes (round 5; rounds 3 AND 4 both ended rc=124/parsed=null because
+the default run — ~20 TPU rows, each compiling 14-51 s — cannot fit any
+plausible driver kill window, and budget enforcement only gated row
+*starts*):
+
+- DEFAULT (``python bench.py``): measure ONLY the headline. A jax-free
+  parent launches the measurement in a bounded subprocess (attempt 1:
+  RRT_BENCH_T1=360 s, retry: RRT_BENCH_T2=180 s — a killed attempt leaves
+  the server-side compile cache warm for the retry, the documented cure
+  for erratic server-side compile stalls), prints the driver JSON line
+  FIRST and re-prints it as the FINAL stdout line (first-line and
+  last-line parsers both find it), and exits 0. Worst case, wedged-tunnel
+  included (the child's own timeout bounds a hung ``import jax``), is
+  ~9.5 min; the typical warm-cache run is ~2-3 min. The committed
+  bench_details.json is NOT touched in this mode.
+
+- FULL (``RRT_BENCH_FULL=1 python bench.py``): the complete ~20-row sweep
+  that regenerates bench_details.json. Run manually, commit the artifact.
+  A wall-clock budget (RRT_BENCH_BUDGET_S, default 1500 s) is enforced
+  BOTH between rows and between slope repeats inside a row; rows past the
+  deadline are skipped and recorded in ``skipped_rows``. The artifact is
+  written incrementally to bench_details.partial.json and renamed over
+  bench_details.json only on completion, so a SIGKILLed run cannot
+  truncate the committed file.
 
 Methodology: per-step device time = two-point slope. We run the step inside
 a lax.scan (true carry dependence) for N1 and N2 iterations, force a VALUE
@@ -38,23 +53,100 @@ import subprocess
 import sys
 import time
 
-# Tunnel-wedge guard (must run BEFORE `import jax`): when the axon PJRT
-# tunnel is wedged, `import jax` hangs indefinitely (the axon plugin probes
-# the tunnel at import). The driver runs this script unattended at round
-# end — fail fast with a diagnostic instead of hanging forever. The probe
-# is a subprocess so the hang (if any) is bounded by the timeout.
-if __name__ == "__main__" and os.environ.get("RRT_BENCH_NO_PROBE") != "1":
+HEADLINE_METRIC = "rays_per_sec_per_chip_fwd_bwd_512"
+_IS_CHILD = "--headline-child" in sys.argv
+_IS_FULL = os.environ.get("RRT_BENCH_FULL") == "1"
+
+
+def _fast_mode():
+    """Driver default: capture the headline inside a hard wall-clock bound.
+
+    The measurement runs in a subprocess so that (a) a wedged axon tunnel
+    (where ``import jax`` hangs forever) and (b) an erratic server-side
+    compile stall are both bounded by the subprocess timeout, and (c) the
+    retry starts a FRESH process — killed clients do not cancel server-side
+    compiles, so the retry typically finds the compile cache warm
+    (CLAUDE.md). Prints the driver JSON line first AND as the final stdout
+    line, then exits 0. On total failure, prints a parseable JSON line with
+    value 0 and an ``error`` field — an honest failure record beats
+    parsed=null.
+    """
+    t_start = time.perf_counter()
+    here = os.path.dirname(os.path.abspath(__file__))
+    scratch = os.path.join(here, "bench_headline.partial.json")
+    timeouts = [
+        float(os.environ.get("RRT_BENCH_T1", "360")),
+        float(os.environ.get("RRT_BENCH_T2", "180")),
+    ]
+    err = "unknown"
+    for i, tmo in enumerate(timeouts, 1):
+        try:
+            os.remove(scratch)
+        except OSError:
+            pass
+        print(f"bench: headline attempt {i}/{len(timeouts)} "
+              f"(timeout {tmo:.0f}s)", file=sys.stderr, flush=True)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-child", scratch],
+                timeout=tmo, capture_output=True,
+            )
+        except subprocess.TimeoutExpired as e:
+            err = (f"attempt {i}: killed after {tmo:.0f}s (server-side "
+                   f"compile stall or wedged axon tunnel)")
+            tail = (e.stderr or b"").decode(errors="replace")[-400:]
+            print(f"bench: {err}; child stderr tail: {tail}",
+                  file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(r.stderr.decode(errors="replace"))
+        sys.stderr.flush()
+        if r.returncode == 0 and os.path.exists(scratch):
+            with open(scratch) as fh:
+                payload = json.load(fh)
+            os.remove(scratch)
+            line = json.dumps(payload)
+            print(line, flush=True)  # first stdout line (first-line parsers)
+            print(f"bench: headline captured at "
+                  f"+{time.perf_counter() - t_start:.0f}s; re-printing JSON "
+                  f"as the final stdout line", file=sys.stderr, flush=True)
+            print(line, flush=True)  # final stdout line (last-line parsers)
+            sys.exit(0)
+        err = (f"attempt {i}: child rc={r.returncode}; stderr tail: "
+               f"{r.stderr.decode(errors='replace')[-400:]}")
+        print(f"bench: {err}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": HEADLINE_METRIC,
+        "value": 0,
+        "unit": "rays/s",
+        "vs_baseline": 0.0,
+        "error": err,
+    }), flush=True)
+    sys.exit(0)
+
+
+if __name__ == "__main__" and not _IS_CHILD and not _IS_FULL:
+    _fast_mode()
+
+# Tunnel-wedge guard for FULL mode (must run BEFORE `import jax`): when the
+# axon PJRT tunnel is wedged, `import jax` hangs indefinitely (the axon
+# plugin probes the tunnel at import) — fail fast with a diagnostic instead
+# of hanging forever. The probe is a subprocess so the hang (if any) is
+# bounded by the timeout. The fast path above needs no probe: its child's
+# own timeout bounds a hung import.
+if __name__ == "__main__" and _IS_FULL \
+        and os.environ.get("RRT_BENCH_NO_PROBE") != "1":
     try:
         subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=300,
+            timeout=120,
             check=True,
             capture_output=True,
         )
     except subprocess.TimeoutExpired:
         print(
             "bench: axon tunnel appears wedged (import jax + jax.devices() "
-            "did not complete in 300 s); aborting instead of hanging. "
+            "did not complete in 120 s); aborting instead of hanging. "
             "Retry once the tunnel recovers.",
             file=sys.stderr,
             flush=True,
@@ -94,7 +186,25 @@ def _fwd_total(render_fn, scene, iters):
     return time.perf_counter() - t0
 
 
-def _median_slope(total_fn, n1, n2, k=1):
+class DegenerateSlope(RuntimeError):
+    """The two-point delta fell below tunnel jitter — the slope is noise.
+
+    Round-4 lesson (VERDICT r4 weak #1): the old ``max(slope, 1e-9)`` clamp
+    silently converted a degenerate measurement (t(n2) ~= t(n1), the classic
+    XLA-hoisting / unsynced-warm-run trap) into a plausible-looking
+    1 ns/step that then got cited in README. Degenerate slopes must FAIL
+    the row, loudly, never return the floor.
+    """
+
+
+# FULL-mode wall-clock deadline (perf_counter value), set by main();
+# _median_slope stops starting new repeats past it (in-row budget
+# enforcement — VERDICT r4 weak #2: between-row checks alone let a single
+# row overrun the budget arbitrarily).
+_ROW_DEADLINE = [None]
+
+
+def _median_slope(total_fn, n1, n2, k=1, min_delta_s=2e-3):
     """Median of k two-point slopes, with spread.
 
     One (t(n2)-t(n1))/(n2-n1) sample cancels dispatch+fetch overheads but
@@ -102,14 +212,32 @@ def _median_slope(total_fn, n1, n2, k=1):
     spread. k>=3 repeats (compile already warm, so each repeat costs only
     the scan executions) and the median make the figure reproducible; the
     (min, median, max) spread is recorded in bench_details.json.
+
+    Raises DegenerateSlope if the median delta t(n2)-t(n1) is below
+    ``min_delta_s`` (default 2 ms — the axon tunnel's observed jitter
+    floor): such a sample measures noise, not device time. Callers sizing
+    a row must pick (n1, n2) so the expected delta is >=10x this floor.
     """
     slopes = []
     for _ in range(k):
+        ddl = _ROW_DEADLINE[0]
+        if ddl is not None and slopes and time.perf_counter() > ddl:
+            break  # budget: keep the repeats we have, stop starting more
         t1 = total_fn(n1)
+        if ddl is not None and slopes and time.perf_counter() > ddl:
+            break  # budget hit between the two slope points
         t2 = total_fn(n2)
-        slopes.append(max((t2 - t1) / (n2 - n1), 1e-9))
+        slopes.append((t2 - t1) / (n2 - n1))
     slopes.sort()
-    return slopes[len(slopes) // 2], slopes[0], slopes[-1]
+    med = slopes[len(slopes) // 2]
+    if med * (n2 - n1) < min_delta_s:
+        raise DegenerateSlope(
+            f"two-point delta {med * (n2 - n1) * 1e3:.3f} ms over "
+            f"({n1},{n2}) is below the {min_delta_s * 1e3:.0f} ms tunnel "
+            f"jitter floor — slope would be noise (got {med * 1e3:.6f} "
+            f"ms/step); widen the scan pair or fix the carry dependence"
+        )
+    return med, slopes[0], slopes[-1]
 
 
 def _scan_steps_fwd(render_fn, scene, n1=50, n2=350, k=1):
@@ -179,6 +307,72 @@ def _scan_steps_vag(vag_fn, scene, target, n1=20, n2=120, k=1):
     return med
 
 
+def headline_child(out_path):
+    """Measure ONLY the headline metric and write the driver payload.
+
+    Runs inside the fast-mode subprocess (bounded by the parent's timeout).
+    Exactly two compiles: the fused training-step kernel
+    (ops/kernels/fused.loss_grad_pallas — loss + scene grads in one launch)
+    and the XLA-autodiff jnp baseline of the identical (loss, grads)
+    contract. Same two-point-slope methodology as the full sweep.
+    """
+    from reversible_raytracer_tpu.models import configs
+    from reversible_raytracer_tpu.ops.pipeline import RenderConfig
+    from reversible_raytracer_tpu.ops.render import loss_and_grad_fn, render_jnp
+
+    t_start = time.perf_counter()
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    _log(f"headline child: backend={backend} "
+         f"device={jax.devices()[0].device_kind} "
+         f"(+{time.perf_counter() - t_start:.0f}s)")
+
+    H = W = 512
+    rays = H * W
+    scene, _, _ = configs.config2_four_spheres()
+    cfg = RenderConfig(height=H, width=W, shadows=True)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    grad_pts = (50, 500) if on_tpu else (1, 6)
+    k_rep = 5 if on_tpu else 1
+
+    t0 = time.perf_counter()
+    if on_tpu:
+        vag = loss_and_grad_fn(scene, cfg)
+        t_fast, g_lo, g_hi = _median_slope(
+            lambda n: _vag_total(vag, scene, target, n), *grad_pts, k=k_rep
+        )
+        _log(f"pallas fwd+bwd (fused step): {t_fast*1e3:.3f} ms/step "
+             f"[{g_lo*1e3:.3f}..{g_hi*1e3:.3f}] "
+             f"({rays/t_fast/1e9:.3f} Grays/s) "
+             f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+    else:
+        t_fast, g_lo, g_hi = _median_slope(
+            lambda n: _grad_total(lambda s: render_jnp(s, cfg), scene,
+                                  target, n),
+            *grad_pts, k=k_rep,
+        )
+        _log(f"jnp (non-TPU backend) fwd+bwd: {t_fast*1e3:.3f} ms/step")
+    t0 = time.perf_counter()
+    t_jnp, _, _ = _median_slope(
+        lambda n: _grad_total(lambda s: render_jnp(s, cfg), scene, target, n),
+        *grad_pts, k=k_rep,
+    )
+    _log(f"jnp    fwd+bwd: {t_jnp*1e3:.3f} ms/step "
+         f"({rays/t_jnp/1e9:.3f} Grays/s) "
+         f"[compile+bench {time.perf_counter()-t0:.0f}s]")
+    payload = {
+        "metric": HEADLINE_METRIC,
+        "value": round(rays / t_fast),
+        "unit": "rays/s",
+        "vs_baseline": round(t_jnp / t_fast, 3),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(payload, fh)
+        fh.write("\n")
+    print(json.dumps(payload), flush=True)
+    _log(f"headline child done at +{time.perf_counter() - t_start:.0f}s")
+
+
 def _host_dispatch(fn, *args, n=30):
     jax.block_until_ready(fn(*args))
     jax.block_until_ready(fn(*args))
@@ -198,6 +392,7 @@ def main():
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("RRT_BENCH_BUDGET_S", "1500"))
     deadline = t_start + budget_s
+    _ROW_DEADLINE[0] = deadline  # in-row enforcement inside _median_slope
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -223,8 +418,14 @@ def main():
     details = {"backend": backend, "device": dev.device_kind, "size": H,
                "fast_impl": fast_name, "skipped_rows": []}
 
+    # Incremental saves go to a PARTIAL path; the committed artifact is
+    # replaced only on completion (VERDICT r4 weak #3: the driver's killed
+    # r4 run clobbered the committed bench_details.json with a truncated
+    # file). The partial file doubles as crash evidence.
+    partial_path = "bench_details.partial.json"
+
     def _save():
-        with open("bench_details.json", "w") as fh:
+        with open(partial_path, "w") as fh:
             json.dump(details, fh, indent=2)
             fh.write("\n")
 
@@ -299,12 +500,13 @@ def main():
     details["vs_xla_jnp_baseline"] = vs_baseline
     _save()
 
-    print(json.dumps({
-        "metric": "rays_per_sec_per_chip_fwd_bwd_512",
+    headline_line = json.dumps({
+        "metric": HEADLINE_METRIC,
         "value": round(value),
         "unit": "rays/s",
         "vs_baseline": round(vs_baseline, 3),
-    }), flush=True)
+    })
+    print(headline_line, flush=True)
     _log(f"headline JSON printed at +{time.perf_counter()-t_start:.0f}s; "
          f"remaining rows run best-effort under the budget")
 
@@ -897,19 +1099,57 @@ def main():
         l10 = float(losses10[-1])  # value fetch before reading the clock
         t10w = time.perf_counter() - t0
         rms10 = float(param_error(final10, scene10, spec10))
+
+        # Observable split (VERDICT r4 weak #4): the aggregate param RMS is
+        # dominated by UNOBSERVABLE sky texels (no ray samples them → zero
+        # gradient → cannot move); without the split the bench artifact
+        # reads as a recovery stall while docs/config10_tpu_check.json
+        # shows mirror RMS ~3e-6. Same metric definitions as
+        # scripts/config10_check.py: observability = |d sum(image)/d env|
+        # > 0 at the truth scene (one vjp, all-ones cotangent).
+        from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+        g_env10 = jax.jit(
+            jax.grad(lambda s: jnp.sum(render_jnp_vec(s, cfg10)))
+        )(scene10).env
+        obs10 = np.abs(np.asarray(g_env10)).max(-1) > 0.0
+        d2_10 = np.asarray((final10.env - scene10.env) ** 2).mean(-1)
+        env_obs10 = float(np.sqrt(d2_10[obs10].mean())) if obs10.any() else 0.0
+        env_unobs10 = (
+            float(np.sqrt(d2_10[~obs10].mean())) if (~obs10).any() else 0.0
+        )
+        mir10 = float(jnp.sqrt(jnp.mean(
+            (final10.spheres.material.mirror
+             - scene10.spheres.material.mirror) ** 2
+        )))
         _log(f"config-10 chrome inversion @512^2 (300 steps, 20% perturb): "
-             f"{t10w:.1f}s  final_loss={l10:.3e} param_rms={rms10:.3e}")
+             f"{t10w:.1f}s  final_loss={l10:.3e} param_rms={rms10:.3e}  "
+             f"mirror_rms={mir10:.2e} env_rms obs={env_obs10:.3e} "
+             f"unobs={env_unobs10:.3e} (obs frac {obs10.mean():.2f})")
         details["config10_invert_seconds"] = t10w
         details["config10_invert_param_rms"] = rms10
         details["config10_invert_final_loss"] = l10
+        details["config10_mirror_rms"] = mir10
+        details["config10_env_rms_observable"] = env_obs10
+        details["config10_env_rms_unobservable"] = env_unobs10
+        details["config10_env_observable_frac"] = float(obs10.mean())
 
     if on_tpu:
         row("config10", row_config10)
 
+    details["complete"] = True
     _save()
+    os.replace(partial_path, "bench_details.json")
     _log(f"bench complete at +{time.perf_counter()-t_start:.0f}s "
-         f"({len(details['skipped_rows'])} rows skipped)")
+         f"({len(details['skipped_rows'])} rows skipped); "
+         f"bench_details.json renamed into place")
+    # Re-print the driver JSON as the FINAL stdout line so a last-line
+    # parser finds it too (the full sweep logs everything else to stderr).
+    print(headline_line, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if _IS_CHILD:
+        headline_child(sys.argv[sys.argv.index("--headline-child") + 1])
+    else:
+        main()

@@ -626,7 +626,16 @@ def residual_reseed(start: Scene, spec: ParamSpec, target, rcfg,
     py, px = peaks[min(cycle, len(peaks) - 1)]
 
     eye = np.asarray(start.camera.eye)
-    t_keep = float(np.linalg.norm(centers[idx] - eye))
+    if rcfg.projection == "orthographic":
+        # Parallel rays have their origins OFFSET on the image plane, so
+        # eye distance along the ray is not |center - eye|; the depth to
+        # preserve is the along-fwd component (ADVICE r4). fwd matches
+        # pipeline.camera_basis: normalize(look_at - eye).
+        fwd = np.asarray(start.camera.look_at) - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        t_keep = float(np.dot(centers[idx] - eye, fwd))
+    else:
+        t_keep = float(np.linalg.norm(centers[idx] - eye))
     new_c = unproject(start, jnp.float32(py), jnp.float32(px),
                       jnp.float32(t_keep))
     out = dataclasses.replace(
@@ -666,16 +675,24 @@ def propose_restart(start: Scene, spec: ParamSpec, r: int, jitter: float,
         return start
     if proposal == "jitter":
         return perturb(start, spec, scale=jitter, seed=seed + r)
+    n = start.spheres.count
+    if n == 0 and proposal != "jitter":
+        # Every sphere-structural family (swap/per_sphere/mixed/resid)
+        # indexes into the sphere table; a rect-only scene reached these
+        # via the CLI as an opaque ZeroDivisionError (ADVICE r4). Fall
+        # back to the jitter family — still a valid restart proposal.
+        return perturb(start, spec, scale=jitter, seed=seed + r)
     if proposal == "resid":
         if target is None or rcfg is None:
             raise ValueError("proposal='resid' needs target and rcfg")
         return residual_reseed(start, spec, target, rcfg, r - 1,
                                seed + r, jitter)
-    n = start.spheres.count
     if (proposal in ("swap", "swap_jitter")
             or (proposal == "mixed" and r % 2 == 1)):
         k = (r - 1) if proposal != "mixed" else (r - 1) // 2
         pairs = list(combinations(range(n), 2))
+        if not pairs:  # n == 1: no pair exists — re-kick the one sphere
+            return rejitter_one_sphere(start, spec, 0, jitter, seed + r)
         i, j = pairs[k % len(pairs)]
         out = swap_spheres(start, i, j)
         if proposal == "swap_jitter":

@@ -221,10 +221,28 @@ def make_sharded_step(
 
     target_sharding = NamedSharding(mesh, P(RAYS_AXIS))
     replicated = NamedSharding(mesh, P())
-    flat_init, flat_apply = None, None  # built lazily from the first scene
+    # The flat optimizer update bakes the scene's treedef AND leaf shapes
+    # (it ravels the trainable leaves), so it is (re)built by init() per
+    # scene structure; step() before init() fails loudly, and a second
+    # init() with a different structure rebuilds instead of silently
+    # reusing the first scene's baked shapes (ADVICE r4).
+    flat_init, flat_apply = None, None
+    built_key = None
+
+    def _scene_key(scene):
+        return (
+            jax.tree_util.tree_structure(scene),
+            tuple(jnp.shape(l) for l in jax.tree_util.tree_leaves(scene)),
+        )
 
     @jax.jit
     def step(scene, opt_state, target):
+        if flat_apply is None:  # closure read at trace time
+            raise RuntimeError(
+                "make_sharded_step: call init(scene, target) before step() "
+                "— the flat optimizer update is built from the scene's "
+                "structure at init time"
+            )
         l, grads = loss_and_grads(scene, target)
         # Flat-vector update (optim.make_flat_update): the per-leaf chain
         # costs one tiny XLA fusion per scene leaf — more than the fused
@@ -233,9 +251,11 @@ def make_sharded_step(
         return scene, opt_state, l, gnorm
 
     def init(scene, target):
-        nonlocal flat_init, flat_apply
-        if flat_init is None:
+        nonlocal flat_init, flat_apply, built_key
+        key = _scene_key(scene)
+        if built_key != key:
             flat_init, flat_apply = make_flat_update(scene, spec, ocfg)
+            built_key = key
         scene = jax.device_put(scene, replicated)
         target = jax.device_put(jnp.asarray(target, jnp.float32), target_sharding)
         return scene, flat_init(scene), target

@@ -371,3 +371,66 @@ def test_multistart_chain_mechanics(monkeypatch):
     assert [(c[1], c[2]) for c in calls] == [(0, 5), (1, 6), (2, 7), (3, 8)]
     assert calls[0][0] is scene
     assert all(c[0] is not None for c in calls[1:])
+
+
+def test_restart_proposals_degenerate_scenes():
+    """ADVICE r4: sphere-structural proposal families must not crash on
+    scenes without (enough) spheres. Rect-only scenes fall back to the
+    jitter family; a 1-sphere scene's swap falls back to re-kicking the
+    one sphere. Both remain VALID restart proposals (trainable leaves
+    move), reachable from the CLI via --restart-proposal."""
+    import dataclasses
+
+    from reversible_raytracer_tpu.models.scene import Spheres
+    from reversible_raytracer_tpu.optim import propose_restart
+
+    scene, _, _ = configs.config2_four_spheres(16)
+    cfg = RenderConfig(height=16, width=16, shadows=True)
+    rect_only = dataclasses.replace(scene, spheres=Spheres.empty())
+    spec_r = ParamSpec.none(rect_only).train("rects.origin")
+    target = render_jnp(rect_only, cfg)
+
+    for prop in ("swap", "swap_jitter", "per_sphere", "mixed", "resid"):
+        out = propose_restart(rect_only, spec_r, 1, 0.2, 7, prop,
+                              target=target, rcfg=cfg)
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree_util.tree_leaves(out),
+                            jax.tree_util.tree_leaves(rect_only))
+        )
+        assert moved, f"proposal {prop!r} returned start verbatim"
+
+    one, spec1, _ = configs.config1_single_sphere()
+    sw = propose_restart(one, spec1, 1, 0.2, 7, "swap")
+    assert not np.array_equal(
+        np.asarray(sw.spheres.center), np.asarray(one.spheres.center)
+    )
+
+
+def test_resid_reseed_orthographic_depth():
+    """ADVICE r4: under orthographic projection the reseeded sphere must
+    preserve its ALONG-FWD depth (ray origins are offset on the image
+    plane, so |center - eye| is the wrong invariant there). jitter=0
+    isolates the reseed move itself."""
+    import dataclasses
+
+    from reversible_raytracer_tpu.optim import residual_reseed
+
+    scene, spec, _ = configs.config2_four_spheres(32)
+    cfg = RenderConfig(height=32, width=32, shadows=True,
+                       projection="orthographic")
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    target = render_jnp_vec(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.4, seed=3)
+    out = residual_reseed(start, spec, target, cfg, rank=0, seed=9,
+                          jitter=0.0)
+    dc = np.abs(np.asarray(out.spheres.center)
+                - np.asarray(start.spheres.center)).max(axis=1)
+    idx = int(np.argmax(dc))
+    eye = np.asarray(start.camera.eye)
+    fwd = np.asarray(start.camera.look_at) - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    d_old = float(np.dot(np.asarray(start.spheres.center[idx]) - eye, fwd))
+    d_new = float(np.dot(np.asarray(out.spheres.center[idx]) - eye, fwd))
+    np.testing.assert_allclose(d_new, d_old, rtol=1e-5, atol=1e-5)

@@ -209,3 +209,19 @@ def test_batched_scenes_2d_mesh():
     # frame (parameters not fully observable from the image), so only its
     # loss convergence is asserted above.
     assert float(param_error(finals[0], truths[0], spec)) < 0.12
+
+
+def test_sharded_step_before_init_raises():
+    """ADVICE r4: make_sharded_step's flat update is built by init() from
+    the scene structure; calling step() first must fail with a clear
+    RuntimeError, not a TypeError on None."""
+    import pytest
+
+    scene, spec, _ = configs.config2_four_spheres(16)
+    cfg = RenderConfig(height=16, width=16, shadows=True)
+    ocfg = OptConfig(iters=1, lr=1e-2)
+    mesh = make_ray_mesh(8)
+    step, init = make_sharded_step(mesh, cfg, spec, ocfg)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    with pytest.raises(RuntimeError, match="init"):
+        step(scene, None, target)
