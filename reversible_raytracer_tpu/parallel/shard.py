@@ -89,19 +89,24 @@ def _band_render_fn(cfg: RenderConfig, band: int, impl: str):
 
 
 def _band_vag_fn(rcfg: RenderConfig, band: int, loss: str = "mse",
-                 interpret: bool = False):
+                 interpret: bool = False, vec: bool = False):
     """Per-device FUSED training step for one row band (impl
-    "pallas_step"): `loss_grad_pallas` computes the band's squared-error
-    sum and scene gradients in ONE kernel launch — no band image in HBM.
-    `norm` pre-scales by the GLOBAL loss normalization, so psum-ing the
-    per-band (loss, grads) over the rays axis yields exactly the global
-    value_and_grad (the P2 gradient all-reduce, now explicit)."""
-    from ..ops.kernels.fused import loss_grad_pallas
+    "pallas_step" / "pallas_vec_step"): `loss_grad_pallas[_vec]` computes
+    the band's squared-error sum and scene gradients in ONE kernel launch
+    — no band image in HBM. `norm` pre-scales by the GLOBAL loss
+    normalization, so psum-ing the per-band (loss, grads) over the rays
+    axis yields exactly the global value_and_grad (the P2 gradient
+    all-reduce, now explicit). ``vec=True`` selects the object-chunked
+    family (the production large-N path, O(1)-compile in object count)."""
+    if vec:
+        from ..ops.kernels.fused_vec import loss_grad_pallas_vec as _lg
+    else:
+        from ..ops.kernels.fused import loss_grad_pallas as _lg
 
     denom = float(rcfg.height * rcfg.width * 3) if loss == "mse" else 1.0
 
     def vag(scene, target_band, row0):
-        return loss_grad_pallas(
+        return _lg(
             scene, rcfg, target_band, loss=loss, row0=row0,
             out_height=band, norm=1.0 / denom, interpret=interpret,
         )
@@ -117,9 +122,10 @@ def _sharded_loss_and_grads(mesh: Mesh, rcfg: RenderConfig, band: int,
     pytree with ONE explicit psum over the rays axis (P2)."""
     denom = float(rcfg.height * rcfg.width * 3) if loss == "mse" else 1.0
 
-    if impl == "pallas_step":
+    if impl in ("pallas_step", "pallas_vec_step"):
         band_vag = _band_vag_fn(
-            rcfg, band, loss, interpret=jax.default_backend() != "tpu"
+            rcfg, band, loss, interpret=jax.default_backend() != "tpu",
+            vec=impl == "pallas_vec_step",
         )
 
         # check_vma=False: pallas_call out_shapes carry no varying-mesh-

@@ -225,3 +225,48 @@ def test_sharded_step_before_init_raises():
     target = jnp.zeros((16, 16, 3), jnp.float32)
     with pytest.raises(RuntimeError, match="init"):
         step(scene, None, target)
+
+
+def test_sharded_vec_fused_step_matches_unsharded():
+    """impl="pallas_vec_step" (VERDICT r4 #6: the production large-N
+    sharded path — the object-chunked fused band step under shard_map
+    with explicit psums) matches the UNSHARDED vec step kernel on the
+    full image: same kernel on both sides, so the comparison isolates
+    exactly the sharding machinery (band split + row0 offsets + explicit
+    psums). Real vec kernel in interpret mode on the 8-device fake mesh,
+    17-object scene. (Kernel-vs-jnp fidelity is covered single-device in
+    tests/test_fused_step.py; interpret mode on CPU is NOT bit-exact vs
+    jnp_vec — only the compiled TPU path is.)"""
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+    )
+    from reversible_raytracer_tpu.parallel.shard import _sharded_loss_and_grads
+
+    scene, spec, _ = configs.config5_many_spheres(64, n_spheres=16)
+    cfg = RenderConfig(height=32, width=64, shadows=True)
+    target = render_jnp(scene, cfg)
+    start = configs.perturb(scene, spec, scale=0.1, seed=4)
+    mesh = make_ray_mesh(8)
+    band = cfg.height // 8
+
+    l_ref, g_ref = loss_grad_pallas_vec(
+        start, cfg, jnp.asarray(target), interpret=True
+    )
+    lg_vec = _sharded_loss_and_grads(mesh, cfg, band, "mse", "pallas_vec_step")
+    l_vec, g_vec = lg_vec(start, target)
+    # Banding changes only the f32 reduction ORDER (per-band kernel sums
+    # psum'd vs one full-image kernel sum).
+    assert abs(float(l_ref) - float(l_vec)) < 1e-5 * max(float(l_ref), 1e-9)
+    assert float(
+        jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree_util.tree_leaves(g_vec)))
+    ) > 0.0, "vec sharded grads are zero — explicit psum lost"
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g_vec)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(a, b, atol=1e-4 * scale + 1e-8,
+                                   err_msg=str(path))
