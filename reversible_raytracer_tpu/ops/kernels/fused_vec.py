@@ -83,6 +83,7 @@ from ..pipeline import (
     BIG,
     RenderConfig,
     camera_rays,
+    hat_weights,
     intersect_rect,
     intersect_sphere,
     reflect_dir,
@@ -91,6 +92,7 @@ from ..pipeline import (
     shadow_origin,
     soft_checker_q,
     sphere_uv,
+    texmix,
 )
 from ..pipeline_vec import SPP4_OFFSETS
 from .fused import _round_up, _scalar_view, flatten_scene, scene_layout
@@ -215,6 +217,122 @@ def _tex_nest(pv, base: int):
     )
 
 
+# Texel-cotangent backend for the object texel tails (VERDICT r4 #3 —
+# the round-5 MXU attempt, measured and KILLED):
+# - "vjp" (default): the auto-vjp per-texel reductions (round 4).
+# - "mxu": custom-vjp contraction whose backward computes all 3K^2 texel
+#   cotangents as sublane-batched lane-contracting matmuls. Compiles and
+#   is grad-exact (4.7e-8 vs vjp with Precision.HIGHEST,
+#   scripts/texbwd_diff.py) but a perf WASH: 4.24 vs 4.20 ms at
+#   tex_chunk=2 and 10.89 vs 10.60 at chunk=16 (v5e, 64 textured
+#   spheres K=16 512^2 step).
+# - "zero": DIAGNOSTIC (wrong grads) — drops dT entirely; 3.47 ms at
+#   chunk=2 / 7.87 at chunk=16. So the dT term is only ~0.7 ms of the
+#   4.2 ms step (17% ceiling for ANY dT formulation) and the dominant
+#   gap vs the 1.13 ms plain step is the SHARED replay + weight-chain
+#   MACs — overturning the round-4 attribution of the textured
+#   backward's cost to per-texel reduction bandwidth
+#   (docs/OPTIMIZATION_NOTES.md "The textured vec corner, closed out").
+_TEXEL_BWD = __import__("os").environ.get("RRT_TEXBWD", "vjp")
+
+
+@jax.custom_vjp
+def _texmix_mxu(tex, wis, wjs):
+    return texmix(tex, wis, wjs)
+
+
+def _texmix_mxu_fwd(tex, wis, wjs):
+    # Forward is texmix verbatim (same association order -> same bits as
+    # the auto-vjp path's forward). Residuals: the texel scalars + weight
+    # planes (the weight planes are live in the backward anyway under the
+    # auto-vjp; this does not grow the live-set class).
+    return texmix(tex, wis, wjs), (tex, wis, wjs)
+
+
+def _texmix_mxu_bwd(res, q):
+    """dT[i,j,c] = sum_px wis_i * wjs_j * q_c, computed as a 2-contracting
+    -dim dot_general per channel: stack the Ka weight planes (Ka, bh, bw),
+    multiply by the channel cotangent plane, contract both pixel dims
+    against the stacked (Kb, bh, bw) -> (Ka, Kb). One matmul replaces K^2
+    full-tile reductions; per-texel scalars are then cheap (K, K)-array
+    extracts. Weight-plane cotangents are pure elementwise recombinations
+    of the residual texels (no reductions — they stay planes)."""
+    tex, wis, wjs = res
+    ka, kb = len(tex), len(tex[0])
+    f32 = jnp.float32
+    if _TEXEL_BWD == "zero":
+        # DIAGNOSTIC ONLY (wrong grads): skip the texel cotangents to
+        # bound what ANY dT formulation could recover — the A/B that
+        # proved the reductions are not the textured backward's cost.
+        zero = jnp.zeros((), f32)
+        dtex = tuple(
+            tuple((zero, zero, zero) for _ in range(kb)) for _ in range(ka)
+        )
+    else:
+        # Mosaic's tpu.matmul takes exactly ONE contracting dim (a direct
+        # (Ka,bh,bw)x(Kb,bh,bw) two-dim contraction fails verification:
+        # "lhs contracting dims must be of size 1"), so the pixel
+        # reduction splits: batch over the SUBLANE dim bh, contract the
+        # LANE dim bw on the MXU -> (bh, Ka, Kb), then a cheap (bh)-axis
+        # sum. The stacks put K on a non-minor axis, so no (bh,bw)->(N,K)
+        # relayout is needed — the relayout cost that parked this
+        # formulation in round 4.
+        U = jnp.stack(wis, axis=1)  # (bh, Ka, bw)
+        V = jnp.stack(wjs, axis=1)  # (bh, Kb, bw)
+        dT = []
+        for c in range(3):
+            per_row = jax.lax.dot_general(
+                U * q[c][:, None, :], V,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                # HIGHEST: default MXU precision is a single bf16 pass,
+                # which costs ~3.7e-3 relative on the texel cotangents
+                # (measured, scripts/texbwd_diff.py); the multi-pass f32
+                # mode restores ~1e-6-class agreement with the auto-vjp
+                # reductions.
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=f32,
+            )  # (bh, Ka, Kb)
+            dT.append(jnp.sum(per_row, axis=0))  # (Ka, Kb)
+        dtex = tuple(
+            tuple(tuple(dT[c][i, j] for c in range(3)) for j in range(kb))
+            for i in range(ka)
+        )
+    dwis = []
+    for i in range(ka):
+        acc = 0.0
+        for c in range(3):
+            row = 0.0
+            for j in range(kb):
+                row = row + tex[i][j][c] * wjs[j]
+            acc = acc + q[c] * row
+        dwis.append(acc)
+    dwjs = []
+    for j in range(kb):
+        acc = 0.0
+        for c in range(3):
+            col = 0.0
+            for i in range(ka):
+                col = col + tex[i][j][c] * wis[i]
+            acc = acc + q[c] * col
+        dwjs.append(acc)
+    return dtex, tuple(dwis), tuple(dwjs)
+
+
+_texmix_mxu.defvjp(_texmix_mxu_fwd, _texmix_mxu_bwd)
+
+
+def _sample_dense(tex, a, b, wrap_a: bool = False):
+    """Kernel-local dense texel sample: same forward as
+    `pipeline.sample_texture_dense` (hat_weights + texmix, identical
+    primitive sequence), with the texel-cotangent backend selected by
+    RRT_TEXBWD. (a, b) gradients flow through hat_weights' ordinary
+    autodiff in both modes."""
+    if _TEXEL_BWD == "vjp":
+        return sample_texture_dense(tex, a, b, wrap_a)
+    wis, wjs = hat_weights(tex, a, b, wrap_a)
+    return _texmix_mxu(tex, wis, wjs)
+
+
 def _row_plan(scene_like: Scene):
     """Static SMEM row plan: (p_sph, p_rct, ns_pad, nr_pad, sph_tex_len,
     rct_tex_len, smem_bytes). Shared by the kernel factory's capacity
@@ -311,7 +429,7 @@ def _sphere_eval(pv, o, d, t_known=None, checker_tau=None):
         # exact primitive sequence of pipeline.sphere_color's dense path
         # (sphere_uv + wrap_a), so kernel == unrolled kernel bitwise.
         u, v = sphere_uv(n_unit)
-        col = sample_texture_dense(_tex_nest(pv, P_SPH), u, v, wrap_a=True)
+        col = _sample_dense(_tex_nest(pv, P_SPH), u, v, wrap_a=True)
         return t, n_unit, col, (pv[12], pv[13], pv[14], pv[15])
     cscale = pv[11]
     parity = jnp.mod(
@@ -343,7 +461,7 @@ def _rect_eval(pv, o, d, checker_tau=None):
     if len(pv) > P_RCT:
         # Textured row: dense bilinear sample at the rect's own (a, b)
         # hit coordinates (pipeline.rect_color's dense path).
-        col = sample_texture_dense(_tex_nest(pv, P_RCT), a, b)
+        col = _sample_dense(_tex_nest(pv, P_RCT), a, b)
         return t, n_unit, col, (pv[17], pv[18], pv[19], pv[20])
     cscale = pv[16]
     parity = jnp.mod(jnp.floor(a * cscale) + jnp.floor(b * cscale), 2.0)
@@ -658,8 +776,11 @@ def _make_fused_vec(
             f"(> the ~{SMEM_BUDGET_BYTES//1024} KiB budget) — this scene "
             "renders via jnp_vec (impl='auto' routes)"
         )
+    # _TEXEL_BWD is in the key: the backend changes the traced backward,
+    # so a cached kernel from one backend must not serve the other
+    # (tests monkeypatch the flag).
     key = ((n_sph, n_rct, n_lights, env_shape, sph_tex_shape, rct_tex_shape),
-           cfg, tiles, interpret, out_h)
+           cfg, tiles, interpret, out_h, _TEXEL_BWD)
     hit_entry = _CACHE.get(key)
     if hit_entry is not None:
         return hit_entry

@@ -377,9 +377,11 @@ def _make_fused_vec_soft(
     # Both taus are runtime SMEM scalars — neutralize them in the cache key
     # so every anneal stage (soft AND checker temperature) shares ONE compile.
     # env_shape is in the key: the flat-globals width Sg depends on it.
+    from .fused_vec import _TEXEL_BWD  # backend changes the traced bwd
+
     key = ((n_sph, n_rct, n_lights, env_shape, sph_tex_shape, rct_tex_shape),
            dataclasses.replace(cfg, soft_tau=1.0, checker_tau=1.0),
-           tiles, interpret, out_h)
+           tiles, interpret, out_h, _TEXEL_BWD)
     hit_entry = _CACHE.get(key)
     if hit_entry is not None:
         return hit_entry

@@ -338,6 +338,15 @@ def sample_texture_dense(tex, a, b, wrap_a: bool = False) -> Vec3:
     d/d(a, b) matches the gather's piecewise-linear subgradient except at
     texel centers (measure-zero kinks of the tent).
     """
+    wis, wjs = hat_weights(tex, a, b, wrap_a)
+    return texmix(tex, wis, wjs)
+
+
+def hat_weights(tex, a, b, wrap_a: bool = False):
+    """The (wis, wjs) tent-weight planes of `sample_texture_dense`,
+    factored out so kernel families can swap the texel CONTRACTION (e.g.
+    fused_vec's MXU backward) while keeping the weight math — and its
+    autodiff wrt (a, b) — byte-identical to this reference."""
     ka, kb = len(tex), len(tex[0])
     u = a * ka - 0.5
     v = b * kb - 0.5
@@ -358,8 +367,16 @@ def sample_texture_dense(tex, a, b, wrap_a: bool = False) -> Vec3:
             return jnp.maximum(0.0, 1.0 - jnp.abs(uc - i))
 
     vc = jnp.clip(v, 0.0, kb - 1)
-    wis = [wi(i) for i in range(ka)]
-    wjs = [jnp.maximum(0.0, 1.0 - jnp.abs(vc - j)) for j in range(kb)]
+    wis = tuple(wi(i) for i in range(ka))
+    wjs = tuple(jnp.maximum(0.0, 1.0 - jnp.abs(vc - j)) for j in range(kb))
+    return wis, wjs
+
+
+def texmix(tex, wis, wjs) -> Vec3:
+    """The texel contraction of `sample_texture_dense`:
+    out_c = sum_i w_i * (sum_j tex[i][j][c] * w_j), in exactly this
+    association order (the kernels' bit-exactness contracts ride on it)."""
+    ka, kb = len(tex), len(tex[0])
     out = []
     for c in range(3):
         acc = 0.0

@@ -159,7 +159,12 @@ def test_vec_kernel_textured_fwd_and_step_grads():
         if not x.size:
             continue
         scale = max(float(np.abs(y).max()), 1e-10)
-        assert float(np.abs(x - y).max()) <= 1e-5 * scale, (
+        # 5e-5 (was 1e-5): the MXU texel backward (fused_vec._texmix_mxu)
+        # re-associates the weight-plane cotangent sums, so the
+        # (a,b)->geometry/camera chains accumulate a few extra ulp between
+        # the step kernel and AD-of-the-render-kernel. Still strict
+        # same-family agreement.
+        assert float(np.abs(x - y).max()) <= 5e-5 * scale, (
             path, float(np.abs(x - y).max()))
     assert float(np.abs(np.asarray(g_k.spheres.texture)).max()) > 0.0
 
@@ -219,7 +224,12 @@ def test_vec_kernel_objtex_reflections_fwd_and_step_grads():
         if not x.size:
             continue
         scale = max(float(np.abs(y).max()), 1e-10)
-        assert float(np.abs(x - y).max()) <= 1e-5 * scale, (
+        # 5e-5 (was 1e-5): the MXU texel backward (fused_vec._texmix_mxu)
+        # re-associates the weight-plane cotangent sums, so the
+        # (a,b)->geometry/camera chains accumulate a few extra ulp between
+        # the step kernel and AD-of-the-render-kernel. Still strict
+        # same-family agreement.
+        assert float(np.abs(x - y).max()) <= 5e-5 * scale, (
             path, float(np.abs(x - y).max()))
     assert float(np.abs(np.asarray(g_k.spheres.texture)).max()) > 0.0
     # Dispatch: under a TPU backend this combo now picks the vec kernels.
@@ -724,3 +734,39 @@ def test_vec_kernel_tex_chunk_bitwise_invariant():
         for a, b in zip(jax.tree_util.tree_leaves(g),
                         jax.tree_util.tree_leaves(ref[1])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_texel_backward_mxu_backend_matches_vjp(monkeypatch):
+    """The flagged MXU texel-cotangent backend (RRT_TEXBWD=mxu — the
+    round-5 measured attempt at the textured-backward gap; a perf wash
+    on v5e but kept as the proven formulation) must stay grad-exact vs
+    the default auto-vjp reductions. Distinct image size so the kernel
+    cache cannot serve a trace from the other backend."""
+    import dataclasses
+
+    from reversible_raytracer_tpu.ops.kernels import fused_vec
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+    )
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, spec = _big_textured_scene(n_spheres=17, tex_k=8, size=40)
+    cfg = RenderConfig(height=40, width=56, shadows=True)
+    target = jnp.asarray(np.asarray(render_jnp_vec(scene, cfg))) * 0.92
+
+    monkeypatch.setattr(fused_vec, "_TEXEL_BWD", "vjp")
+    l_v, g_v = loss_grad_pallas_vec(scene, cfg, target, interpret=True)
+    monkeypatch.setattr(fused_vec, "_TEXEL_BWD", "mxu")
+    l_m, g_m = loss_grad_pallas_vec(scene, cfg, target, interpret=True)
+    assert float(l_v) == float(l_m)  # identical forward
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_v)[0],
+        jax.tree_util.tree_flatten_with_path(g_m)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if not a.size:
+            continue
+        scale = max(np.abs(a).max(), 1e-10)
+        np.testing.assert_allclose(a, b, atol=1e-5 * scale,
+                                   err_msg=str(path))
+    assert np.abs(np.asarray(g_m.spheres.texture)).max() > 0.0
