@@ -342,6 +342,20 @@ def _make_fused_vec_soft(
     out_h: int | None = None,
 ):
     if cfg.spp != 1:
+        # Measured refusal (VERDICT r4 #7; scripts/soft_spp4_probe.py,
+        # 64-obj 512^2 v5e): the documented fall-through — value_and_grad
+        # over the 4-launch wrapper-averaged soft render, semantically
+        # exact since XLA forms the subsample average and the residual
+        # outside the kernels — costs 23.26 ms/step vs the 4.38 ms spp=1
+        # fused step (5.31x; a perfectly fused spp=4 soft step would be
+        # ~4x = ~17.5 ms, so fusion's ceiling is ~25%). Against that
+        # ~25%: the soft backward has ZERO scoped-vmem headroom at its
+        # swept tiles (soft textured already needs 32-row tiles, soft env
+        # K=24 needs 8 — OPTIMIZATION_NOTES tile ladder), and the hard
+        # family's spp=4 fusion forced exactly the tile halvings that
+        # cost 1.4-2.4x elsewhere. Fusing is therefore expected to give
+        # back most of its ceiling; the wrapper stands. Dispatch is
+        # pinned by optim.anneal_stage_uses_step + its test.
         raise NotImplementedError("fused_vec_soft kernels are spp=1 (wrapper averages)")
     if not cfg.soft_tau > 0.0:
         raise ValueError("fused_vec_soft requires soft_tau > 0 (hard path: fused_vec)")
