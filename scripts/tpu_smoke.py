@@ -336,6 +336,41 @@ def main():
         print(f"vec step kernel ({name}) 33-obj @128²: loss_rel={ldiff:.2e} "
               f"grad_rel={gdiff:.2e} finite={finite} "
               f"[{'OK' if ok else 'FAIL'}] ({time.time()-t0:.0f}s)", flush=True)
+    # --- sharded band steps, COMPILED on the real chip (mesh=1) ---
+    # The fake-mesh suite + driver dryrun exercise these in interpret
+    # mode only; this row pins that the shard_map + explicit-psum band
+    # steps (both kernel families) compile and produce nonzero finite
+    # grads on hardware (the documented check_vma=False failure mode is
+    # silently ZERO grads).
+    from reversible_raytracer_tpu.optim import OptConfig
+    from reversible_raytracer_tpu.parallel import make_ray_mesh, make_sharded_step
+
+    mesh1 = make_ray_mesh(1)
+    scene2s, spec2s, _ = configs.config2_four_spheres(128)
+    for impl, scene_s, spec_s in (
+        ("pallas_step", scene2s, spec2s),
+        ("pallas_vec_step", base33, spec33),
+    ):
+        t0 = time.time()
+        cfg_s = RenderConfig(height=128, width=128, shadows=True)
+        tgt_s = jax.jit(lambda s: render_jnp(s, cfg_s))(scene_s)
+        start_s = configs.perturb(scene_s, spec_s, scale=0.1, seed=5)
+        l_ref, _ = jax.jit(jax.value_and_grad(
+            lambda s: mse_loss(render_jnp(s, cfg_s), tgt_s)
+        ))(start_s)
+        step_s, init_s = make_sharded_step(
+            mesh1, cfg_s, spec_s, OptConfig(iters=1, lr=1e-2), impl=impl
+        )
+        s_, o_, t_ = init_s(start_s, tgt_s)
+        _, _, l_sh, gn = step_s(s_, o_, t_)
+        ldiff = abs(float(l_sh) - float(l_ref)) / max(float(l_ref), 1e-12)
+        gn = float(gn)
+        ok = ldiff <= 1e-4 and np.isfinite(gn) and gn > 0.0
+        failures += (not ok)
+        print(f"sharded {impl} mesh=1 @128²: loss_rel={ldiff:.2e} "
+              f"gnorm={gn:.3e} [{'OK' if ok else 'FAIL'}] "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
     sys.exit(1 if failures else 0)
 
 
