@@ -236,101 +236,112 @@ def _tex_nest(pv, base: int):
 _TEXEL_BWD = __import__("os").environ.get("RRT_TEXBWD", "vjp")
 
 
-@jax.custom_vjp
-def _texmix_mxu(tex, wis, wjs):
-    return texmix(tex, wis, wjs)
+def _make_sample_mxu(wrap_a: bool):
+    """custom-vjp dense sampler over (tex, a, b) — the "mxu" backend.
 
+    Forward is `hat_weights` + `texmix` verbatim (identical primitive
+    sequence to `pipeline.sample_texture_dense`). The backward:
 
-def _texmix_mxu_fwd(tex, wis, wjs):
-    # Forward is texmix verbatim (same association order -> same bits as
-    # the auto-vjp path's forward). Residuals: the texel scalars + weight
-    # planes (the weight planes are live in the backward anyway under the
-    # auto-vjp; this does not grow the live-set class).
-    return texmix(tex, wis, wjs), (tex, wis, wjs)
+    - residuals are ONLY (tex, a, b): the 2K hat-weight planes are
+      REBUILT in the backward instead of carried across the fwd->bwd
+      interval (under the auto-vjp they are live residuals — exactly the
+      per-sample 2K-plane live-set multiplier behind the env-map
+      scoped-vmem walls; see auto_tiles / fused_vec_soft.soft_kernel_ok);
+    - dT[i,j,c] = sum_px wis_i * wjs_j * q_c runs as sublane-batched
+      lane-contracting matmuls on the MXU (Mosaic's tpu.matmul takes
+      exactly ONE contracting dim — the direct 2-contracting-dim form
+      fails verification with "lhs contracting dims must be of size 1").
+      The stacks put K on a non-minor axis, so no (bh,bw)->(N,K) relayout
+      is needed — the cost that parked this formulation in round 4;
+    - (a, b) cotangents compose dwis/dwjs (elementwise plane
+      recombinations of the texels, no reductions) through jax.vjp of
+      the weight construction, keeping the tent/wrap subgradients
+      byte-identical to the reference autodiff.
+    """
 
+    @jax.custom_vjp
+    def f(tex, a, b):
+        wis, wjs = hat_weights(tex, a, b, wrap_a)
+        return texmix(tex, wis, wjs)
 
-def _texmix_mxu_bwd(res, q):
-    """dT[i,j,c] = sum_px wis_i * wjs_j * q_c, computed as a 2-contracting
-    -dim dot_general per channel: stack the Ka weight planes (Ka, bh, bw),
-    multiply by the channel cotangent plane, contract both pixel dims
-    against the stacked (Kb, bh, bw) -> (Ka, Kb). One matmul replaces K^2
-    full-tile reductions; per-texel scalars are then cheap (K, K)-array
-    extracts. Weight-plane cotangents are pure elementwise recombinations
-    of the residual texels (no reductions — they stay planes)."""
-    tex, wis, wjs = res
-    ka, kb = len(tex), len(tex[0])
-    f32 = jnp.float32
-    if _TEXEL_BWD == "zero":
-        # DIAGNOSTIC ONLY (wrong grads): skip the texel cotangents to
-        # bound what ANY dT formulation could recover — the A/B that
-        # proved the reductions are not the textured backward's cost.
-        zero = jnp.zeros((), f32)
-        dtex = tuple(
-            tuple((zero, zero, zero) for _ in range(kb)) for _ in range(ka)
+    def fwd(tex, a, b):
+        wis, wjs = hat_weights(tex, a, b, wrap_a)
+        return texmix(tex, wis, wjs), (tex, a, b)
+
+    def bwd(res, q):
+        tex, a, b = res
+        ka, kb = len(tex), len(tex[0])
+        f32 = jnp.float32
+        (wis, wjs), w_vjp = jax.vjp(
+            lambda a_, b_: hat_weights(tex, a_, b_, wrap_a), a, b
         )
-    else:
-        # Mosaic's tpu.matmul takes exactly ONE contracting dim (a direct
-        # (Ka,bh,bw)x(Kb,bh,bw) two-dim contraction fails verification:
-        # "lhs contracting dims must be of size 1"), so the pixel
-        # reduction splits: batch over the SUBLANE dim bh, contract the
-        # LANE dim bw on the MXU -> (bh, Ka, Kb), then a cheap (bh)-axis
-        # sum. The stacks put K on a non-minor axis, so no (bh,bw)->(N,K)
-        # relayout is needed — the relayout cost that parked this
-        # formulation in round 4.
-        U = jnp.stack(wis, axis=1)  # (bh, Ka, bw)
-        V = jnp.stack(wjs, axis=1)  # (bh, Kb, bw)
-        dT = []
-        for c in range(3):
-            per_row = jax.lax.dot_general(
-                U * q[c][:, None, :], V,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                # HIGHEST: default MXU precision is a single bf16 pass,
-                # which costs ~3.7e-3 relative on the texel cotangents
-                # (measured, scripts/texbwd_diff.py); the multi-pass f32
-                # mode restores ~1e-6-class agreement with the auto-vjp
-                # reductions.
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=f32,
-            )  # (bh, Ka, Kb)
-            dT.append(jnp.sum(per_row, axis=0))  # (Ka, Kb)
-        dtex = tuple(
-            tuple(tuple(dT[c][i, j] for c in range(3)) for j in range(kb))
-            for i in range(ka)
-        )
-    dwis = []
-    for i in range(ka):
-        acc = 0.0
-        for c in range(3):
-            row = 0.0
-            for j in range(kb):
-                row = row + tex[i][j][c] * wjs[j]
-            acc = acc + q[c] * row
-        dwis.append(acc)
-    dwjs = []
-    for j in range(kb):
-        acc = 0.0
-        for c in range(3):
-            col = 0.0
-            for i in range(ka):
-                col = col + tex[i][j][c] * wis[i]
-            acc = acc + q[c] * col
-        dwjs.append(acc)
-    return dtex, tuple(dwis), tuple(dwjs)
+        if _TEXEL_BWD == "zero":
+            # DIAGNOSTIC ONLY (wrong grads): skip the texel cotangents to
+            # bound what ANY dT formulation could recover — the A/B that
+            # proved the reductions are not the textured backward's cost.
+            zero = jnp.zeros((), f32)
+            dtex = tuple(
+                tuple((zero, zero, zero) for _ in range(kb))
+                for _ in range(ka)
+            )
+        else:
+            U = jnp.stack(wis, axis=1)  # (bh, Ka, bw)
+            V = jnp.stack(wjs, axis=1)  # (bh, Kb, bw)
+            dT = []
+            for c in range(3):
+                per_row = jax.lax.dot_general(
+                    U * q[c][:, None, :], V,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    # HIGHEST: default MXU precision is a single bf16
+                    # pass, which costs ~3.7e-3 relative on the texel
+                    # cotangents (measured, scripts/texbwd_diff.py); the
+                    # multi-pass f32 mode restores ~1e-6-class agreement
+                    # with the auto-vjp reductions.
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=f32,
+                )  # (bh, Ka, Kb)
+                dT.append(jnp.sum(per_row, axis=0))  # (Ka, Kb)
+            dtex = tuple(
+                tuple(tuple(dT[c][i, j] for c in range(3))
+                      for j in range(kb))
+                for i in range(ka)
+            )
+        dwis = []
+        for i in range(ka):
+            acc = 0.0
+            for c in range(3):
+                row = 0.0
+                for j in range(kb):
+                    row = row + tex[i][j][c] * wjs[j]
+                acc = acc + q[c] * row
+            dwis.append(acc)
+        dwjs = []
+        for j in range(kb):
+            acc = 0.0
+            for c in range(3):
+                col = 0.0
+                for i in range(ka):
+                    col = col + tex[i][j][c] * wis[i]
+                acc = acc + q[c] * col
+            dwjs.append(acc)
+        da, db = w_vjp((tuple(dwis), tuple(dwjs)))
+        return dtex, da, db
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
-_texmix_mxu.defvjp(_texmix_mxu_fwd, _texmix_mxu_bwd)
+_SAMPLE_MXU = {True: _make_sample_mxu(True), False: _make_sample_mxu(False)}
 
 
 def _sample_dense(tex, a, b, wrap_a: bool = False):
     """Kernel-local dense texel sample: same forward as
     `pipeline.sample_texture_dense` (hat_weights + texmix, identical
     primitive sequence), with the texel-cotangent backend selected by
-    RRT_TEXBWD. (a, b) gradients flow through hat_weights' ordinary
-    autodiff in both modes."""
+    RRT_TEXBWD."""
     if _TEXEL_BWD == "vjp":
         return sample_texture_dense(tex, a, b, wrap_a)
-    wis, wjs = hat_weights(tex, a, b, wrap_a)
-    return _texmix_mxu(tex, wis, wjs)
+    return _SAMPLE_MXU[wrap_a](tex, a, b)
 
 
 def _row_plan(scene_like: Scene):
@@ -390,12 +401,16 @@ def globals_tree(scene: Scene):
 
 def _globals_ns(gview):
     """Scene-like namespace for shade_from_attrs (lights/ambient/background
-    + env for miss_color's tuple-leaf dense-sampler dispatch)."""
+    + env for miss_color's tuple-leaf dense-sampler dispatch). Under a
+    non-default RRT_TEXBWD the env sample routes through the same
+    custom-vjp backend as the object texel tails (miss_color's
+    env_dense_fn hook) — identical forward, swapped cotangents."""
     env = gview.get("env", ())
     return SimpleNamespace(
         lights=gview["lights"], ambient=gview["ambient"],
         background=gview["background"], env=env,
         env_mapped=isinstance(env, (tuple, list)) and len(env) > 0,
+        env_dense_fn=None if _TEXEL_BWD == "vjp" else _sample_dense,
     )
 
 

@@ -416,6 +416,13 @@ def miss_color(scene, d: Vec3, shape) -> Vec3:
     color is identical everywhere; both oracles mirror it."""
     if getattr(scene, "env_mapped", False):
         u, v = sphere_uv(d)
+        fn = getattr(scene, "env_dense_fn", None)
+        if fn is not None and isinstance(scene.env, (tuple, list)):
+            # Kernel-family override of the tuple-leaf dense sampler
+            # (fused_vec's RRT_TEXBWD backend): identical forward math,
+            # swapped cotangent computation. Real Scene objects have no
+            # such attribute, so every jnp path is untouched.
+            return fn(scene.env, u, v, True)
         return sample_texture(scene.env, u, v, wrap_a=True)
     bg = vm.splat(scene.background)
     return vm.vbroadcast(bg, shape)

@@ -770,3 +770,50 @@ def test_texel_backward_mxu_backend_matches_vjp(monkeypatch):
         np.testing.assert_allclose(a, b, atol=1e-5 * scale,
                                    err_msg=str(path))
     assert np.abs(np.asarray(g_m.spheres.texture)).max() > 0.0
+
+
+def test_env_backward_mxu_backend_matches_vjp(monkeypatch):
+    """Round 5: under RRT_TEXBWD=mxu the ENV dense sample also routes
+    through the custom-vjp backend (miss_color's env_dense_fn hook), in
+    BOTH vec families. Grads must match the default auto-vjp path."""
+    import dataclasses
+
+    from reversible_raytracer_tpu.ops.kernels import fused_vec
+    from reversible_raytracer_tpu.ops.kernels.fused_vec import (
+        loss_grad_pallas_vec,
+    )
+    from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+        loss_grad_pallas_vec_soft,
+    )
+    from reversible_raytracer_tpu.ops.pipeline_vec import render_jnp_vec
+
+    scene, spec, _ = configs.config5_many_spheres(40, n_spheres=9)
+    rng = np.random.default_rng(3)
+    env = jnp.asarray(rng.uniform(0.1, 0.9, (8, 8, 3)), jnp.float32)
+    scene = dataclasses.replace(scene, env=env)
+
+    for fam, lg, cfg in (
+        ("hard", lambda s, c, t: loss_grad_pallas_vec(s, c, t,
+                                                      interpret=True),
+         RenderConfig(height=40, width=48, shadows=True)),
+        ("soft", lambda s, c, t: loss_grad_pallas_vec_soft(s, c, t,
+                                                           interpret=True),
+         RenderConfig(height=40, width=48, shadows=True, soft_tau=0.05)),
+    ):
+        target = jnp.asarray(np.asarray(render_jnp_vec(scene, cfg))) * 0.92
+        monkeypatch.setattr(fused_vec, "_TEXEL_BWD", "vjp")
+        l_v, g_v = lg(scene, cfg, target)
+        monkeypatch.setattr(fused_vec, "_TEXEL_BWD", "mxu")
+        l_m, g_m = lg(scene, cfg, target)
+        assert float(l_v) == float(l_m), fam
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_v)[0],
+            jax.tree_util.tree_flatten_with_path(g_m)[0],
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            if not a.size:
+                continue
+            scale = max(np.abs(a).max(), 1e-10)
+            np.testing.assert_allclose(a, b, atol=1e-5 * scale,
+                                       err_msg=f"{fam} {path}")
+        assert np.abs(np.asarray(g_m.env)).max() > 0.0, fam
