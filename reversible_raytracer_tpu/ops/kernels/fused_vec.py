@@ -235,6 +235,20 @@ def _tex_nest(pv, base: int):
 #   (docs/OPTIMIZATION_NOTES.md "The textured vec corner, closed out").
 _TEXEL_BWD = __import__("os").environ.get("RRT_TEXBWD", "vjp")
 
+# Env-map cotangent backend (round 5). Independent of the object-texel
+# flag because the measured outcomes DIVERGE: on object texel tails the
+# custom vjp is a perf wash (above), but on the env path its
+# (tex, a, b)-only residuals — the 2K hat-weight planes are rebuilt in
+# the backward instead of living across the fwd->bwd interval — dissolve
+# the round-4 scoped-vmem walls: soft env K=24 fits 16-row tiles
+# (16.72 -> 9.51 ms, 1.76x), soft K=32 COMPILES AND RUNS at 8-row tiles
+# (21.85 ms; impossible at any tile size under the auto-vjp — the
+# ~16.7M row-independent term was those residual planes), and the hard
+# family's K=32 fits 16-row tiles (scripts/envbwd_probe.py). Default
+# "mxu"; auto_tiles / auto_tiles_soft / soft_kernel_ok key their env
+# rules on this flag.
+_ENV_BWD = __import__("os").environ.get("RRT_ENVBWD", "mxu")
+
 
 def _make_sample_mxu(wrap_a: bool):
     """custom-vjp dense sampler over (tex, a, b) — the "mxu" backend.
@@ -344,6 +358,15 @@ def _sample_dense(tex, a, b, wrap_a: bool = False):
     return _SAMPLE_MXU[wrap_a](tex, a, b)
 
 
+def _sample_dense_env(tex, a, b, wrap_a: bool = True):
+    """Env-map dense sample (miss_color's env_dense_fn hook), backend
+    selected by RRT_ENVBWD — see the _ENV_BWD note for the measured
+    reasons this defaults to the custom vjp while object texels do not."""
+    if _ENV_BWD == "vjp":
+        return sample_texture_dense(tex, a, b, wrap_a)
+    return _SAMPLE_MXU[wrap_a](tex, a, b)
+
+
 def _row_plan(scene_like: Scene):
     """Static SMEM row plan: (p_sph, p_rct, ns_pad, nr_pad, sph_tex_len,
     rct_tex_len, smem_bytes). Shared by the kernel factory's capacity
@@ -401,16 +424,17 @@ def globals_tree(scene: Scene):
 
 def _globals_ns(gview):
     """Scene-like namespace for shade_from_attrs (lights/ambient/background
-    + env for miss_color's tuple-leaf dense-sampler dispatch). Under a
-    non-default RRT_TEXBWD the env sample routes through the same
-    custom-vjp backend as the object texel tails (miss_color's
-    env_dense_fn hook) — identical forward, swapped cotangents."""
+    + env for miss_color's tuple-leaf dense-sampler dispatch). Under
+    RRT_ENVBWD=mxu (the default) the env sample routes through the
+    custom-vjp backend via miss_color's env_dense_fn hook — identical
+    forward, swapped cotangents, and crucially no 2K-weight-plane
+    residuals across the fwd->bwd interval (see _ENV_BWD)."""
     env = gview.get("env", ())
     return SimpleNamespace(
         lights=gview["lights"], ambient=gview["ambient"],
         background=gview["background"], env=env,
         env_mapped=isinstance(env, (tuple, list)) and len(env) > 0,
-        env_dense_fn=None if _TEXEL_BWD == "vjp" else _sample_dense,
+        env_dense_fn=None if _ENV_BWD == "vjp" else _sample_dense_env,
     )
 
 
@@ -791,11 +815,11 @@ def _make_fused_vec(
             f"(> the ~{SMEM_BUDGET_BYTES//1024} KiB budget) — this scene "
             "renders via jnp_vec (impl='auto' routes)"
         )
-    # _TEXEL_BWD is in the key: the backend changes the traced backward,
-    # so a cached kernel from one backend must not serve the other
-    # (tests monkeypatch the flag).
+    # The backends are in the key: they change the traced backward, so a
+    # cached kernel from one backend must not serve the other (tests
+    # monkeypatch the flags).
     key = ((n_sph, n_rct, n_lights, env_shape, sph_tex_shape, rct_tex_shape),
-           cfg, tiles, interpret, out_h, _TEXEL_BWD)
+           cfg, tiles, interpret, out_h, _TEXEL_BWD, _ENV_BWD)
     hit_entry = _CACHE.get(key)
     if hit_entry is not None:
         return hit_entry

@@ -289,11 +289,20 @@ def soft_kernel_ok(scene_like: Scene) -> bool:
     Round 4: OBJECT texel grids are supported too — they ride per-row
     SMEM tails exactly like the hard family (same probed `vec_smem_ok`
     budget), so the soft anneal stages of an object-textured vec-scale
-    scene now run in-kernel instead of at XLA speed (VERDICT r3 #6)."""
-    from .fused_vec import vec_smem_ok
+    scene now run in-kernel instead of at XLA speed (VERDICT r3 #6).
+
+    Round 5: under the default env backend (RRT_ENVBWD=mxu) the
+    row-independent term IS GONE — it was the auto-vjp's 2K hat-weight
+    residual planes, which the custom vjp rebuilds in the backward
+    instead of carrying. K=32 compiles and runs at 8-row tiles
+    (21.85 ms on v5e, scripts/envbwd_probe.py), so the soft cap rises
+    to the families' shared K <= 32 dispatch boundary. The legacy
+    RRT_ENVBWD=vjp backend keeps the measured K <= 24 cap."""
+    from .fused_vec import _ENV_BWD, vec_smem_ok
 
     k = int(np.shape(scene_like.env)[0])
-    return vec_smem_ok(scene_like) and k <= 24
+    k_cap = 32 if _ENV_BWD != "vjp" else 24
+    return vec_smem_ok(scene_like) and k <= k_cap
 
 
 def auto_tiles_soft(scene_like: Scene,
@@ -307,15 +316,27 @@ def auto_tiles_soft(scene_like: Scene,
     Explicitly-passed tiles are honored verbatim (sweep scripts)."""
     if tiles is not None:
         return tiles
+    from .fused_vec import _ENV_BWD
+
     t = VecTileConfig()
     bwd = t.bh_bwd
     if scene_like.env_mapped:
         bwd = 32
-        if int(np.shape(scene_like.env)[0]) > 16:
-            # K=24 fits ONLY at 8-row tiles (16 rows OOM scoped vmem at
-            # 20.82M vs the 16M limit, measured on v5e); K is capped at
-            # 24 by soft_kernel_ok — K=32's ~16.7M row-INDEPENDENT term
-            # makes it impossible at any tile size.
+        env_k = int(np.shape(scene_like.env)[0])
+        if _ENV_BWD != "vjp":
+            # Round-5 custom env backend (no 2K weight-plane residuals):
+            # K=24 fits 16-row tiles (9.51 ms vs 16.72 at the old 8 —
+            # 1.76x; 32 rows still OOMs), K=32 runs at 8-row tiles
+            # (21.85 ms; 16 rows OOMs). Probed on v5e,
+            # scripts/envbwd_probe.py.
+            if env_k > 24:
+                bwd = 8
+            elif env_k > 16:
+                bwd = 16
+        elif env_k > 16:
+            # Legacy auto-vjp backend: K=24 fits ONLY at 8-row tiles
+            # (16 rows OOM scoped vmem at 20.82M vs the 16M limit,
+            # measured on v5e); K capped at 24 by soft_kernel_ok.
             bwd = 8
     if scene_object_textured(scene_like):
         # Texel-tail rows (round 4): same live-set class as the hard
@@ -391,11 +412,11 @@ def _make_fused_vec_soft(
     # Both taus are runtime SMEM scalars — neutralize them in the cache key
     # so every anneal stage (soft AND checker temperature) shares ONE compile.
     # env_shape is in the key: the flat-globals width Sg depends on it.
-    from .fused_vec import _TEXEL_BWD  # backend changes the traced bwd
+    from .fused_vec import _ENV_BWD, _TEXEL_BWD  # backends change the bwd
 
     key = ((n_sph, n_rct, n_lights, env_shape, sph_tex_shape, rct_tex_shape),
            dataclasses.replace(cfg, soft_tau=1.0, checker_tau=1.0),
-           tiles, interpret, out_h, _TEXEL_BWD)
+           tiles, interpret, out_h, _TEXEL_BWD, _ENV_BWD)
     hit_entry = _CACHE.get(key)
     if hit_entry is not None:
         return hit_entry

@@ -358,44 +358,50 @@ def test_config10_chrome_field(monkeypatch):
     assert float(_jnp.abs(final.env - start.env).max()) > 1e-3
 
 
-def test_env_k_tile_and_dispatch_boundaries():
-    """Round 4 (measured on v5e, docs/env_k32_boundary_check.json): the
-    HARD vec family's backward fits env K=32 only at 8-row tiles
-    (auto_tiles shrinks for K > 16); the SOFT family's scoped-vmem demand
-    has a ~16.7M row-independent term, so soft_kernel_ok caps its env at
-    K <= 16. Pin both decisions."""
+def test_env_k_tile_and_dispatch_boundaries(monkeypatch):
+    """Backend-conditional env boundaries. Legacy auto-vjp backend
+    (RRT_ENVBWD=vjp — round-4 measurements,
+    docs/env_k32_boundary_check.json): hard family fits env K=32 only at
+    8-row tiles; the soft family's ~16.7M row-independent scoped-vmem
+    term caps it at K <= 24 (8-row tiles past K=16). Round-5 default
+    backend (mxu): the row-independent term was the auto-vjp's 2K
+    hat-weight residual planes — gone, so soft admits K <= 32 (K=24 at
+    16-row tiles, 1.76x faster; K=32 at 8) — scripts/envbwd_probe.py."""
+    from reversible_raytracer_tpu.ops.kernels import fused_vec
     from reversible_raytracer_tpu.ops.kernels.fused_vec import auto_tiles
     from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
+        auto_tiles_soft,
         soft_kernel_ok,
     )
 
     scene, _, cfg = _sky_scene(env_k=16, reflections=0)
-    tiles16 = auto_tiles(scene, cfg, None)
-    assert soft_kernel_ok(scene)
-
-    k32 = dataclasses.replace(
-        scene, env=jnp.zeros((32, 32, 3), jnp.float32)
-    )
-    tiles32 = auto_tiles(k32, cfg, None)
-    assert tiles32.bh_bwd == 8
-    assert tiles16.bh_bwd > tiles32.bh_bwd
-    assert not soft_kernel_ok(k32)
-
-    # Soft family: K=24 is admitted (8-row backward tiles; measured to
-    # compile+run on v5e — 16-row tiles OOM scoped vmem at 20.82M).
-    from reversible_raytracer_tpu.ops.kernels.fused_vec_soft import (
-        auto_tiles_soft,
-    )
-
     k24 = dataclasses.replace(
         scene, env=jnp.zeros((24, 24, 3), jnp.float32)
     )
+    k32 = dataclasses.replace(
+        scene, env=jnp.zeros((32, 32, 3), jnp.float32)
+    )
+
+    # Default (mxu) backend.
+    assert fused_vec._ENV_BWD == "mxu"
+    tiles16 = auto_tiles(scene, cfg, None)
+    tiles32 = auto_tiles(k32, cfg, None)
+    assert tiles16.bh_bwd > tiles32.bh_bwd
+    assert soft_kernel_ok(scene)
     assert soft_kernel_ok(k24)
-    assert auto_tiles_soft(k24, None).bh_bwd == 8
+    assert soft_kernel_ok(k32)  # round-5 capability (was impossible)
     assert auto_tiles_soft(scene, None).bh_bwd == 32  # K=16 keeps 32
-    # Hard family at K=24: 16-row tiles fit and are 1.8x faster than 8
-    # (3.83 vs 6.87 ms/step on v5e); only K > 24 drops to 8.
+    assert auto_tiles_soft(k24, None).bh_bwd == 16
+    assert auto_tiles_soft(k32, None).bh_bwd == 8
+    # Hard family at K=24: 16-row tiles fit and are 1.8x faster than 8.
     assert auto_tiles(k24, cfg, None).bh_bwd == 16
+
+    # Legacy (vjp) backend keeps the round-4 walls.
+    monkeypatch.setattr(fused_vec, "_ENV_BWD", "vjp")
+    assert auto_tiles(k32, cfg, None).bh_bwd == 8
+    assert soft_kernel_ok(k24)
+    assert not soft_kernel_ok(k32)
+    assert auto_tiles_soft(k24, None).bh_bwd == 8
 
 
 def test_env_observability_mask_semantics():

@@ -216,15 +216,16 @@ def test_soft_env_step_kernel_matches_ad():
 
 
 def test_soft_env_routing(monkeypatch):
-    """Dispatch: env-mapped (<= K=24) soft scenes take the soft vec
-    kernels on TPU; oversized env maps stay on jnp_vec — the soft env
-    cap is STRICTER than the hard family's 32 (K=32's soft backward has
-    a ~16.7M row-independent scoped-vmem term vs the 16M limit; K=24
-    fits at 8-row tiles — measured on v5e, see soft_kernel_ok). Both
-    resolve_impl and anneal_stage_impl agree."""
+    """Dispatch: env-mapped soft scenes take the soft vec kernels on TPU
+    up to the K <= 32 shared boundary under the round-5 default env
+    backend (RRT_ENVBWD=mxu dissolved the round-4 row-independent
+    scoped-vmem term); the legacy vjp backend keeps the stricter K <= 24
+    cap. Oversized env maps stay on jnp_vec. Both resolve_impl and
+    anneal_stage_impl agree."""
     import dataclasses
 
     from reversible_raytracer_tpu import optim as optim_mod
+    from reversible_raytracer_tpu.ops.kernels import fused_vec
     from reversible_raytracer_tpu.ops.render import resolve_impl
     from reversible_raytracer_tpu.optim import anneal_stage_impl
 
@@ -241,8 +242,12 @@ def test_soft_env_routing(monkeypatch):
     k32 = dataclasses.replace(
         scene, env=jnp.zeros((32, 32, 3), jnp.float32)
     )
+    assert resolve_impl(k32, cfg) == "pallas_vec_soft"  # round-5 capability
+    assert anneal_stage_impl(k32, 0.05) == "pallas_vec_soft"
+    monkeypatch.setattr(fused_vec, "_ENV_BWD", "vjp")
     assert resolve_impl(k32, cfg) == "jnp_vec"
     assert anneal_stage_impl(k32, 0.05) == "jnp_vec"
+    monkeypatch.setattr(fused_vec, "_ENV_BWD", "mxu")
     huge = dataclasses.replace(
         scene, env=jnp.zeros((64, 64, 3), jnp.float32)
     )

@@ -773,9 +773,10 @@ def test_texel_backward_mxu_backend_matches_vjp(monkeypatch):
 
 
 def test_env_backward_mxu_backend_matches_vjp(monkeypatch):
-    """Round 5: under RRT_TEXBWD=mxu the ENV dense sample also routes
-    through the custom-vjp backend (miss_color's env_dense_fn hook), in
-    BOTH vec families. Grads must match the default auto-vjp path."""
+    """Round 5: the ENV dense sample routes through the custom-vjp
+    backend (miss_color's env_dense_fn hook, RRT_ENVBWD — DEFAULT mxu:
+    it dissolves the round-4 scoped-vmem K-walls), in BOTH vec families.
+    Grads must match the legacy auto-vjp backend."""
     import dataclasses
 
     from reversible_raytracer_tpu.ops.kernels import fused_vec
@@ -801,9 +802,9 @@ def test_env_backward_mxu_backend_matches_vjp(monkeypatch):
          RenderConfig(height=40, width=48, shadows=True, soft_tau=0.05)),
     ):
         target = jnp.asarray(np.asarray(render_jnp_vec(scene, cfg))) * 0.92
-        monkeypatch.setattr(fused_vec, "_TEXEL_BWD", "vjp")
+        monkeypatch.setattr(fused_vec, "_ENV_BWD", "vjp")
         l_v, g_v = lg(scene, cfg, target)
-        monkeypatch.setattr(fused_vec, "_TEXEL_BWD", "mxu")
+        monkeypatch.setattr(fused_vec, "_ENV_BWD", "mxu")
         l_m, g_m = lg(scene, cfg, target)
         assert float(l_v) == float(l_m), fam
         for (path, a), (_, b) in zip(
