@@ -721,14 +721,29 @@ def auto_tiles(scene_like: Scene, cfg: RenderConfig,
     if scene_like.env_mapped and refl:
         bwd = max(8, bwd // (1 + refl))
     env_k = int(np.shape(scene_like.env)[0])
-    if env_k > 24:
-        # Large env maps: the backward's dense env hat-weight planes scale
-        # with K — at K=32 the step OOMs scoped vmem at 32-row tiles
-        # (36.97M) AND 16-row tiles (17.84M, limit 16M); 8 rows compile
-        # and run (probed on v5e). This is what keeps the K <= 32
-        # dispatch threshold (render.resolve_impl / resolve_step_impl)
-        # honest for the hard family; the SOFT family's fixed term is
-        # bigger and caps at K <= 24 instead (fused_vec_soft).
+    if (_ENV_BWD != "vjp" and env_k > 16 and not refl
+            and cfg.spp == 1):
+        # Round-5 custom env backend (RRT_ENVBWD=mxu, the default): the
+        # backward no longer carries the 2K hat-weight planes as
+        # residuals, so large-K env fits far bigger tiles. Probed on v5e
+        # (64-obj 512^2 step, scripts/envbwd_probe.py): K=24 @ 32 rows
+        # 2.60 ms (vs 3.83 at the vjp-era 16), K=32 @ 32 rows 3.42 ms
+        # (vs 9.50 at the vjp-era 8 — 2.8x); 64-row tiles OOM scoped
+        # vmem for both. The lift is refl=0/spp=1 only: env+reflections
+        # at these K OOMs even under mxu (K=24 @ 32 rows and K=32 @ 16
+        # rows both fail compile — probed), and spp=4's in-kernel 2x2
+        # subsample loop multiplies the live set (unprobed) — both keep
+        # the vjp-era ladder below. K=48 is a hard compile refusal at
+        # any tile (tpu_compile_helper crash), which keeps the K <= 32
+        # dispatch threshold honest under BOTH backends.
+        bwd = min(bwd, 32)
+    elif env_k > 24:
+        # Auto-vjp backend (RRT_ENVBWD=vjp), or refl/spp=4: the dense
+        # env hat-weight planes scale with K — at K=32 the step OOMs
+        # scoped vmem at 32-row tiles (36.97M) AND 16-row tiles (17.84M,
+        # limit 16M); 8 rows compile and run (probed on v5e). The SOFT
+        # family's fixed term is bigger and caps at K <= 24 under vjp
+        # (fused_vec_soft).
         bwd = 8
     elif env_k > 16:
         # K=24 fits 16-row tiles and is ~1.8x faster there than at 8 —

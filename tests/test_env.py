@@ -382,19 +382,27 @@ def test_env_k_tile_and_dispatch_boundaries(monkeypatch):
         scene, env=jnp.zeros((32, 32, 3), jnp.float32)
     )
 
-    # Default (mxu) backend.
+    # Default (mxu) backend. Hard family refl=0/spp=1: K>16 runs 32-row
+    # tiles (probed v5e: K=24 2.60 ms vs 3.83 at 16 rows; K=32 3.42 ms
+    # vs 9.50 at the vjp-era 8; 64 rows OOM for both).
     assert fused_vec._ENV_BWD == "mxu"
     tiles16 = auto_tiles(scene, cfg, None)
     tiles32 = auto_tiles(k32, cfg, None)
     assert tiles16.bh_bwd > tiles32.bh_bwd
+    assert tiles32.bh_bwd == 32
     assert soft_kernel_ok(scene)
     assert soft_kernel_ok(k24)
     assert soft_kernel_ok(k32)  # round-5 capability (was impossible)
     assert auto_tiles_soft(scene, None).bh_bwd == 32  # K=16 keeps 32
     assert auto_tiles_soft(k24, None).bh_bwd == 16
     assert auto_tiles_soft(k32, None).bh_bwd == 8
-    # Hard family at K=24: 16-row tiles fit and are 1.8x faster than 8.
-    assert auto_tiles(k24, cfg, None).bh_bwd == 16
+    assert auto_tiles(k24, cfg, None).bh_bwd == 32
+    # The 32-row lift is refl=0 only: env+reflections at K=24/32 OOMs
+    # even under mxu (probed compile failures) — the vjp-era refl ladder
+    # stays.
+    cfg_refl = dataclasses.replace(cfg, reflections=1)
+    assert auto_tiles(k24, cfg_refl, None).bh_bwd == 16
+    assert auto_tiles(k32, cfg_refl, None).bh_bwd == 8
 
     # Legacy (vjp) backend keeps the round-4 walls.
     monkeypatch.setattr(fused_vec, "_ENV_BWD", "vjp")
