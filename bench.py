@@ -79,6 +79,16 @@ def _fast_mode():
         float(os.environ.get("RRT_BENCH_T2", "180")),
     ]
     err = "unknown"
+    salvage = None
+
+    def _read_scratch():
+        try:
+            with open(scratch) as fh:
+                p = json.load(fh)
+            return p if p.get("value") else None
+        except (OSError, ValueError):
+            return None
+
     for i, tmo in enumerate(timeouts, 1):
         try:
             os.remove(scratch)
@@ -98,6 +108,15 @@ def _fast_mode():
             tail = (e.stderr or b"").decode(errors="replace")[-400:]
             print(f"bench: {err}; child stderr tail: {tail}",
                   file=sys.stderr, flush=True)
+            # The child writes a preliminary payload right after the
+            # fused-step measurement (before the stall-prone jnp-baseline
+            # compile) — salvage it rather than reporting value 0
+            # (observed round 5: both attempts measured the headline in
+            # <30s, then died in the baseline compile).
+            salvage = _read_scratch() or salvage
+            if salvage:
+                print("bench: salvaged preliminary payload from the "
+                      "killed attempt", file=sys.stderr, flush=True)
             continue
         sys.stderr.write(r.stderr.decode(errors="replace"))
         sys.stderr.flush()
@@ -115,6 +134,16 @@ def _fast_mode():
         err = (f"attempt {i}: child rc={r.returncode}; stderr tail: "
                f"{r.stderr.decode(errors='replace')[-400:]}")
         print(f"bench: {err}", file=sys.stderr, flush=True)
+        salvage = _read_scratch() or salvage
+    if salvage:
+        salvage["error"] = err
+        line = json.dumps(salvage)
+        print(line, flush=True)
+        print("bench: emitting salvaged headline (live fused measurement, "
+              "stored jnp baseline); re-printing as the final stdout line",
+              file=sys.stderr, flush=True)
+        print(line, flush=True)
+        sys.exit(0)
     print(json.dumps({
         "metric": HEADLINE_METRIC,
         "value": 0,
@@ -352,6 +381,38 @@ def headline_child(out_path):
             *grad_pts, k=k_rep,
         )
         _log(f"jnp (non-TPU backend) fwd+bwd: {t_fast*1e3:.3f} ms/step")
+    # Write a PRELIMINARY payload NOW, before the jnp-baseline compile:
+    # the headline value above is the live measurement, and the jnp
+    # 512^2 autodiff compile is the stall observed to kill BOTH watchdog
+    # attempts after the fused row already succeeded (round 5). The
+    # denominator for vs_baseline falls back to the committed full-sweep
+    # artifact, explicitly marked; a completed live baseline below
+    # overwrites this file with the live ratio.
+    value = round(rays / t_fast)
+    try:
+        if not on_tpu:
+            raise KeyError("stored TPU baseline not comparable off-TPU")
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_details.json")) as fh:
+            stored_jnp = float(json.load(fh)["fwdbwd_rays_per_s_jnp"])
+        prelim = {
+            "metric": HEADLINE_METRIC,
+            "value": value,
+            "unit": "rays/s",
+            "vs_baseline": round(value / stored_jnp, 3),
+            "vs_baseline_source": "stored jnp baseline "
+                                  "(bench_details.json full sweep); live "
+                                  "jnp measure did not finish in time",
+        }
+        with open(out_path, "w") as fh:
+            json.dump(prelim, fh)
+            fh.write("\n")
+        _log(f"headline child: preliminary payload written at "
+             f"+{time.perf_counter() - t_start:.0f}s "
+             f"(vs_baseline from stored artifact)")
+    except (OSError, KeyError, ValueError) as e:
+        _log(f"headline child: no stored baseline available ({e}); "
+             f"preliminary payload skipped")
     t0 = time.perf_counter()
     t_jnp, _, _ = _median_slope(
         lambda n: _grad_total(lambda s: render_jnp(s, cfg), scene, target, n),

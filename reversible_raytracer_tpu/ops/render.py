@@ -82,8 +82,10 @@ def resolve_impl(scene: Scene, cfg: RenderConfig) -> str:
         # scenes, e.g. config 9, add just one dense env sample per bounce
         # and run in BOTH). Textured scenes past the unrolled threshold
         # ride the object-chunked vec kernels — env maps as a GLOBAL in
-        # their SMEM scalar plan (up to K=32: beyond that the K^2 dense
-        # MACs/pixel stop paying), object texel grids as row tails within
+        # their SMEM scalar plan (up to K=32: K=48 is a measured compile
+        # refusal at any backward tile under both env backends — round-5
+        # probe, docs/env_k32_boundary_check.json), object texel grids as
+        # row tails within
         # the probed SMEM budget (`vec_smem_ok`); vec spp=4 rendering is
         # the 4-launch wrapper over the same spp=1 compile (round 3:
         # interpret-validated textured/reflective, TPU rows in
