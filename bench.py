@@ -17,8 +17,14 @@ plausible driver kill window, and budget enforcement only gated row
   FIRST and re-prints it as the FINAL stdout line (first-line and
   last-line parsers both find it), and exits 0. Worst case, wedged-tunnel
   included (the child's own timeout bounds a hung ``import jax``), is
-  ~9.5 min; the typical warm-cache run is ~2-3 min. The committed
-  bench_details.json is NOT touched in this mode.
+  ~9.5 min; the typical warm-cache run is ~2-3 min. The child writes a
+  PRELIMINARY payload (live fused value; vs_baseline against the
+  committed full-sweep artifact, marked ``vs_baseline_source``) right
+  after the fused measurement and BEFORE the stall-prone jnp-baseline
+  compile; the parent salvages that scratch from a killed attempt, so
+  even a double timeout reports the live headline instead of value 0
+  (both paths TPU-verified). The committed bench_details.json is NOT
+  touched in this mode.
 
 - FULL (``RRT_BENCH_FULL=1 python bench.py``): the complete ~20-row sweep
   that regenerates bench_details.json. Run manually, commit the artifact.
